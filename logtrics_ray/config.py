@@ -1,0 +1,95 @@
+"""Engine configuration.
+
+The reference's only timing knob is the Graphite flush interval
+(/root/reference/graphite/graphite.go:57,85 — default 30s at
+/root/reference/cmd/logtrics/main.go:59): every interval the whole
+metric registry is snapshotted to the sink.  Our engine replaces the
+wall-clock flush with explicit event-time tumbling windows at three
+retention tiers (1m/1h/1d), which makes the pipeline deterministic and
+testable.  Everything here is plain data — safe to ship to Ray workers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+MS = 1
+SECOND = 1000 * MS
+MINUTE = 60 * SECOND
+HOUR = 60 * MINUTE
+DAY = 24 * HOUR
+
+#: Retention tiers: name -> tumbling window width in milliseconds.
+#: Order matters: each tier cascades from the previous one (1m -> 1h -> 1d).
+TIERS: dict[str, int] = {"1m": MINUTE, "1h": HOUR, "1d": DAY}
+
+#: Timer percentile set, mirroring the reference's Graphite sink config
+#: (/root/reference/graphite/graphite.go:72).
+PERCENTILES: tuple[float, ...] = (0.5, 0.75, 0.95, 0.99, 0.999)
+
+#: EWMA horizons for meters (seconds), mirroring go-metrics' 1/5/15-minute
+#: moving rates that the reference's Meter exposes
+#: (/root/reference/graphite/graphite.go:141-151 via rcrowley/go-metrics).
+EWMA_TAUS_S: tuple[int, ...] = (60, 300, 900)
+
+GAP_FILL_MODES = ("null", "locf", "linear")
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """All knobs of one pipeline run.  Frozen → hashable, broadcastable."""
+
+    # Event-time synthesis for the token table (which has no timestamp —
+    # see BASELINE.json input_hint):  ts = epoch0_ms + hash64(doc_id) % horizon_ms.
+    epoch0_ms: int = 1767225600000  # 2026-01-01T00:00:00Z
+    horizon_ms: int = 7 * DAY
+
+    # Salted two-phase aggregation: points are partitioned into
+    # `salt_buckets` deterministic sub-groups per (series, window); partial
+    # aggregates per salt bucket are merged in salt order.  This is both the
+    # skew-defense AND the definition of the engine's float summation order
+    # (deterministic regardless of physical block layout).
+    salt_buckets: int = 8
+
+    # Gap-fill: "null" | "locf" | "linear".  Domain is per-series
+    # [first_window, last_window] by default; "global" extends every series
+    # to the global max window (the reference's registry-snapshot behavior:
+    # once a metric is registered it is emitted every flush —
+    # /root/reference/graphite/graphite.go:84-90).
+    gap_fill: str = "locf"
+    gap_domain: str = "series"  # "series" | "global"
+
+    # Output partitioning: series are hashed into this many buckets; each
+    # bucket is one resumable output partition with its own manifest.
+    series_buckets: int = 16
+
+    # Gorilla block cap: windows per encoded block.
+    block_len: int = 4096
+
+    # Extraction stage sizing.  Concurrency is an autoscaling (min, max)
+    # actor-pool range: min=1 guarantees progress even when the pool would
+    # otherwise reserve every CPU of a small cluster (a fixed pool equal to
+    # the CPU count starves the read stage and deadlocks the pipeline).
+    batch_size: int = 4096
+    extract_concurrency: int | tuple[int, int] = (1, 8)
+
+    percentiles: tuple[float, ...] = PERCENTILES
+    ewma_taus_s: tuple[int, ...] = EWMA_TAUS_S
+    tiers: tuple[str, ...] = tuple(TIERS)
+
+    def with_(self, **kw) -> "EngineConfig":
+        return replace(self, **kw)
+
+    def __post_init__(self):
+        if self.gap_fill not in GAP_FILL_MODES:
+            raise ValueError(f"gap_fill must be one of {GAP_FILL_MODES}, got {self.gap_fill!r}")
+        if self.gap_domain not in ("series", "global"):
+            raise ValueError(f"gap_domain must be 'series' or 'global', got {self.gap_domain!r}")
+        if self.salt_buckets < 1:
+            raise ValueError("salt_buckets must be >= 1")
+        for t in self.tiers:
+            if t not in TIERS:
+                raise ValueError(f"unknown tier {t!r}; known: {sorted(TIERS)}")
+
+
+DEFAULT_CONFIG = EngineConfig()

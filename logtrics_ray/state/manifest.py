@@ -1,0 +1,83 @@
+"""Per-partition lineage manifests — the resumable-output layer.
+
+The reference has no persistence at all (in-memory registry, restart
+loses every cumulative counter — /root/reference/TODO.md:6 lists
+"Persistence APIs" as unimplemented).  Here every output partition
+(tier × series-bucket) is written atomically (tmp dir + rename) together
+with a ``_MANIFEST.json`` recording lineage: the input tag, engine
+config hash, row/series counts, window range, and a content hash.
+A resumed run lists completed partitions for the same (input, config)
+and skips their buckets at the SOURCE of the pipeline, so finished work
+is neither recomputed nor rewritten.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def config_hash(cfg, rules) -> str:
+    payload = repr((cfg, tuple((r.name, r.expression, r.emits) for r in rules)))
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+def partition_dir(out_dir: str, tier: str, bucket: int) -> str:
+    return os.path.join(out_dir, f"tier={tier}", f"bucket={bucket:05d}")
+
+
+def write_partition(out_dir: str, tier: str, bucket: int, write_files,
+                    meta: dict) -> dict:
+    """Atomically write one partition: ``write_files(tmp_dir)`` writes the
+    data files, then tmp is renamed over the final dir and the manifest is
+    written last (a partition without a manifest is incomplete)."""
+    final = partition_dir(out_dir, tier, bucket)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    write_files(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    manifest = dict(meta, tier=tier, bucket=bucket)
+    mpath = os.path.join(final, MANIFEST_NAME)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(mpath + ".tmp", mpath)
+    return manifest
+
+
+def completed_buckets(out_dir: str, tier: str, input_tag: str, cfg_hash: str) -> set[int]:
+    """Buckets whose manifest matches this run's lineage (input + config)."""
+    tier_dir = os.path.join(out_dir, f"tier={tier}")
+    done: set[int] = set()
+    if not os.path.isdir(tier_dir):
+        return done
+    for name in os.listdir(tier_dir):
+        mpath = os.path.join(tier_dir, name, MANIFEST_NAME)
+        if not os.path.isfile(mpath):
+            continue
+        try:
+            m = json.load(open(mpath))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if m.get("input_tag") == input_tag and m.get("cfg_hash") == cfg_hash:
+            done.add(int(m["bucket"]))
+    return done
+
+
+def load_manifests(out_dir: str, tier: str) -> list[dict]:
+    tier_dir = os.path.join(out_dir, f"tier={tier}")
+    out = []
+    if not os.path.isdir(tier_dir):
+        return out
+    for name in sorted(os.listdir(tier_dir)):
+        mpath = os.path.join(tier_dir, name, MANIFEST_NAME)
+        if os.path.isfile(mpath):
+            out.append(json.load(open(mpath)))
+    return out

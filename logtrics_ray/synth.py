@@ -1,0 +1,128 @@
+"""Deterministic synthetic token-table generator (FIXTURES.md F1).
+
+Generates the ``input_hint`` table
+``(doc_id: string, tokens: list<int32>, n_tok: int32, source: string)``
+with known rule-matching token subsequences spliced in at seeded
+offsets, so every fixture has an exactly computable set of extraction
+matches.  Seeded per (seed, shard): shards are independently
+reproducible, so generation parallelizes (one Ray task per shard) and
+a table of any size is a pure function of (seed, n_rows, rows_per_shard).
+
+No wall-clock anywhere.  The reference has no fixtures at all (zero
+*_test.go files); this corpus is the conformance input mandated by
+BASELINE.json's north rule ("synthesise it deterministically").
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from logtrics_ray import vocab as V
+
+SOURCES = np.array(["web", "books", "code", "wiki"])
+# Zipf-ish (s=1.3) source skew.
+_W = 1.0 / np.arange(1, 5) ** 1.3
+SOURCE_P = _W / _W.sum()
+
+# Per-row independent inclusion probabilities per pattern.
+P_HELLO, P_LAT, P_REQ, P_BYTES, P_STATUS = 0.05, 0.30, 0.20, 0.25, 0.15
+_STATUS_CODES = np.array([200, 301, 404, 500, 503])
+
+TOKEN_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+])
+
+
+def synth_shard(shard: int, n_rows: int, seed: int = 42, row_offset: int | None = None) -> pa.Table:
+    """One shard of the token table; pure function of (seed, shard, n_rows)."""
+    rng = np.random.default_rng([seed, shard])
+    if row_offset is None:
+        row_offset = shard * n_rows
+
+    lens = np.clip(np.exp(rng.normal(5.0, 0.7, size=n_rows)), 8, 2048).astype(np.int64)
+    src_idx = rng.choice(4, size=n_rows, p=SOURCE_P)
+    inc = rng.random((n_rows, 5))
+    has = inc < np.array([P_HELLO, P_LAT, P_REQ, P_BYTES, P_STATUS])
+
+    name_tok = V.NAME_BASE + rng.integers(0, V.N_NAMES, size=n_rows)
+    ep_tok = V.EP_BASE + rng.integers(0, V.N_EPS, size=n_rows)
+    lat_val = rng.integers(1, 5000, size=n_rows)
+    bytes_val = rng.integers(100, 100000, size=n_rows)
+    status_val = _STATUS_CODES[rng.integers(0, len(_STATUS_CODES), size=n_rows)]
+
+    # Filler ids for all rows drawn flat, sliced per row.
+    total = int(lens.sum())
+    filler = rng.integers(V.FILLER_BASE, V.VOCAB_SIZE, size=total, dtype=np.int32)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+
+    enc = V.encode_number
+    chunks: list[np.ndarray] = []
+    row_lens = np.empty(n_rows, dtype=np.int32)
+    for i in range(n_rows):
+        base = filler[offs[i]:offs[i + 1]]
+        pats: list[list[int]] = []
+        if has[i, 0]:
+            pats.append([1, int(name_tok[i]), 2])
+        if has[i, 1]:
+            pats.append([3] + enc(lat_val[i]))
+        if has[i, 2]:
+            pats.append([6, int(ep_tok[i])])
+        if has[i, 3]:
+            pats.append([5] + enc(bytes_val[i]))
+        if has[i, 4]:
+            pats.append([4] + enc(status_val[i]))
+        if not pats:
+            chunks.append(base)
+            row_lens[i] = len(base)
+            continue
+        # Splice at seeded, sorted positions within the filler run.
+        pos = np.sort(rng.integers(0, len(base) + 1, size=len(pats)))
+        parts: list[np.ndarray] = []
+        prev = 0
+        for p, pat in zip(pos, pats):
+            parts.append(base[prev:p])
+            parts.append(np.asarray(pat, dtype=np.int32))
+            prev = p
+        parts.append(base[prev:])
+        row = np.concatenate(parts)
+        chunks.append(row)
+        row_lens[i] = len(row)
+
+    flat = np.concatenate(chunks).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(row_lens)]).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                      pa.array(flat, type=pa.int32()))
+    doc_ids = pa.array([f"doc-{row_offset + i:012d}" for i in range(n_rows)], type=pa.string())
+    return pa.Table.from_arrays(
+        [doc_ids, tokens, pa.array(row_lens, type=pa.int32()),
+         pa.array(SOURCES[src_idx], type=pa.string())],
+        schema=TOKEN_SCHEMA)
+
+
+def write_token_table(out_dir: str, n_rows: int, n_shards: int = 8, seed: int = 42,
+                      row_group_size: int = 2048) -> str:
+    """Write the table as one parquet file per shard (many row groups →
+    ray.data.read_parquet splits well).  Idempotent: skips if complete."""
+    os.makedirs(out_dir, exist_ok=True)
+    done_marker = os.path.join(out_dir, "_DONE")
+    tag = f"{seed}:{n_rows}:{n_shards}"
+    if os.path.exists(done_marker) and open(done_marker).read().strip() == tag:
+        return out_dir
+    per = n_rows // n_shards
+    counts = [per + (1 if i < n_rows % n_shards else 0) for i in range(n_shards)]
+    off = 0
+    for shard, cnt in enumerate(counts):
+        t = synth_shard(shard, cnt, seed=seed, row_offset=off)
+        pq.write_table(t, os.path.join(out_dir, f"part-{shard:05d}.parquet"),
+                       row_group_size=row_group_size)
+        off += cnt
+    with open(done_marker, "w") as f:
+        f.write(tag)
+    return out_dir

@@ -1,0 +1,71 @@
+"""The conformance gate: distributed engine == single-process oracle,
+bit-for-bit, at every retention tier (BASELINE.json north_rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from logtrics_ray.config import TIERS, EngineConfig
+from logtrics_ray.pipelines.rollup_pipeline import (build_core_tiers,
+                                                    extract_points,
+                                                    read_token_table)
+from logtrics_ray.rules import default_rules
+from logtrics_ray.stages.seriesscan import finalize_tier
+
+from tests.oracle import oracle_tiers
+from tests.util import assert_frames_identical, assert_tier_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def engine_tiers(t2_dir):
+    cfg = EngineConfig()
+    points = extract_points(read_token_table(t2_dir), default_rules(), cfg)
+    core = build_core_tiers(points, cfg, two_phase=True)
+    return {t: finalize_tier(core[t], TIERS[t], cfg).to_pandas() for t in cfg.tiers}, core
+
+
+@pytest.fixture(scope="module")
+def oracle(t2_dir):
+    return oracle_tiers(t2_dir, default_rules(), EngineConfig())
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_tier_matches_oracle(engine_tiers, oracle, tier):
+    dfs, _ = engine_tiers
+    assert_tier_matches_oracle(dfs[tier], oracle[tier], msg=f"tier {tier}")
+
+
+def test_fused_equals_two_phase(t2_dir):
+    """One-shuffle fused path and two-phase salted path: identical bits."""
+    cfg = EngineConfig()
+    points = extract_points(read_token_table(t2_dir), default_rules(), cfg)
+    core_a = build_core_tiers(points, cfg, two_phase=False)
+    points_b = extract_points(read_token_table(t2_dir), default_rules(), cfg)
+    core_b = build_core_tiers(points_b, cfg, two_phase=True)
+    for tier in cfg.tiers:
+        df_a = finalize_tier(core_a[tier], TIERS[tier], cfg).to_pandas()
+        df_b = finalize_tier(core_b[tier], TIERS[tier], cfg).to_pandas()
+        assert_frames_identical(df_a, df_b, msg=f"fused vs two_phase {tier}")
+
+
+def test_parallelism_invariance(t1_dir):
+    """Different physical block layouts -> identical output bits."""
+    import ray.data as rd
+    cfg = EngineConfig()
+    dfs = []
+    for blocks in (2, 13):
+        ds = rd.read_parquet(t1_dir, columns=["doc_id", "tokens", "n_tok", "source"],
+                             override_num_blocks=blocks)
+        core = build_core_tiers(extract_points(ds, default_rules(), cfg), cfg)
+        dfs.append(finalize_tier(core["1m"], TIERS["1m"], cfg).to_pandas())
+    assert_frames_identical(dfs[0], dfs[1], msg="block-layout invariance")
+
+
+@pytest.mark.parametrize("mode", ["null", "locf", "linear"])
+def test_gap_fill_modes_match_oracle(t1_dir, mode):
+    cfg = EngineConfig(gap_fill=mode)
+    points = extract_points(read_token_table(t1_dir), default_rules(), cfg)
+    core = build_core_tiers(points, cfg)
+    df = finalize_tier(core["1m"], TIERS["1m"], cfg).to_pandas()
+    orc = oracle_tiers(t1_dir, default_rules(), cfg)
+    assert_tier_matches_oracle(df, orc["1m"], msg=f"gap_fill={mode}")

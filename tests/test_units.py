@@ -1,0 +1,175 @@
+"""Pure unit tests: gorilla codec, t-digest, rules validation, vocab/synth
+determinism, hashing — no Ray required."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logtrics_ray import vocab as V
+from logtrics_ray.config import EngineConfig
+from logtrics_ray.hashing import hash64, hash64_array, salt_of, ts_for_doc_ids
+from logtrics_ray.rules import default_rules, load_rules
+from logtrics_ray.stages import gorilla
+from logtrics_ray.state.tdigest import TDigest
+from logtrics_ray.synth import synth_shard
+
+
+# ------------------------------------------------------------------ gorilla
+
+def test_gorilla_ts_roundtrip():
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 5, 1000):
+        ts = np.cumsum(rng.integers(0, 10_000_000, size=n)) + 1767225600000
+        assert np.array_equal(gorilla.decode_timestamps(gorilla.encode_timestamps(ts)), ts)
+
+
+def test_gorilla_ts_regular_grid_compresses():
+    ts = np.arange(0, 60_000 * 5000, 60_000, dtype=np.int64) + 1767225600000
+    enc = gorilla.encode_timestamps(ts)
+    # constant delta -> 1 bit per value after the header
+    assert len(enc) < 5000 / 8 + 32
+    assert np.array_equal(gorilla.decode_timestamps(enc), ts)
+
+
+def test_gorilla_float_roundtrip():
+    rng = np.random.default_rng(8)
+    cases = [
+        np.array([]), np.array([3.14]),
+        rng.normal(size=1000),
+        np.repeat(42.5, 500),
+        np.array([1.0, np.nan, np.inf, -np.inf, 0.0, -0.0, 1e300, 5e-324]),
+        np.cumsum(rng.normal(size=2000)),  # smooth series (XOR-friendly)
+    ]
+    for v in cases:
+        dec = gorilla.decode_floats(gorilla.encode_floats(v))
+        assert v.astype(np.float64).view(np.uint64).tolist() == dec.view(np.uint64).tolist()
+
+
+def test_gorilla_constant_floats_compress():
+    v = np.repeat(7.25, 4096)
+    assert len(gorilla.encode_floats(v)) < 4096 / 8 + 16
+
+
+def test_gorilla_bools_roundtrip():
+    rng = np.random.default_rng(9)
+    for n in (0, 1, 7, 8, 9, 1000):
+        m = rng.random(n) < 0.3
+        assert np.array_equal(gorilla.decode_bools(gorilla.encode_bools(m)), m)
+
+
+# ------------------------------------------------------------------ tdigest
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(10)
+    v = rng.normal(100.0, 15.0, size=50_000)
+    d = TDigest.from_values(v)
+    for q in (0.5, 0.75, 0.95, 0.99, 0.999):
+        exact = np.quantile(v, q)
+        assert abs(d.quantile(q) - exact) < 1.0, (q, d.quantile(q), exact)
+
+
+def test_tdigest_merge_order_independent():
+    rng = np.random.default_rng(11)
+    parts = [TDigest.from_values(rng.exponential(50, size=3000)) for _ in range(6)]
+    a = TDigest.merge_all(parts)
+    b = TDigest.merge_all(parts[::-1])
+    assert np.array_equal(a.means, b.means) and np.array_equal(a.weights, b.weights)
+
+
+def test_tdigest_serialization_roundtrip():
+    d = TDigest.from_values(np.random.default_rng(12).normal(size=1000))
+    d2 = TDigest.from_bytes(d.to_bytes())
+    assert np.array_equal(d.means, d2.means) and np.array_equal(d.weights, d2.weights)
+
+
+def test_tdigest_small_inputs():
+    assert np.isnan(TDigest.from_values(np.array([])).quantile(0.5))
+    assert TDigest.from_values(np.array([5.0])).quantile(0.99) == 5.0
+    d = TDigest.from_values(np.array([1.0, 3.0]))
+    assert 1.0 <= d.quantile(0.5) <= 3.0
+
+
+# -------------------------------------------------------------------- rules
+
+def test_rules_unknown_key_rejected():
+    # strict merge ≙ /root/reference/logtrics.go:100-101
+    with pytest.raises(ValueError, match="unknown keys"):
+        load_rules([{"name": "x", "expression": "a", "bogus": 1,
+                     "emit": [{"metric_type": "gauge", "series": "s", "value": 1}]}])
+
+
+def test_rules_missing_name_expression():
+    with pytest.raises(ValueError, match="missing required 'name'"):
+        load_rules([{"expression": "a"}])
+    with pytest.raises(ValueError, match="missing 'expression'"):
+        load_rules([{"name": "x"}])
+
+
+def test_rules_bad_regex_and_values():
+    with pytest.raises(ValueError, match="bad regex"):
+        load_rules([{"name": "x", "expression": "(", "emit": []}])
+    with pytest.raises(ValueError, match="bad value expression"):
+        load_rules([{"name": "x", "expression": "(?P<g>a)",
+                     "emit": [{"metric_type": "gauge", "series": "s", "value": "exp(g)"}]}])
+    with pytest.raises(ValueError, match="not a capture group"):
+        load_rules([{"name": "x", "expression": "(?P<g>a)",
+                     "emit": [{"metric_type": "gauge", "series": "s.{nope}", "value": 1}]}])
+    with pytest.raises(ValueError, match="needs at least one emit"):
+        load_rules([{"name": "x", "expression": "a", "emit": []}])
+
+
+def test_rules_group_names_only_named():
+    # unnamed groups are dropped ≙ /root/reference/parser.go:51-53
+    (r,) = load_rules([{"name": "x", "expression": r"(?P<a>\d)(\w)(?P<b>.)",
+                        "emit": [{"metric_type": "gauge", "series": "s", "value": 1}]}])
+    assert r.group_names == ["a", "b"]
+
+
+def test_metric_type_validated():
+    with pytest.raises(ValueError, match="metric_type"):
+        load_rules([{"name": "x", "expression": "a",
+                     "emit": [{"metric_type": "histogram", "series": "s", "value": 1}]}])
+
+
+# ---------------------------------------------------------- vocab and synth
+
+def test_vocab_deterministic_and_detokenize():
+    v1, v2 = V.build_vocab(), V.build_vocab()
+    assert (v1 == v2).all()
+    ids = [1, V.NAME_BASE + 3, 2, 3] + V.encode_number(417)
+    text = "".join(v1[i] for i in ids)
+    assert 'hello "' in text and "417" in text
+    tok = pa.array([ids, [0, 5]], type=pa.list_(pa.int32()))
+    out = V.detokenize(tok.combine_chunks() if hasattr(tok, "combine_chunks") else tok,
+                       V.vocab_as_arrow(v1))
+    assert out[0].as_py() == text
+    assert out[1].as_py() == v1[0] + v1[5]
+
+
+def test_synth_deterministic_and_invariant():
+    a = synth_shard(3, 500, seed=42)
+    b = synth_shard(3, 500, seed=42)
+    assert a.equals(b)
+    c = synth_shard(3, 500, seed=43)
+    assert not a.equals(c)
+    import pyarrow.compute as pc
+    assert pc.all(pc.equal(pc.list_value_length(a["tokens"]),
+                           a["n_tok"])).as_py()
+    assert a["doc_id"][0].as_py() == "doc-000000001500"
+
+
+def test_hashing_stable():
+    assert hash64("doc-000000000000") == hash64("doc-000000000000")
+    arr = hash64_array(["a", "b", "a"])
+    assert arr[0] == arr[2] != arr[1]
+    ts = ts_for_doc_ids(["x", "y"], 1000, 500)
+    assert ((ts >= 1000) & (ts < 1500)).all()
+    s = salt_of(np.array([17], dtype=np.uint64), 8)
+    assert s[0] == 17 % 8
+
+
+def test_default_rules_cover_all_metric_types():
+    mts = {e.metric_type for r in default_rules() for e in r.emits}
+    assert mts == {"counter", "gauge", "timer", "meter"}
