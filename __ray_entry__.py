@@ -1,44 +1,359 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship token-table rollup pipeline;
+``queries()`` exposes every operator from SURVEY.md §2 plus the
+training-data-pipeline operators; ``oracle_sql()`` gives the DuckDB
+equivalent for each SQL-expressible query (identical column names; all
+derived floats rounded to 6dp on BOTH sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+MIN_MS = 60_000
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+# epoch-ms composite order key for SQL arg_max (ts, event_id):
+_ORD = "epoch_ms(ts)::HUGEINT * 4294967296 + event_id"
+
+
+def _cfg():
+    from logtrics_ray.config import EngineConfig
+    return EngineConfig()
+
+
+def _events_points(sf_dir: str, metric_type: str = "gauge"):
+    from logtrics_ray.pipelines.table_rollup import read_events_points
+    return read_events_points(sf_dir, metric_type=metric_type)
+
+
+def _events_core(sf_dir: str, width_ms: int, metric_type: str = "gauge"):
+    from logtrics_ray.stages.rollup import rollup_base
+    return rollup_base(_events_points(sf_dir, metric_type), width_ms, _cfg())
+
+
+def _events_core_cascade(sf_dir: str, widths: list[int]):
+    """1m core rollup, cascaded up through ``widths`` (continuous aggregates)."""
+    from logtrics_ray.stages.cascade import cascade
+    from logtrics_ray.stages.rollup import rollup_base
+    core = rollup_base(_events_points(sf_dir), MIN_MS, _cfg())
+    for w in widths:
+        core = cascade(core, w)
+    return core
+
+
+# Deterministic synthesized token table per sf (north rule: the flagship
+# input is synthesized, never external).
+_SF_ROWS = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}
+
+
+def _token_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _SF_ROWS.get(tag, 2_000)
+    from logtrics_ray.synth import write_token_table
+    return write_token_table(f"/tmp/lt_tokens_{tag}", n, n_shards=8)
+
+
+# --------------------------------------------------------------- queries --
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: token table (sf0.001 scale) -> extraction -> 1m rollup."""
+    from logtrics_ray.pipelines.rollup_pipeline import final_tier_dataset
+    return final_tier_dataset(_token_dir("/root/testdata/sf0.001"), tier="1m")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from logtrics_ray.config import TIERS
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_rollup(width_ms):
+        def f(sf_dir):
+            from logtrics_ray.pipelines.table_rollup import basic_rollup_frame
+            return basic_rollup_frame(_events_core(sf_dir, width_ms))
+        return f
+
+    def q_rollup_cascade(widths):
+        def f(sf_dir):
+            from logtrics_ray.pipelines.table_rollup import basic_rollup_frame
+            return basic_rollup_frame(_events_core_cascade(sf_dir, widths))
+        return f
+
+    def q_gauge_last(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import gauge_last_frame
+        return gauge_last_frame(_events_core(sf_dir, HOUR_MS))
+
+    def q_cumulative(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import cumulative_frame
+        return cumulative_frame(_events_core(sf_dir, HOUR_MS))
+
+    def q_rate(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import rate_frame
+        return rate_frame(_events_core(sf_dir, MIN_MS), MIN_MS)
+
+    def q_gapfill_locf(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import gapfill_locf_frame
+        return gapfill_locf_frame(_events_points(sf_dir), HOUR_MS, _cfg())
+
+    def q_pctl_exact(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import exact_percentile_frame
+        return exact_percentile_frame(_events_points(sf_dir), HOUR_MS, _cfg())
+
+    def q_topk(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import topk_series_frame
+        return topk_series_frame(_events_points(sf_dir), k=10)
+
+    def q_user_rollup(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.pipelines.table_rollup import (basic_rollup_frame,
+                                                         points_from_table)
+        from logtrics_ray.stages.rollup import rollup_base
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        pts = points_from_table(ds, "ts", "user_id", "value", "event_id")
+        return basic_rollup_frame(rollup_base(pts, HOUR_MS, _cfg()))
+
+    def q_lineitem_daily(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.pipelines.table_rollup import (basic_rollup_frame,
+                                                         points_from_table)
+        from logtrics_ray.stages.rollup import rollup_base
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey", "l_linenumber", "l_shipdate",
+                                      "l_returnflag", "l_extendedprice", "l_discount"])
+
+        def revenue(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+            rid = pc.add(pc.multiply(pc.cast(t["l_orderkey"], pa.int64()), 8),
+                         pc.cast(t["l_linenumber"], pa.int64()))
+            return (t.append_column("revenue", rev).append_column("row_id", rid))
+
+        pts = points_from_table(ds.map_batches(revenue, batch_format="pyarrow"),
+                                "l_shipdate", "l_returnflag", "revenue", "row_id")
+        # include_avg=False: decimal prices put sum/count exactly on 6dp
+        # half-boundaries where ULP reduction-order noise flips the digit.
+        return basic_rollup_frame(rollup_base(pts, DAY_MS, _cfg()), include_avg=False)
+
+    # flagship token pipeline (rows-only: input is the synthesized table)
+    def q_token_tier(tier):
+        def f(sf_dir):
+            from logtrics_ray.pipelines.rollup_pipeline import final_tier_dataset
+            return final_tier_dataset(_token_dir(sf_dir), tier=tier)
+        return f
+
+    # --- training-data ops over documents / embeddings ---
+
+    def q_dedup_exact(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.dedup import exact_dedup
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return exact_dedup(ds)
+
+    def q_text_stats(sf_dir):
+        import ray.data as rd
+        import pyarrow as pa
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        from logtrics_ray.functions.textstats import TOKEN_RE, WORD_RE
+
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+            texts = t["text"].to_pylist()
+            return pa.Table.from_arrays([
+                t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray)
+                else t["doc_id"],
+                pa.array(np.array([len(s) for s in texts], dtype=np.int64)),
+                pa.array(np.array([len(WORD_RE.findall(s)) for s in texts], dtype=np.int64)),
+                pa.array(np.array([len(TOKEN_RE.findall(s)) for s in texts], dtype=np.int64)),
+            ], names=["doc_id", "n_chars", "n_words", "n_tokens"])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def q_text_quality(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.textstats import TextStats
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(TextStats, batch_format="pandas", concurrency=2)
+
+    def q_lang_id(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.textstats import LangId
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+    def q_fingerprint(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.textstats import fingerprint_batch
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+    def q_minhash_dedup(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.dedup import minhash_dedup_survivors
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_dedup_survivors(ds)
+
+    def q_simhash_dedup(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.dedup import simhash_dedup
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_dedup(ds, mask_bits=4)
+
+    def q_knn(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.similarity import knn_bruteforce
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return knn_bruteforce(ds, query_ids=[0, 1, 2, 3, 4], k=5)
+
+    def q_knn_ivf(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.similarity import knn_ivf
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return knn_ivf(ds, query_ids=[0, 1, 2, 3, 4], k=5)
+
+    def q_embedding_dedup(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.similarity import embedding_dedup_survivors
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_dedup_survivors(ds, threshold=0.95)
+
+    def q_multimodal(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.multimodal import decode_features, synth_media_table
+        ds = rd.from_arrow(synth_media_table(200))
+        return decode_features(ds, fake=True)
+
+    return {
+        "events_rollup_1m": q_rollup(MIN_MS),
+        "events_rollup_1h_cascade": q_rollup_cascade([HOUR_MS]),
+        "events_rollup_1d_cascade": q_rollup_cascade([HOUR_MS, DAY_MS]),
+        "events_gauge_last_1h": q_gauge_last,
+        "events_counter_cumulative_1h": q_cumulative,
+        "events_meter_rate_1m": q_rate,
+        "events_gapfill_locf_1h": q_gapfill_locf,
+        "events_pctl_exact_1h": q_pctl_exact,
+        "events_topk_series": q_topk,
+        "events_user_rollup_1h": q_user_rollup,
+        "lineitem_daily_revenue": q_lineitem_daily,
+        "token_rollup_1m": q_token_tier("1m"),
+        "token_rollup_1h": q_token_tier("1h"),
+        "token_rollup_1d": q_token_tier("1d"),
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "knn_bruteforce": q_knn,
+        "knn_ivf": q_knn_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        "multimodal_decode": q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    def rollup(width):
+        return f"""
+        SELECT event_type AS series_key,
+               (epoch_ms(ts) // {width}) * {width} AS window_start,
+               count(*) AS n,
+               round(sum(value), 6) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2"""
+
+    return {
+        "events_rollup_1m": rollup(MIN_MS),
+        "events_rollup_1h_cascade": rollup(HOUR_MS),
+        "events_rollup_1d_cascade": rollup(DAY_MS),
+        "events_gauge_last_1h": f"""
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                   arg_max(value, {_ORD}) AS last_value
+            FROM events GROUP BY 1, 2""",
+        "events_counter_cumulative_1h": f"""
+            WITH agg AS (
+              SELECT event_type AS series_key,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                     sum(value) AS s
+              FROM events GROUP BY 1, 2)
+            SELECT series_key, window_start,
+                   round(s, 6) AS window_sum,
+                   round(sum(s) OVER (PARTITION BY series_key ORDER BY window_start), 6)
+                       AS cumulative
+            FROM agg""",
+        "events_meter_rate_1m": f"""
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {MIN_MS}) * {MIN_MS} AS window_start,
+                   count(*) AS n,
+                   round(count(*) / 60.0, 6) AS rate
+            FROM events GROUP BY 1, 2""",
+        "events_gapfill_locf_1h": f"""
+            WITH agg AS (
+              SELECT event_type AS sk,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS w,
+                     arg_max(value, {_ORD}) AS lastv
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT sk, min(w) AS wmin, max(w) AS wmax FROM agg GROUP BY 1),
+            dense AS (
+              SELECT b.sk, unnest(generate_series(b.wmin, b.wmax, {HOUR_MS})) AS w
+              FROM bounds b)
+            SELECT d.sk AS series_key, d.w AS window_start,
+                   last_value(a.lastv IGNORE NULLS)
+                       OVER (PARTITION BY d.sk ORDER BY d.w) AS last_value,
+                   (a.w IS NULL) AS gap_filled
+            FROM dense d LEFT JOIN agg a ON a.sk = d.sk AND a.w = d.w""",
+        "events_pctl_exact_1h": f"""
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                   count(*) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p5,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1, 2""",
+        "events_topk_series": """
+            SELECT event_type AS series_key, count(*) AS n
+            FROM events GROUP BY 1
+            ORDER BY n DESC, series_key ASC LIMIT 10""",
+        "events_user_rollup_1h": f"""
+            SELECT CAST(user_id AS VARCHAR) AS series_key,
+                   (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2""",
+        "lineitem_daily_revenue": f"""
+            SELECT l_returnflag AS series_key,
+                   (epoch_ms(l_shipdate) // {DAY_MS}) * {DAY_MS} AS window_start,
+                   count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_value,
+                   round(min(l_extendedprice * (1 - l_discount)), 6) AS min_value,
+                   round(max(l_extendedprice * (1 - l_discount)), 6) AS max_value
+            FROM lineitem GROUP BY 1, 2""",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "text_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '\S+')) AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                       AS n_tokens
+            FROM documents""",
+        "embedding_dedup": """
+            SELECT a.vec_id FROM embeddings a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM embeddings b
+              WHERE b.vec_id < a.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95)""",
+        # knn_bruteforce / token_* / quality / lang / fingerprint / minhash /
+        # simhash / ivf / multimodal: non-SQL-expressible or approximate ->
+        # rows-only check (documented).
+    }

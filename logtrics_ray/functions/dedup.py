@@ -147,11 +147,17 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
 
 def minhash_dedup_survivors(ds, **kw):
     """ids that survive keep-earliest minhash dedup (drop b of every pair)."""
+    import ray
     pairs = minhash_lsh_candidates(ds, **kw)
-    dropped = pairs.select_columns(["b"]).unique("b")
-    drop_set = set(r["b"] for r in dropped.take_all())
-    ids = ds.select_columns(["doc_id"])
-    return ids.filter(lambda row: row["doc_id"] not in drop_set)
+    dropped = pairs.unique("b")  # list of dropped ids (small: near-dup count)
+    drop_ref = ray.put(set(dropped))
+
+    def keep(t: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        mask = pa.array([i not in drop for i in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    return ds.select_columns(["doc_id"]).map_batches(keep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash --

@@ -1,0 +1,210 @@
+"""Generic table -> points adapter + driver-facing rollup frames.
+
+The engine's narrow waist (points schema, stages/extract.py) is not tied
+to the token table: any table with (timestamp, key, value, unique id)
+maps onto it.  The ``events`` testdata table (event_id, ts, event_type,
+value) is the SQL-checkable stand-in: the DuckDB oracle can recompute
+every rollup over it, which is how the driver's correctness gate
+(CORRECTNESS_r{N}.json) independently validates the engine's groupby /
+cascade / gap-fill / scan operators.
+
+Float columns in driver-facing frames are rounded to 6 decimals ON BOTH
+SIDES (engine + oracle SQL) so ULP-level reduction-order differences
+between the engine's deterministic salted sums and DuckDB's internal
+summation order cannot flip a value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from logtrics_ray.config import EngineConfig
+from logtrics_ray.stages.extract import POINTS_SCHEMA
+from logtrics_ray.stages.rollup import assign_windows
+
+
+def points_from_table(ds, ts_col: str, key_col: str, value_col: str, id_col: str,
+                      metric_type: str = "gauge", key_prefix: str = ""):
+    """Map any (timestamp, key, value, id) table onto the points schema.
+
+    tiebreak = id (must be unique per row): gives the deterministic
+    per-point order key the engine's `last`/salt semantics need.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts_ms = pc.cast(pc.divide(pc.cast(ts, pa.int64()), 1000), pa.int64()) \
+                if ts.type.unit == "us" else pc.cast(ts, pa.int64())
+        else:
+            ts_ms = pc.cast(ts, pa.int64())
+        key = pc.cast(t[key_col], pa.string())
+        if key_prefix:
+            key = pc.binary_join_element_wise(
+                pa.array([key_prefix] * n, pa.string()), key, "")
+        return pa.Table.from_arrays([
+            key,
+            pa.array([metric_type] * n, pa.string()),
+            ts_ms,
+            pc.cast(t[value_col], pa.float64()),
+            pc.cast(t[id_col], pa.uint64()),
+        ], schema=POINTS_SCHEMA)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_events_points(sf_dir: str, metric_type: str = "gauge"):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type", "value"])
+    return points_from_table(ds, "ts", "event_type", "value", "event_id",
+                             metric_type=metric_type)
+
+
+def _round6(arr: np.ndarray) -> np.ndarray:
+    """Round half-AWAY-from-zero at 6dp — DuckDB's round() semantics
+    (numpy's np.round is half-to-even and flips the last digit on exact
+    .xxxxxx5 values, which decimal-like inputs hit constantly)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    out = np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5), arr) / 1e6
+    return np.where(np.isfinite(arr), out, arr)
+
+
+def basic_rollup_frame(core_ds, include_avg: bool = True) -> pa.Table:
+    """Core rollup rows -> driver-facing (series_key, window_start, n,
+    sum_value, min_value, max_value[, avg_value]), floats rounded to 6dp.
+
+    include_avg=False exists for decimal-valued inputs (e.g. lineitem
+    prices): sum/count there lands EXACTLY on 6dp half-boundaries, where
+    a 1-ULP reduction-order difference vs the SQL oracle flips the
+    rounded digit — means are only comparable for continuous values."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = [
+            t["series_key"].combine_chunks() if isinstance(t["series_key"], pa.ChunkedArray) else t["series_key"],
+            t["window_start"].combine_chunks() if isinstance(t["window_start"], pa.ChunkedArray) else t["window_start"],
+            t["count"].combine_chunks() if isinstance(t["count"], pa.ChunkedArray) else t["count"],
+            pa.array(_round6(t["sum"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(_round6(t["vmin"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(_round6(t["vmax"].to_numpy(zero_copy_only=False)), pa.float64()),
+        ]
+        names = ["series_key", "window_start", "n", "sum_value", "min_value",
+                 "max_value"]
+        if include_avg:
+            cols.append(pa.array(_round6(t["mean"].to_numpy(zero_copy_only=False)),
+                                 pa.float64()))
+            names.append("avg_value")
+        return pa.Table.from_arrays(cols, names=names)
+
+    return core_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gauge_last_frame(core_ds) -> pa.Table:
+    """(series_key, window_start, last_value) — LWW gauge per window."""
+    def fn(t: pa.Table) -> pa.Table:
+        return t.select(["series_key", "window_start", "last"]) \
+                .rename_columns(["series_key", "window_start", "last_value"])
+    return core_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cumulative_frame(core_ds):
+    """Per-series running sum over PRESENT windows (no gap-fill), rounded:
+    (series_key, window_start, window_sum, cumulative)."""
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()
+        order = np.argsort(w, kind="stable")
+        s = g["sum"].to_numpy(zero_copy_only=False)[order]
+        cum = np.cumsum(s)
+        n = w.size
+        return pa.Table.from_arrays([
+            pa.array([g["series_key"][0].as_py()] * n, pa.string()),
+            pa.array(w[order], pa.int64()),
+            pa.array(_round6(s), pa.float64()),
+            pa.array(_round6(cum), pa.float64()),
+        ], names=["series_key", "window_start", "window_sum", "cumulative"])
+
+    return core_ds.groupby(["series_key", "metric_type"]).map_groups(
+        scan, batch_format="pyarrow")
+
+
+def rate_frame(core_ds, width_ms: int):
+    """(series_key, window_start, n, rate) — meter marks/sec per window."""
+    width_s = width_ms / 1000.0
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = t["count"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays([
+            t["series_key"].combine_chunks() if isinstance(t["series_key"], pa.ChunkedArray) else t["series_key"],
+            t["window_start"].combine_chunks() if isinstance(t["window_start"], pa.ChunkedArray) else t["window_start"],
+            t["count"].combine_chunks() if isinstance(t["count"], pa.ChunkedArray) else t["count"],
+            pa.array(_round6(c / width_s), pa.float64()),
+        ], names=["series_key", "window_start", "n", "rate"])
+
+    return core_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gapfill_locf_frame(points_ds, width_ms: int, cfg: EngineConfig):
+    """Dense per-series windows with LOCF'd last value:
+    (series_key, window_start, last_value, gap_filled)."""
+    from logtrics_ray.pipelines.rollup_pipeline import build_core_tiers  # noqa: cycle-free
+    from logtrics_ray.stages.rollup import rollup_base
+    from logtrics_ray.stages.seriesscan import finalize_tier
+    core = rollup_base(points_ds, width_ms, cfg)
+    fin = finalize_tier(core, width_ms, cfg.with_(gap_fill="locf"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.select(["series_key", "window_start", "last", "gap_filled"]) \
+                .rename_columns(["series_key", "window_start", "last_value", "gap_filled"])
+
+    return fin.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_percentile_frame(points_ds, width_ms: int, cfg: EngineConfig,
+                           qs=(0.5, 0.99)):
+    """EXACT per-window percentiles (numpy linear interpolation — the same
+    estimator as DuckDB's quantile_cont), vectorized per series.
+
+    The scale path for percentiles is the t-digest in rollup.py; this
+    operator exists where exactness is required and per-(series, window)
+    cardinality is bounded.  Output: (series_key, window_start, n, p50, p99).
+    """
+    ds = assign_windows(points_ds, width_ms, cfg)
+
+    def per_series(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()
+        v = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, w))
+        w, v = w[order], v[order]
+        starts = np.flatnonzero(np.diff(w, prepend=w[0] - 1))
+        bounds = np.append(starts, w.size)
+        n = starts.size
+        counts = np.diff(bounds).astype(np.int64)
+        out_q = np.empty((n, len(qs)))
+        for i in range(n):
+            seg = v[bounds[i]:bounds[i + 1]]
+            out_q[i] = np.quantile(seg, qs, method="linear")
+        cols = [pa.array([g["series_key"][0].as_py()] * n, pa.string()),
+                pa.array(w[starts], pa.int64()),
+                pa.array(counts, pa.int64())] + \
+               [pa.array(_round6(out_q[:, j]), pa.float64()) for j in range(len(qs))]
+        names = ["series_key", "window_start", "n"] + \
+                [f"p{str(q).replace('0.', '')}" for q in qs]
+        return pa.Table.from_arrays(cols, names=names)
+
+    return ds.groupby(["series_key", "metric_type"]).map_groups(
+        per_series, batch_format="pyarrow")
+
+
+def topk_series_frame(points_ds, k: int = 10):
+    """Hottest series by point count (diagnostic top-k, SURVEY §2.6):
+    (series_key, n) — deterministic tiebreak by series_key."""
+    agg = points_ds.groupby("series_key").count()
+    df = agg.to_pandas().rename(columns={"count()": "n"})
+    df = df.sort_values(["n", "series_key"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
