@@ -1,0 +1,126 @@
+"""Benchmark harness — the driver runs this per round (BENCH_r{N}.json).
+
+Headline: the flagship token-table rollup pipeline end-to-end (synth
+input is cached in /tmp across runs; one untimed warm pass primes the
+page cache) — extraction -> salted 1m rollup -> cascade 1h/1d ->
+finalize (gap-fill/cumulative/EWMA) -> Gorilla-block write.  Also times
+the events-table operator queries individually.
+
+Prints ONE JSON line:
+  {"metric": "e2e_rollup_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "rows": ..., "points": ..., "points_per_sec": ...}
+
+--scaling: reruns this script in FRESH processes at RAY_GRAFT_CPUS=8 and
+=32 on the same input and reports both throughputs + scaling efficiency
+(the sandbox proxy for the north rule's N vs 4N node clusters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+
+BENCH_ROWS = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    from logtrics_ray.stages.extract import extract_points
+    from logtrics_ray.rules import default_rules
+
+    tag = _sf_tag(sf_dir)
+    n_rows = BENCH_ROWS.get(tag, 20_000)
+    from logtrics_ray.synth import write_token_table
+    token_dir = write_token_table(f"/tmp/lt_bench_{tag}", n_rows, n_shards=32)
+
+    cfg = EngineConfig(extract_concurrency=(1, max(2, num_cpus - 2)))
+
+    # untimed warm pass: page cache + worker startup out of the measurement
+    P.read_token_table(token_dir).count()
+
+    # count points once (untimed) for the points/sec metric
+    n_points = extract_points(P.read_token_table(token_dir), default_rules(), cfg).count()
+
+    out_dir = f"/tmp/lt_bench_out_{tag}_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    P.run(token_dir, out_dir, cfg=cfg, resume=False)
+    e2e = time.perf_counter() - t0
+
+    # events-table operator timings (each consumed via count/to_pandas)
+    queries = {"token_pipeline_e2e": round(e2e, 3)}
+    import __ray_entry__ as E
+    qs = E.queries()
+    for name in ("events_rollup_1m", "events_rollup_1h_cascade",
+                 "events_gauge_last_1h", "events_gapfill_locf_1h",
+                 "events_pctl_exact_1h", "dedup_exact", "knn_bruteforce"):
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "e2e_rollup_sec",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(tag) if tag.replace(".", "").isdigit() else tag,
+        "num_cpus": num_cpus,
+        "rows": n_rows,
+        "points": n_points,
+        "points_per_sec": round(n_points / e2e, 1),
+        "rows_per_sec": round(n_rows / e2e, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = child(lo), child(hi)
+    thr_lo, thr_hi = r_lo["points_per_sec"], r_hi["points_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "points_per_sec_lo": thr_lo, "points_per_sec_hi": thr_hi,
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -37,7 +37,8 @@ def _cascade_group(group: pa.Table, parent_width_ms: int) -> pa.Table:
     count, vsum = col("count"), col("sum")
     vmin, vmax = col("vmin"), col("vmax")
     last, last_ts, last_tb = col("last"), col("last_ts"), col("last_tb")
-    digests = [group["tdigest"].to_pylist()[i] for i in order]
+    digest_list = group["tdigest"].to_pylist()
+    digests = [digest_list[i] for i in order]
 
     W = np.int64(parent_width_ms)
     parent = w - w % W

@@ -48,6 +48,19 @@ class BitWriter:
             self.buf.append((self.acc >> self.nbits) & 0xFF)
         self.acc &= (1 << self.nbits) - 1
 
+    def write_zeros(self, k: int):
+        """Append k '0' bits in O(k/8): whole zero bytes go straight into
+        the buffer instead of through the bit accumulator."""
+        if self.nbits:
+            fill = min(k, 8 - self.nbits)
+            self.write(0, fill)
+            k -= fill
+        nbytes, rem = divmod(k, 8)
+        if nbytes:
+            self.buf.extend(b"\x00" * nbytes)
+        if rem:
+            self.write(0, rem)
+
     def getvalue(self) -> bytes:
         if self.nbits:
             return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
@@ -86,11 +99,16 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     deltas = np.diff(ts)
     w.write(int(deltas[0]) & ((1 << 64) - 1), 64)  # first delta raw
     dods = np.diff(deltas)
-    for d in dods:
-        d = int(d)
-        if d == 0:
-            w.write(0, 1)
-        elif -63 <= d <= 64:
+    # Regular grids make dod==0 runs the common case: emit whole runs of
+    # '0' control bits in one write() instead of one call per value.
+    nz = np.flatnonzero(dods)
+    prev_end = 0
+    for i in nz:
+        if i > prev_end:
+            w.write_zeros(int(i - prev_end))
+        prev_end = i + 1
+        d = int(dods[i])
+        if -63 <= d <= 64:
             w.write(0b10, 2); w.write(d + 63, 7)
         elif -255 <= d <= 256:
             w.write(0b110, 3); w.write(d + 255, 9)
@@ -98,6 +116,8 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
             w.write(0b1110, 4); w.write(d + 2047, 12)
         else:
             w.write(0b1111, 4); w.write(d & ((1 << 64) - 1), 64)
+    if dods.size > prev_end:
+        w.write_zeros(int(dods.size - prev_end))
     return w.getvalue()
 
 
@@ -156,13 +176,16 @@ def encode_floats(values: np.ndarray) -> bytes:
     prev = int(bits[0])
     w.write(prev, 64)
     lead, mbits = 65, 0  # previous meaningful-bit window (65 = invalid)
-    for i in range(1, n):
-        cur = int(bits[i])
-        x = cur ^ prev
-        prev = cur
-        if x == 0:
-            w.write(0, 1)
-            continue
+    # Repeated values (constant columns, gap-filled runs, NaN runs) make
+    # xor==0 the common case: emit whole runs of '0' bits in one write().
+    xors = np.bitwise_xor(bits[1:], bits[:-1])
+    nz = np.flatnonzero(xors)
+    prev_end = 0
+    for i in nz:
+        if i > prev_end:
+            w.write_zeros(int(i - prev_end))
+        prev_end = i + 1
+        x = int(xors[i])
         lz = min(_clz64(x), 31)
         tz = _ctz64(x)
         if lead <= 64 and lz >= lead and tz >= 64 - lead - mbits:
@@ -174,6 +197,8 @@ def encode_floats(values: np.ndarray) -> bytes:
             w.write(lead, 5)
             w.write(mbits - 1, 6)
             w.write(x >> tz, mbits)
+    if xors.size > prev_end:
+        w.write_zeros(int(xors.size - prev_end))
     return w.getvalue()
 
 
