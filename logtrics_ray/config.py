@@ -61,7 +61,13 @@ class EngineConfig:
 
     # Output partitioning: series are hashed into this many buckets; each
     # bucket is one resumable output partition with its own manifest.
-    series_buckets: int = 16
+    series_buckets: int = 32
+
+    # Shuffle granularity of the bucket-major rollup path: points are
+    # hash-partitioned into this many groups (performance-only knob — the
+    # per-(series, window, salt) reduction semantics are bucket-invariant,
+    # so results are bit-identical at any value).  Size ≈ 2-4 × CPUs.
+    rollup_buckets: int = 64
 
     # Gorilla block cap: windows per encoded block.
     block_len: int = 4096

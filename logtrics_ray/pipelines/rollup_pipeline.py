@@ -21,9 +21,9 @@ import ray.data as rd
 from logtrics_ray.config import TIERS, EngineConfig
 from logtrics_ray.hashing import series_bucket_array
 from logtrics_ray.rules import RuleSpec, default_rules
-from logtrics_ray.stages.cascade import cascade
+from logtrics_ray.stages.cascade import cascade, cascade_bucketed
 from logtrics_ray.stages.extract import extract_points
-from logtrics_ray.stages.rollup import rollup_base
+from logtrics_ray.stages.rollup import rollup_base, rollup_base_bucketed
 from logtrics_ray.stages.seriesscan import finalize_tier
 from logtrics_ray.stages import storage
 from logtrics_ray.state import manifest as M
@@ -34,13 +34,23 @@ def read_token_table(path: str):
     return rd.read_parquet(path, columns=["doc_id", "tokens", "n_tok", "source"])
 
 
-def build_core_tiers(points_ds, cfg: EngineConfig, two_phase: bool = True) -> dict:
-    """points -> {tier: core-rows Dataset}; 1h/1d cascade from 1m."""
+def build_core_tiers(points_ds, cfg: EngineConfig, two_phase: bool = True,
+                     mode: str = "bucket") -> dict:
+    """points -> {tier: core-rows Dataset}; 1h/1d cascade from 1m.
+
+    mode="bucket" (default): one-shuffle bucket-major vectorized rollup.
+    mode="grouped": per-series group calls (fused or two_phase per flag).
+    All modes are bit-identical (asserted in tests)."""
     core = {}
     prev = None
     for tier in cfg.tiers:
         if prev is None:
-            ds = rollup_base(points_ds, TIERS[tier], cfg, two_phase=two_phase)
+            if mode == "bucket":
+                ds = rollup_base_bucketed(points_ds, TIERS[tier], cfg)
+            else:
+                ds = rollup_base(points_ds, TIERS[tier], cfg, two_phase=two_phase)
+        elif mode == "bucket":
+            ds = cascade_bucketed(core[prev], TIERS[tier], cfg.rollup_buckets)
         else:
             ds = cascade(core[prev], TIERS[tier])
         # core rows are tiny vs the input; materialize so the cascade and
@@ -80,13 +90,33 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
 
         points = points.map_batches(drop_done, batch_format="pyarrow")
 
-    core = build_core_tiers(points, cfg, two_phase=two_phase)
+    # Interleave: each tier's write starts as soon as its core rows are
+    # materialized, while the next cascade computes concurrently (separate
+    # driver threads each drive one Ray execution; Ray schedules both).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(tier, core_ds):
+        storage.write_tier_finalized(
+            core_ds, out_dir, tier, TIERS[tier], cfg, input_tag, cfg_hash,
+            skip_buckets=done[tier] - done_everywhere).materialize()
+
     results = {}
+    with ThreadPoolExecutor(max_workers=len(cfg.tiers)) as pool:
+        futures = []
+        core_prev = None
+        for tier in cfg.tiers:
+            if core_prev is None:
+                from logtrics_ray.stages.rollup import rollup_base_bucketed
+                core = rollup_base_bucketed(points, TIERS[tier], cfg).materialize()
+            else:
+                from logtrics_ray.stages.cascade import cascade_bucketed
+                core = cascade_bucketed(core_prev, TIERS[tier],
+                                        cfg.rollup_buckets).materialize()
+            futures.append(pool.submit(write_one, tier, core))
+            core_prev = core
+        for f in futures:
+            f.result()
     for tier in cfg.tiers:
-        final = finalize_tier(core[tier], TIERS[tier], cfg)
-        summary = storage.write_tier(final, out_dir, tier, cfg, input_tag, cfg_hash,
-                                     skip_buckets=done[tier] - done_everywhere)
-        summary.materialize()  # drive the write
         results[tier] = M.load_manifests(out_dir, tier)
     return results
 

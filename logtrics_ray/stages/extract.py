@@ -186,14 +186,46 @@ class RuleExtractor:
              pa.array(b_out, pa.uint64())], schema=POINTS_SCHEMA)
 
 
+# Per-worker-process extractor cache for the task-based path: Ray reuses
+# worker processes across tasks, so the compiled-rules + vocab state is
+# built once per process — the same amortization as an actor's __init__,
+# without paying a fresh pool spawn per pipeline execution.
+_PROCESS_EXTRACTORS: dict = {}
+
+
+def _cached_extractor(rules: tuple[RuleSpec, ...], cfg: EngineConfig,
+                      text_column: str | None) -> RuleExtractor:
+    key = (rules, cfg, text_column)
+    ex = _PROCESS_EXTRACTORS.get(key)
+    if ex is None:
+        ex = _PROCESS_EXTRACTORS[key] = RuleExtractor(rules, cfg, text_column)
+    return ex
+
+
 def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
-                   text_column: str | None = None):
-    """token/text Dataset -> points Dataset via the actor-pool extractor."""
-    return ds.map_batches(
-        RuleExtractor,
-        fn_constructor_kwargs=dict(rules=rules, cfg=cfg, text_column=text_column),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.extract_concurrency,
-        num_cpus=1,
-    )
+                   text_column: str | None = None, use_actors: bool = False):
+    """token/text Dataset -> points Dataset.
+
+    Two physical modes with identical semantics:
+      * tasks (default): stateless map tasks + per-process extractor cache.
+        Elastic, no pool-spawn latency — fastest on a local cluster where
+        worker processes are already warm.
+      * actor pool (use_actors=True): the classic stateful-stage shape
+        (state in __init__, work in __call__).  On a long-lived multi-node
+        cluster the pool amortizes spawn cost over hours of batches; use
+        it when extraction state becomes heavy (big vocab, models).
+    """
+    if use_actors:
+        return ds.map_batches(
+            RuleExtractor,
+            fn_constructor_kwargs=dict(rules=rules, cfg=cfg, text_column=text_column),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extract_concurrency,
+            num_cpus=1,
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_extractor(rules, cfg, text_column)(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -186,3 +186,65 @@ def read_tier(out_dir: str, tier: str):
     ds = rd.read_parquet(files)
     return ds.map_batches(lambda t: decode_blocks(t.combine_chunks()),
                           batch_format="pyarrow")
+
+
+class BucketFinalizeWriter:
+    """Fused finalize + Gorilla encode + atomic write for one bucket.
+
+    One shuffle (groupby output bucket over the SMALL core rows) replaces
+    the separate finalize groupby + write groupby: the dense gap-filled
+    rows exist only transiently inside this group call, never crossing
+    the object store.  Per-series semantics delegate to
+    seriesscan.scan_group — bit-identical to the two-stage path.
+    """
+
+    def __init__(self, out_dir: str, tier: str, width_ms: int, cfg: EngineConfig,
+                 input_tag: str, cfg_hash: str, global_max_w: int | None = None):
+        self.inner = BucketWriter(out_dir, tier, cfg, input_tag, cfg_hash)
+        self.width_ms = width_ms
+        self.cfg = cfg
+        self.global_max_w = global_max_w
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from logtrics_ray.stages.seriesscan import scan_group
+        group = group.combine_chunks()
+        bucket = int(group["bucket"][0].as_py())
+        data = group.drop_columns(["bucket"])
+        sk = np.asarray(data["series_key"].to_pylist(), dtype=object)
+        mt = np.asarray(data["metric_type"].to_pylist(), dtype=object)
+        key = np.array([f"{a}\x00{b}" for a, b in zip(sk, mt)], dtype=object)
+        order = np.argsort(key, kind="stable")
+        data = data.take(pa.array(order, pa.int64()))
+        key = key[order]
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        bounds = np.append(starts, key.size)
+        finals = [scan_group(data.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                             self.width_ms, self.cfg, self.global_max_w)
+                  for i in range(starts.size)]
+        finalized = pa.concat_tables(finals)
+        finalized = finalized.append_column(
+            "bucket", pa.array(np.full(finalized.num_rows, bucket, dtype=np.int64)))
+        return self.inner(finalized)
+
+
+def write_tier_finalized(core_ds, out_dir: str, tier: str, width_ms: int,
+                         cfg: EngineConfig, input_tag: str, cfg_hash: str,
+                         skip_buckets: set[int] | None = None,
+                         global_max_w: int | None = None):
+    """Core rollup rows -> finalize + Gorilla blocks in ONE shuffle.
+    Returns the small summary Dataset (one row per written bucket)."""
+    ds = add_bucket_column(core_ds, cfg)
+    if skip_buckets:
+        skip = pa.array(sorted(set(skip_buckets)), pa.int64())
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.compute.invert(
+                pa.compute.is_in(t["bucket"], value_set=skip))),
+            batch_format="pyarrow")
+    writer = BucketFinalizeWriter(out_dir, tier, width_ms, cfg, input_tag,
+                                  cfg_hash, global_max_w)
+
+    def finalize_write_bucket(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    return ds.groupby("bucket").map_groups(finalize_write_bucket,
+                                           batch_format="pyarrow")

@@ -117,12 +117,25 @@ def write_token_table(out_dir: str, n_rows: int, n_shards: int = 8, seed: int = 
         return out_dir
     per = n_rows // n_shards
     counts = [per + (1 if i < n_rows % n_shards else 0) for i in range(n_shards)]
-    off = 0
-    for shard, cnt in enumerate(counts):
+    offsets = [sum(counts[:i]) for i in range(n_shards)]
+
+    def _write_one(shard: int, cnt: int, off: int):
         t = synth_shard(shard, cnt, seed=seed, row_offset=off)
         pq.write_table(t, os.path.join(out_dir, f"part-{shard:05d}.parquet"),
                        row_group_size=row_group_size)
-        off += cnt
+
+    try:
+        import ray
+        use_ray = ray.is_initialized() and n_rows >= 50_000
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+        w = ray.remote(_write_one)
+        ray.get([w.remote(s, c, o) for s, (c, o) in enumerate(zip(counts, offsets))])
+    else:
+        for s, (c, o) in enumerate(zip(counts, offsets)):
+            _write_one(s, c, o)
     with open(done_marker, "w") as f:
         f.write(tag)
     return out_dir

@@ -35,17 +35,19 @@ def test_tier_matches_oracle(engine_tiers, oracle, tier):
     assert_tier_matches_oracle(dfs[tier], oracle[tier], msg=f"tier {tier}")
 
 
-def test_fused_equals_two_phase(t2_dir):
-    """One-shuffle fused path and two-phase salted path: identical bits."""
+@pytest.mark.parametrize("variant", [("grouped", False), ("grouped", True)])
+def test_rollup_modes_identical(t2_dir, variant):
+    """bucket-major (default), fused and two-phase salted paths: identical bits."""
+    mode, two_phase = variant
     cfg = EngineConfig()
     points = extract_points(read_token_table(t2_dir), default_rules(), cfg)
-    core_a = build_core_tiers(points, cfg, two_phase=False)
+    core_a = build_core_tiers(points, cfg, mode="bucket")
     points_b = extract_points(read_token_table(t2_dir), default_rules(), cfg)
-    core_b = build_core_tiers(points_b, cfg, two_phase=True)
+    core_b = build_core_tiers(points_b, cfg, two_phase=two_phase, mode=mode)
     for tier in cfg.tiers:
         df_a = finalize_tier(core_a[tier], TIERS[tier], cfg).to_pandas()
         df_b = finalize_tier(core_b[tier], TIERS[tier], cfg).to_pandas()
-        assert_frames_identical(df_a, df_b, msg=f"fused vs two_phase {tier}")
+        assert_frames_identical(df_a, df_b, msg=f"bucket vs {mode}/{two_phase} {tier}")
 
 
 def test_parallelism_invariance(t1_dir):

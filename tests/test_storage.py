@@ -1,0 +1,68 @@
+"""Storage paths: fused finalize+write == two-stage finalize->write; resume."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from logtrics_ray.config import TIERS, EngineConfig
+from logtrics_ray.pipelines.rollup_pipeline import (build_core_tiers,
+                                                    extract_points,
+                                                    read_token_table, run)
+from logtrics_ray.rules import default_rules
+from logtrics_ray.stages import storage
+from logtrics_ray.stages.seriesscan import finalize_tier
+from logtrics_ray.state import manifest as M
+
+from tests.util import assert_frames_identical
+
+
+@pytest.fixture(scope="module")
+def core_1m(t1_dir):
+    cfg = EngineConfig()
+    points = extract_points(read_token_table(t1_dir), default_rules(), cfg)
+    return build_core_tiers(points, cfg)["1m"]
+
+
+def test_fused_write_equals_two_stage(core_1m, tmp_path):
+    cfg = EngineConfig()
+    ch = M.config_hash(cfg, default_rules())
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    final = finalize_tier(core_1m, TIERS["1m"], cfg)
+    storage.write_tier(final, a_dir, "1m", cfg, "t", ch).materialize()
+    storage.write_tier_finalized(core_1m, b_dir, "1m", TIERS["1m"], cfg, "t", ch).materialize()
+    df_a = storage.read_tier(a_dir, "1m").to_pandas()
+    df_b = storage.read_tier(b_dir, "1m").to_pandas()
+    assert_frames_identical(df_a, df_b, msg="fused vs two-stage write")
+
+
+def test_roundtrip_through_gorilla(core_1m, tmp_path):
+    cfg = EngineConfig()
+    ch = M.config_hash(cfg, default_rules())
+    out = str(tmp_path / "rt")
+    storage.write_tier_finalized(core_1m, out, "1m", TIERS["1m"], cfg, "t", ch).materialize()
+    mem = finalize_tier(core_1m, TIERS["1m"], cfg).to_pandas()
+    disk = storage.read_tier(out, "1m").to_pandas()
+    assert_frames_identical(mem, disk, msg="gorilla round-trip")
+
+
+def test_resume_skips_and_recovers(t1_dir, tmp_path):
+    out = str(tmp_path / "resume")
+    run(t1_dir, out, resume=False)
+    before = storage.read_tier(out, "1m").to_pandas()
+    # simulate partial loss: nuke 3 buckets in every tier
+    for tier in ("1m", "1h", "1d"):
+        for b in (0, 5, 11):
+            shutil.rmtree(f"{out}/tier={tier}/bucket={b:05d}", ignore_errors=True)
+    run(t1_dir, out)  # resume
+    after = storage.read_tier(out, "1m").to_pandas()
+    assert_frames_identical(before, after, msg="resume-after-partial-loss")
+    # full resume: nothing recomputed, manifests stable
+    import os
+    mt = {p: os.path.getmtime(os.path.join(r, p))
+          for r, _, fs in os.walk(out) for p in fs}
+    run(t1_dir, out)
+    mt2 = {p: os.path.getmtime(os.path.join(r, p))
+           for r, _, fs in os.walk(out) for p in fs}
+    assert mt == mt2
