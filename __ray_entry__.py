@@ -100,9 +100,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.pipelines.table_rollup import gapfill_locf_frame
         return gapfill_locf_frame(_events_points(sf_dir), HOUR_MS, _cfg())
 
+    def q_gapfill_linear(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import gapfill_linear_frame
+        return gapfill_linear_frame(_events_points(sf_dir), HOUR_MS, _cfg())
+
     def q_pctl_exact(sf_dir):
         from logtrics_ray.pipelines.table_rollup import exact_percentile_frame
         return exact_percentile_frame(_events_points(sf_dir), HOUR_MS, _cfg())
+
+    def q_timer_digest(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import timer_digest_frame
+        return timer_digest_frame(_events_points(sf_dir, "timer"), HOUR_MS, _cfg())
+
+    def q_ewma(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import ewma_frame
+        return ewma_frame(_events_points(sf_dir, "meter"), MIN_MS, _cfg())
 
     def q_topk(sf_dir):
         from logtrics_ray.pipelines.table_rollup import topk_series_frame
@@ -139,6 +151,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "l_shipdate", "l_returnflag", "revenue", "row_id")
         # include_avg=False: decimal prices put sum/count exactly on 6dp
         # half-boundaries where ULP reduction-order noise flips the digit.
+        return basic_rollup_frame(rollup_base(pts, DAY_MS, _cfg()), include_avg=False)
+
+    def q_orders_daily(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.pipelines.table_rollup import (basic_rollup_frame,
+                                                         points_from_table)
+        from logtrics_ray.stages.rollup import rollup_base
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate", "o_orderstatus",
+                                      "o_totalprice"])
+        pts = points_from_table(ds, "o_orderdate", "o_orderstatus", "o_totalprice",
+                                "o_orderkey")
         return basic_rollup_frame(rollup_base(pts, DAY_MS, _cfg()), include_avg=False)
 
     # flagship token pipeline (rows-only: input is the synthesized table)
@@ -199,6 +223,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return minhash_dedup_survivors(ds)
 
+    def q_ngram_jaccard_dedup(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.dedup import ngram_jaccard_dedup_survivors
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ngram_jaccard_dedup_survivors(ds, threshold=0.8)
+
     def q_simhash_dedup(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.dedup import simhash_dedup
@@ -229,6 +259,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.from_arrow(synth_media_table(200))
         return decode_features(ds, fake=True)
 
+    def q_multimodal_resize(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.multimodal import ResizeStub, synth_media_table
+        ds = rd.from_arrow(synth_media_table(200))
+        return ds.map_batches(ResizeStub, fn_constructor_kwargs=dict(fake=True),
+                              batch_format="pyarrow", batch_size=64, concurrency=2)
+
     return {
         "events_rollup_1m": q_rollup(MIN_MS),
         "events_rollup_1h_cascade": q_rollup_cascade([HOUR_MS]),
@@ -237,10 +274,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_counter_cumulative_1h": q_cumulative,
         "events_meter_rate_1m": q_rate,
         "events_gapfill_locf_1h": q_gapfill_locf,
+        "events_gapfill_linear_1h": q_gapfill_linear,
         "events_pctl_exact_1h": q_pctl_exact,
+        "events_timer_digest_1h": q_timer_digest,
+        "events_meter_ewma_1m": q_ewma,
         "events_topk_series": q_topk,
         "events_user_rollup_1h": q_user_rollup,
         "lineitem_daily_revenue": q_lineitem_daily,
+        "orders_daily_totalprice": q_orders_daily,
         "token_rollup_1m": q_token_tier("1m"),
         "token_rollup_1h": q_token_tier("1h"),
         "token_rollup_1d": q_token_tier("1d"),
@@ -251,10 +292,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "knn_bruteforce": q_knn,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_decode": q_multimodal,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -311,6 +354,38 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY d.sk ORDER BY d.w) AS last_value,
                    (a.w IS NULL) AS gap_filled
             FROM dense d LEFT JOIN agg a ON a.sk = d.sk AND a.w = d.w""",
+        "events_gapfill_linear_1h": f"""
+            WITH agg AS (
+              SELECT event_type AS sk,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS w,
+                     arg_max(value, {_ORD}) AS lastv
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT sk, min(w) AS wmin, max(w) AS wmax FROM agg GROUP BY 1),
+            dense AS (
+              SELECT b.sk, unnest(generate_series(b.wmin, b.wmax, {HOUR_MS})) AS w
+              FROM bounds b),
+            j AS (
+              SELECT d.sk, d.w, a.lastv, a.w IS NOT NULL AS present
+              FROM dense d LEFT JOIN agg a ON a.sk = d.sk AND a.w = d.w),
+            f AS (
+              SELECT *,
+                last_value(lastv IGNORE NULLS)
+                    OVER (PARTITION BY sk ORDER BY w) AS pv,
+                last_value(CASE WHEN present THEN w END IGNORE NULLS)
+                    OVER (PARTITION BY sk ORDER BY w) AS pw,
+                first_value(lastv IGNORE NULLS)
+                    OVER (PARTITION BY sk ORDER BY w
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN present THEN w END IGNORE NULLS)
+                    OVER (PARTITION BY sk ORDER BY w
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nw
+              FROM j)
+            SELECT sk AS series_key, w AS window_start,
+                   round(CASE WHEN present THEN lastv
+                         ELSE pv + (nv - pv) / (nw - pw) * (w - pw) END, 6)
+                       AS last_value,
+                   NOT present AS gap_filled
+            FROM f""",
         "events_pctl_exact_1h": f"""
             SELECT event_type AS series_key,
                    (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
@@ -339,6 +414,27 @@ def oracle_sql() -> dict[str, str]:
                    round(min(l_extendedprice * (1 - l_discount)), 6) AS min_value,
                    round(max(l_extendedprice * (1 - l_discount)), 6) AS max_value
             FROM lineitem GROUP BY 1, 2""",
+        "orders_daily_totalprice": f"""
+            SELECT o_orderstatus AS series_key,
+                   (epoch_ms(o_orderdate) // {DAY_MS}) * {DAY_MS} AS window_start,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 6) AS sum_value,
+                   round(min(o_totalprice), 6) AS min_value,
+                   round(max(o_totalprice), 6) AS max_value
+            FROM orders GROUP BY 1, 2""",
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id IN (0, 1, 2, 3, 4)),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS s
+              FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id ASC) AS rank,
+                   round(s, 6) AS score
+            FROM scored QUALIFY rank <= 5""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "text_stats": r"""
             SELECT doc_id,
@@ -353,7 +449,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM embeddings b
               WHERE b.vec_id < a.vec_id
                 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95)""",
-        # knn_bruteforce / token_* / quality / lang / fingerprint / minhash /
-        # simhash / ivf / multimodal: non-SQL-expressible or approximate ->
-        # rows-only check (documented).
+        # token_* / quality / lang / fingerprint / minhash / simhash /
+        # ngram_jaccard / ivf / timer_digest / ewma / multimodal:
+        # non-SQL-expressible or approximate -> rows-only check (documented;
+        # each has a pytest oracle instead — sequential-recurrence and sketch
+        # ops are validated bit-for-bit or within stated error in tests/).
     }

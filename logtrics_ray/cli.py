@@ -1,0 +1,142 @@
+"""CLI entrypoint — the `ray job submit` surface of the engine.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m logtrics_ray run --input s3://bucket/tokens/ --out s3://bucket/tiers/
+
+Locally (this sandbox):
+
+    python -m logtrics_ray run --input /tmp/tokens --out /tmp/tiers --num-cpus 32
+    python -m logtrics_ray synth --out /tmp/tokens --rows 200000
+    python -m logtrics_ray inspect --out /tmp/tiers --tier 1m
+
+Mirrors the reference's CLI shape (cobra flags + config file,
+/root/reference/cmd/logtrics/main.go:38-84) as argparse subcommands; the
+reference's `--graphite.interval` flush knob becomes the tier set, its
+script-dir rule loading (/root/reference/app.go:96-111) becomes
+``--rules`` (TOML/JSON rule spec file; default = built-in rules).
+
+Only this CLI owns a Ray session — the library never calls ray.init()
+(driver contract).  Under `ray job submit` Ray is already initialised in
+the job; the guard makes init a no-op there.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kw = dict(include_dashboard=False, ignore_reinit_error=True,
+                  logging_level="ERROR")
+        if num_cpus:
+            ray.init(address="local", num_cpus=num_cpus, **kw)
+        else:
+            ray.init(**kw)  # ray job submit / RAY_ADDRESS decides
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_rules(path: str | None):
+    from logtrics_ray.rules import default_rules, load_rules
+    if not path:
+        return default_rules()
+    if path.endswith(".json"):
+        with open(path) as f:
+            return load_rules(json.load(f))
+    return load_rules(path)  # TOML [[rule]] array
+
+
+def cmd_run(args) -> int:
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.pipelines.rollup_pipeline import run
+    _ensure_ray(args.num_cpus)
+    cfg = EngineConfig(gap_fill=args.gap_fill,
+                       salt_buckets=args.salt_buckets,
+                       series_buckets=args.series_buckets,
+                       rollup_buckets=args.rollup_buckets,
+                       tiers=tuple(args.tiers.split(",")))
+    t0 = time.time()
+    results = run(args.input, args.out, cfg=cfg, rules=_load_rules(args.rules),
+                  resume=not args.no_resume)
+    wall = time.time() - t0
+    summary = {
+        "wall_s": round(wall, 3),
+        "tiers": {t: {"buckets": len(ms),
+                      "rows": int(sum(m["rows"] for m in ms)),
+                      "series": int(sum(m.get("series", 0) for m in ms)),
+                      "blocks": int(sum(m.get("blocks", 0) for m in ms))}
+                  for t, ms in results.items()},
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from logtrics_ray.synth import write_token_table
+    path = write_token_table(args.out, args.rows, n_shards=args.shards)
+    print(json.dumps({"path": path, "rows": args.rows, "shards": args.shards}))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    """Decode one tier back out of its Gorilla blocks and show a summary."""
+    from logtrics_ray.stages.storage import read_tier
+    _ensure_ray(args.num_cpus)
+    ds = read_tier(args.out, args.tier)
+    df = ds.to_pandas()
+    print(json.dumps({
+        "tier": args.tier,
+        "rows": len(df),
+        "series": int(df["series_key"].nunique()),
+        "window_min": int(df["window_start"].min()) if len(df) else None,
+        "window_max": int(df["window_start"].max()) if len(df) else None,
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="logtrics_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="extract -> rollup -> tiers -> write")
+    r.add_argument("--input", required=True, help="token-table parquet dir")
+    r.add_argument("--out", required=True, help="tier output root")
+    r.add_argument("--rules", default=None, help="rule spec file (TOML/JSON)")
+    r.add_argument("--tiers", default="1m,1h,1d")
+    r.add_argument("--gap-fill", default="locf", choices=["null", "locf", "linear"])
+    r.add_argument("--salt-buckets", type=int, default=8)
+    r.add_argument("--series-buckets", type=int, default=32)
+    r.add_argument("--rollup-buckets", type=int, default=64)
+    r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("synth", help="write the deterministic token table")
+    s.add_argument("--out", required=True)
+    s.add_argument("--rows", type=int, default=200_000)
+    s.add_argument("--shards", type=int, default=8)
+    s.set_defaults(fn=cmd_synth)
+
+    i = sub.add_parser("inspect", help="decode + summarize a written tier")
+    i.add_argument("--out", required=True)
+    i.add_argument("--tier", default="1m")
+    i.add_argument("--num-cpus", type=int, default=None)
+    i.set_defaults(fn=cmd_inspect)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

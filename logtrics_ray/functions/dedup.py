@@ -211,6 +211,30 @@ def ngram_set(text: str, n: int = 3) -> set:
     return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
 
 
+def ngram_jaccard_dedup_survivors(ds, threshold: float = 0.8, n: int = 3,
+                                  id_col: str = "doc_id", **lsh_kw):
+    """Near-dedup with exact verification: LSH candidates (cheap, recall
+    stage) -> exact n-gram Jaccard >= threshold (precision stage) -> drop
+    the later id of each verified pair.  Only the verified-dup set is
+    broadcast; texts shuffle nowhere."""
+    import ray
+    pair_rows = minhash_lsh_candidates(ds, shingle_n=n, **lsh_kw).take_all()
+    pairs = sorted({(r["a"], r["b"]) for r in pair_rows})
+    if pairs:
+        verified = ngram_jaccard_pairs(ds, pairs, n=n, id_col=id_col)
+        dropped = set(verified.loc[verified["jaccard"] >= threshold, "b"])
+    else:
+        dropped = set()
+    drop_ref = ray.put(dropped)
+
+    def keep(t: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        mask = pa.array([i not in drop for i in t[id_col].to_pylist()])
+        return t.filter(mask)
+
+    return ds.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(ds, candidate_pairs: list[tuple], n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id"):
     """Exact Jaccard verification for a (small, broadcast) candidate list.

@@ -164,6 +164,77 @@ def gapfill_locf_frame(points_ds, width_ms: int, cfg: EngineConfig):
     return fin.map_batches(fn, batch_format="pyarrow")
 
 
+def gapfill_linear_frame(points_ds, width_ms: int, cfg: EngineConfig):
+    """Dense per-series windows with LINEAR-interpolated last value
+    (np.interp: interior gaps interpolate between neighbors; edges are
+    present by construction since the dense domain is [first, last]
+    present window per series).  Values rounded to 6dp — interpolation
+    does arithmetic, so the SQL oracle must round identically.
+    Output: (series_key, window_start, last_value, gap_filled)."""
+    from logtrics_ray.stages.rollup import rollup_base
+    from logtrics_ray.stages.seriesscan import finalize_tier
+    core = rollup_base(points_ds, width_ms, cfg)
+    fin = finalize_tier(core, width_ms, cfg.with_(gap_fill="linear"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([
+            t["series_key"].combine_chunks() if isinstance(t["series_key"], pa.ChunkedArray) else t["series_key"],
+            t["window_start"].combine_chunks() if isinstance(t["window_start"], pa.ChunkedArray) else t["window_start"],
+            pa.array(_round6(t["last"].to_numpy(zero_copy_only=False)), pa.float64()),
+            t["gap_filled"].combine_chunks() if isinstance(t["gap_filled"], pa.ChunkedArray) else t["gap_filled"],
+        ], names=["series_key", "window_start", "last_value", "gap_filled"])
+
+    return fin.map_batches(fn, batch_format="pyarrow")
+
+
+def timer_digest_frame(points_ds, width_ms: int, cfg: EngineConfig):
+    """Timer semantics at scale: per-window count/min/max/mean + t-digest
+    p50/p99 (approximate — the scale path; exact_percentile_frame is the
+    bounded-cardinality exact path).  Rows-only vs SQL; accuracy is
+    asserted against exact quantiles in tests.
+    Output: (series_key, window_start, n, min_value, max_value, p50, p99)."""
+    from logtrics_ray.stages.rollup import rollup_base
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([
+            t["series_key"].combine_chunks() if isinstance(t["series_key"], pa.ChunkedArray) else t["series_key"],
+            t["window_start"].combine_chunks() if isinstance(t["window_start"], pa.ChunkedArray) else t["window_start"],
+            t["count"].combine_chunks() if isinstance(t["count"], pa.ChunkedArray) else t["count"],
+            pa.array(_round6(t["vmin"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(_round6(t["vmax"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(_round6(t["p50"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(_round6(t["p99"].to_numpy(zero_copy_only=False)), pa.float64()),
+        ], names=["series_key", "window_start", "n", "min_value", "max_value",
+                  "p50", "p99"])
+
+    core = rollup_base(points_ds, width_ms, cfg)
+    return core.map_batches(fn, batch_format="pyarrow")
+
+
+def ewma_frame(points_ds, width_ms: int, cfg: EngineConfig):
+    """Meter EWMA rates (go-metrics' 1/5/15-min moving rates,
+    /root/reference/graphite/graphite.go:141-151): per-window rate plus
+    the three EWMA horizons from the per-series ordered scan.  A
+    sequential recurrence -> rows-only vs SQL (bit-exact vs the python
+    oracle in tests/test_conformance.py).
+    Output: (series_key, window_start, rate, ewma_60s, ewma_300s, ewma_900s)."""
+    from logtrics_ray.stages.rollup import rollup_base
+    from logtrics_ray.stages.seriesscan import finalize_tier
+    core = rollup_base(points_ds, width_ms, cfg)
+    fin = finalize_tier(core, width_ms, cfg)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+                for c in ("series_key", "window_start")]
+        cols += [pa.array(_round6(t[c].to_numpy(zero_copy_only=False)), pa.float64())
+                 for c in ("rate", "ewma_60s", "ewma_300s", "ewma_900s")]
+        return pa.Table.from_arrays(cols, names=["series_key", "window_start",
+                                                 "rate", "ewma_60s", "ewma_300s",
+                                                 "ewma_900s"])
+
+    return fin.map_batches(fn, batch_format="pyarrow")
+
+
 def exact_percentile_frame(points_ds, width_ms: int, cfg: EngineConfig,
                            qs=(0.5, 0.99)):
     """EXACT per-window percentiles (numpy linear interpolation — the same

@@ -173,3 +173,79 @@ def test_hashing_stable():
 def test_default_rules_cover_all_metric_types():
     mts = {e.metric_type for r in default_rules() for e in r.emits}
     assert mts == {"counter", "gauge", "timer", "meter"}
+
+
+# ---------------------------------------------------- training-data ops ----
+
+def _docs_ds():
+    """Small synthetic doc corpus with known near-dup clusters."""
+    import pyarrow as pa
+    import ray.data as rd
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    alt = ("completely different text about distributed rollup engines and "
+           "columnar arrow batches streaming through a ray data pipeline")
+    docs = {
+        0: base,
+        1: base + " tonight",                       # near-dup of 0
+        2: base.replace("green", "blue"),           # near-dup of 0
+        3: alt,
+        4: alt + " with backpressure",              # near-dup of 3
+        5: "tiny doc",
+        6: "unrelated words entirely: zebra quartz violin nebula marble",
+    }
+    t = pa.Table.from_arrays(
+        [pa.array(list(docs), pa.int64()),
+         pa.array([docs[k] for k in docs], pa.string())],
+        names=["doc_id", "text"])
+    return rd.from_arrow(t), docs
+
+
+def test_ngram_jaccard_dedup_matches_bruteforce():
+    from logtrics_ray.functions.dedup import (ngram_jaccard_dedup_survivors,
+                                              ngram_set)
+    ds, docs = _docs_ds()
+    got = sorted(r["doc_id"] for r in
+                 ngram_jaccard_dedup_survivors(ds, threshold=0.5).take_all())
+    # brute-force keep-earliest over exact 3-gram Jaccard
+    def jac(a, b):
+        sa, sb = ngram_set(docs[a]), ngram_set(docs[b])
+        u = len(sa | sb)
+        return len(sa & sb) / u if u else 0.0
+    expect = [b for b in docs
+              if not any(a < b and jac(a, b) >= 0.5 for a in docs)]
+    assert got == sorted(expect)
+    assert 0 in got and 3 in got          # cluster heads survive
+    assert 1 not in got and 2 not in got  # near-dups of 0 dropped
+
+
+def test_timer_digest_frame_accuracy(t1_dir):
+    """t-digest p50/p99 within 2% of exact quantiles per window."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.pipelines.table_rollup import timer_digest_frame
+    from logtrics_ray.stages.extract import POINTS_SCHEMA
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    ts = rng.integers(0, 4 * 3_600_000, size=n)
+    vals = rng.lognormal(0.0, 1.0, size=n)
+    t = pa.Table.from_arrays([
+        pa.array(["lat"] * n, pa.string()),
+        pa.array(["timer"] * n, pa.string()),
+        pa.array(ts, pa.int64()),
+        pa.array(vals, pa.float64()),
+        pa.array(np.arange(n, dtype=np.uint64), pa.uint64()),
+    ], schema=POINTS_SCHEMA)
+    got = timer_digest_frame(rd.from_arrow(t), 3_600_000, EngineConfig()) \
+        .to_pandas().set_index("window_start").sort_index()
+    df = pd.DataFrame({"w": (ts // 3_600_000) * 3_600_000, "v": vals})
+    for w, seg in df.groupby("w"):
+        exact50, exact99 = np.quantile(seg["v"], [0.5, 0.99])
+        row = got.loc[w]
+        assert row["n"] == len(seg)
+        assert abs(row["p50"] - exact50) <= 0.02 * exact50 + 1e-9
+        assert abs(row["p99"] - exact99) <= 0.02 * exact99 + 1e-9
