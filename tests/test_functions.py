@@ -1,0 +1,148 @@
+"""Tests for the training-data operators (SURVEY.md §2.10 T2-T13).
+
+Each non-SQL-checkable operator gets its pytest oracle here: brute-force
+python equivalence for the dedup family, recall bounds for approximate
+similarity, determinism + formula checks for text analysis, and
+plumbing/stub contracts for multimodal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _doc_table() -> tuple[pa.Table, dict[int, str]]:
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    alt = ("completely different text about distributed rollup engines and "
+           "columnar arrow batches streaming through a ray data pipeline")
+    docs = {
+        0: base,
+        1: base,                                   # exact dup of 0
+        2: base + " tonight",                      # near-dup of 0
+        3: alt,
+        4: alt.replace("columnar", "chunked"),     # near-dup of 3
+        5: "zebra quartz violin nebula marble obsidian harp",
+    }
+    t = pa.Table.from_arrays(
+        [pa.array(list(docs), pa.int64()),
+         pa.array([docs[k] for k in docs], pa.string())],
+        names=["doc_id", "text"])
+    return t, docs
+
+
+def test_minhash_dedup_drops_near_dups():
+    from logtrics_ray.functions.dedup import minhash_dedup_survivors
+    t, _ = _doc_table()
+    got = sorted(r["doc_id"] for r in minhash_dedup_survivors(rd.from_arrow(t)).take_all())
+    assert 0 in got and 3 in got and 5 in got
+    assert 1 not in got            # exact dup always caught
+    assert 2 not in got            # near-dup: one-word suffix
+
+
+def test_simhash_dedup_buckets_exact_dups():
+    from logtrics_ray.functions.dedup import simhash_dedup
+    t, _ = _doc_table()
+    got = sorted(r["doc_id"] for r in simhash_dedup(rd.from_arrow(t), mask_bits=4).take_all())
+    assert 0 in got and 1 not in got     # identical text -> identical simhash
+    assert 3 in got and 5 in got
+
+
+def test_text_quality_deterministic_and_ordered():
+    from logtrics_ray.functions.textstats import TextStats
+    t, docs = _doc_table()
+    soup = pa.Table.from_arrays(
+        [pa.array([90], pa.int64()), pa.array(["!!! ## $$ %% ^^ && ** (( ))"])],
+        names=["doc_id", "text"])
+    full = pa.concat_tables([t, soup])
+    a = rd.from_arrow(full).map_batches(TextStats, batch_format="pandas",
+                                        concurrency=2).to_pandas().set_index("doc_id")
+    b = rd.from_arrow(full).map_batches(TextStats, batch_format="pandas",
+                                        concurrency=2).to_pandas().set_index("doc_id")
+    assert (a.sort_index() == b.sort_index()).all().all()       # deterministic
+    assert ((a["quality"] >= 0) & (a["quality"] <= 1)).all()
+    assert a.loc[0, "quality"] > a.loc[90, "quality"]           # prose > punct soup
+    assert a.loc[0, "stopword_ratio"] > a.loc[5, "stopword_ratio"]
+    assert a.loc[90, "punct_ratio"] > a.loc[0, "punct_ratio"]
+
+
+def test_lang_id_markers():
+    from logtrics_ray.functions.textstats import LangId
+    rows = {
+        10: ("en", "the cat and the dog sat in the garden and looked to the sky"),
+        11: ("de", "der hund und die katze sind nicht im garten das ist gut"),
+        12: ("fr", "le chien et la maison les arbres des fleurs est grand"),
+        13: ("es", "el perro de la casa que corre los campos una mesa"),
+        14: ("und", "zxq wvplk mnbft aaa bbb ccc"),
+    }
+    t = pa.Table.from_arrays(
+        [pa.array(list(rows), pa.int64()),
+         pa.array([v[1] for v in rows.values()], pa.string())],
+        names=["doc_id", "text"])
+    got = rd.from_arrow(t).map_batches(LangId, batch_format="pandas",
+                                       concurrency=2).to_pandas().set_index("doc_id")
+    for did, (lang, _) in rows.items():
+        assert got.loc[did, "lang_pred"] == lang
+
+
+def test_fingerprint_matches_formula_and_is_stable():
+    from logtrics_ray.functions.textstats import _POLY_P, fingerprint_batch
+    t, docs = _doc_table()
+    out = fingerprint_batch(t).to_pandas().set_index("doc_id")["fingerprint"]
+    # direct (slow) recomputation of h(doc) = sum byte_i * P^(n-1-i) mod 2^64
+    for did, text in docs.items():
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for byte in text.encode():
+                h = h * _POLY_P + np.uint64(byte)
+        assert np.uint64(out[did]) == h
+    assert out[0] == out[1]          # identical text, identical fingerprint
+    assert out[0] != out[3]
+
+
+def test_knn_ivf_recall_vs_bruteforce():
+    from logtrics_ray.functions.similarity import knn_bruteforce, knn_ivf
+    rng = np.random.default_rng(3)
+    # clustered corpus: IVF probes should capture most true neighbors
+    centers = rng.normal(size=(8, 16))
+    vecs = np.concatenate([c + 0.1 * rng.normal(size=(64, 16)) for c in centers])
+    ids = np.arange(vecs.shape[0])
+    t = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()),
+         pa.array(list(vecs.astype(np.float32)), pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    ds = rd.from_arrow(t)
+    q = [0, 100, 300]
+    exact = knn_bruteforce(ds, q, k=5)
+    approx = knn_ivf(ds, q, k=5, n_centroids=8, nprobe=3)
+    recalls = []
+    for qid in q:
+        e = set(exact.loc[exact.query_id == qid, "neighbor_id"])
+        a = set(approx.loc[approx.query_id == qid, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8
+
+
+def test_multimodal_stub_contracts():
+    from logtrics_ray.functions.multimodal import (ImageDecodeStub, ResizeStub,
+                                                   decode_features,
+                                                   synth_media_table)
+    t = synth_media_table(50)
+    feats = decode_features(rd.from_arrow(t), fake=True).to_pandas()
+    assert len(feats) == 50
+    assert all(len(f) == ImageDecodeStub.FEATURE_DIM for f in feats["feature"])
+    feats2 = decode_features(rd.from_arrow(t), fake=True).to_pandas()
+    assert (feats.sort_values("media_id")["feature"].map(tuple).to_numpy()
+            == feats2.sort_values("media_id")["feature"].map(tuple).to_numpy()).all()
+    # real codec path is a clearly-marked stub
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub(fake=False)._decode_one(b"px")
+    resized = rd.from_arrow(t).map_batches(
+        ResizeStub, fn_constructor_kwargs=dict(fake=True, target=128),
+        batch_format="pyarrow", batch_size=16, concurrency=2).to_pandas()
+    assert (resized["meta_width"] == 128).all()
+    assert resized["payload"].map(len).max() <= 128
