@@ -1,0 +1,68 @@
+"""Property-based conformance (SURVEY.md §5.1 item 5): random small
+points tables -> distributed engine == single-process oracle bit-for-bit,
+for every metric type, at 1m and via cascade at 1h.
+
+The generator feeds the points table directly (bypassing extraction) so
+hypothesis explores aggregation edge cases the fixture corpus doesn't:
+negative values, duplicate timestamps, single-point windows, all-points-
+in-one-salt, multi-type same-key series.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data as rd
+
+from logtrics_ray.config import TIERS, EngineConfig
+from logtrics_ray.stages.extract import POINTS_SCHEMA
+from logtrics_ray.stages.cascade import cascade
+from logtrics_ray.stages.rollup import rollup_base
+from logtrics_ray.stages.seriesscan import finalize_tier
+from tests.oracle import oracle_cascade, oracle_core_rollup, oracle_finalize
+from tests.util import assert_tier_matches_oracle
+
+HOUR_MS = 3_600_000
+
+point_st = st.tuples(
+    st.sampled_from(["s.a", "s.b", "hot"]),                       # series_key
+    st.sampled_from(["counter", "gauge", "meter", "timer"]),      # metric_type
+    st.integers(min_value=0, max_value=3 * HOUR_MS - 1),          # ts_ms
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),             # value
+)
+
+
+def _points_table(pts: list[tuple]) -> pa.Table:
+    n = len(pts)
+    return pa.Table.from_arrays([
+        pa.array([p[0] for p in pts], pa.string()),
+        pa.array([p[1] for p in pts], pa.string()),
+        pa.array([p[2] for p in pts], pa.int64()),
+        pa.array([p[3] for p in pts], pa.float64()),
+        pa.array(np.arange(n, dtype=np.uint64), pa.uint64()),     # unique tiebreak
+    ], schema=POINTS_SCHEMA)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(point_st, min_size=1, max_size=120))
+def test_engine_equals_oracle_on_random_points(pts):
+    cfg = EngineConfig()
+    t = _points_table(pts)
+    opts = [(r["series_key"], r["metric_type"], r["ts_ms"], r["value"], r["tiebreak"])
+            for r in t.to_pylist()]
+
+    core_1m = rollup_base(rd.from_arrow(t), TIERS["1m"], cfg)
+    ocore_1m = oracle_core_rollup(opts, TIERS["1m"], cfg)
+    df_1m = finalize_tier(core_1m, TIERS["1m"], cfg).to_pandas()
+    assert_tier_matches_oracle(df_1m, oracle_finalize(ocore_1m, TIERS["1m"], cfg),
+                               msg="random-points 1m")
+
+    df_1h = finalize_tier(cascade(core_1m, TIERS["1h"]), TIERS["1h"], cfg).to_pandas()
+    assert_tier_matches_oracle(
+        df_1h, oracle_finalize(oracle_cascade(ocore_1m, TIERS["1h"]), TIERS["1h"], cfg),
+        msg="random-points 1h cascade")
