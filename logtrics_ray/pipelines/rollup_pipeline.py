@@ -62,8 +62,19 @@ def build_core_tiers(points_ds, cfg: EngineConfig, two_phase: bool = True,
 
 def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
         rules: tuple[RuleSpec, ...] | None = None, two_phase: bool = True,
-        input_tag: str | None = None, resume: bool = True) -> dict:
-    """Full pipeline.  Returns {tier: [bucket summary dicts]}."""
+        input_tag: str | None = None, resume: bool = True,
+        mode: str = "fused") -> dict:
+    """Full pipeline.  Returns {tier: [bucket summary dicts]}.
+
+    mode="fused" (default): ONE all-to-all exchange — extraction feeds a
+    single groupby(output bucket); rollup, cascades, finalize and the
+    Gorilla writes of every tier run bucket-local inside the group call.
+    mode="staged": separate rollup/cascade/write shuffles with per-tier
+    overlap.  Output bits, manifests and resume semantics are identical
+    (asserted in tests)."""
+    if mode == "fused":
+        return run_fused(input_path, out_dir, cfg=cfg, rules=rules,
+                         input_tag=input_tag, resume=resume)
     cfg = cfg or EngineConfig()
     rules = rules or default_rules()
     input_tag = input_tag or input_path
@@ -119,6 +130,104 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     for tier in cfg.tiers:
         results[tier] = M.load_manifests(out_dir, tier)
     return results
+
+
+class _FusedBucketWorker:
+    """Per-output-bucket fused stage: 1m rollup -> cascade 1h/1d ->
+    finalize -> Gorilla write, all inside ONE group call.
+
+    The whole engine then needs exactly ONE all-to-all exchange (the
+    narrow points table, hash-partitioned by output series bucket); every
+    later step is bucket-local.  At 100 TB this is the difference between
+    one shuffle and five — and semantics are unchanged: every
+    per-(series, window) computation is bucket-local by construction, so
+    output bits match the staged path (asserted in tests)."""
+
+    def __init__(self, out_dir: str, cfg: EngineConfig, input_tag: str,
+                 cfg_hash: str, done: dict[str, set]):
+        from logtrics_ray.stages.storage import BucketFinalizeWriter
+        self.cfg = cfg
+        self.done = done
+        self.writers = {
+            tier: BucketFinalizeWriter(out_dir, tier, TIERS[tier], cfg,
+                                       input_tag, cfg_hash)
+            for tier in cfg.tiers
+        }
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import numpy as np
+        from logtrics_ray.stages.cascade import _cascade_bucket_fn
+        from logtrics_ray.stages.rollup import _bucket_rollup_fn
+        from logtrics_ray.stages.storage import SUMMARY_SCHEMA
+        group = group.combine_chunks()
+        bucket = int(group["sbucket"][0].as_py())
+        core = _bucket_rollup_fn(group.drop_columns(["sbucket"]))
+        out = []
+        for i, tier in enumerate(self.cfg.tiers):
+            if i > 0:
+                core = _cascade_bucket_fn(core, TIERS[tier])
+            if bucket in self.done.get(tier, ()):
+                continue
+            with_bucket = core.append_column(
+                "bucket", pa.array(np.full(core.num_rows, bucket, dtype=np.int64)))
+            out.append(self.writers[tier](with_bucket))
+        return pa.concat_tables(out) if out else SUMMARY_SCHEMA.empty_table()
+
+
+def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
+              rules: tuple[RuleSpec, ...] | None = None,
+              input_tag: str | None = None, resume: bool = True) -> dict:
+    """Single-shuffle fused pipeline (the default `run` path).  Same
+    output bits, manifests and resume semantics as the staged run()."""
+    import numpy as np
+    from logtrics_ray.stages.rollup import assign_windows
+    cfg = cfg or EngineConfig()
+    rules = rules or default_rules()
+    input_tag = input_tag or input_path
+    cfg_hash = M.config_hash(cfg, rules)
+
+    done = {t: (M.completed_buckets(out_dir, t, input_tag, cfg_hash) if resume else set())
+            for t in cfg.tiers}
+    done_everywhere = set.intersection(*done.values()) if done else set()
+    all_buckets = set(range(cfg.series_buckets))
+    if done_everywhere >= all_buckets:
+        return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+
+    points = extract_points(read_token_table(input_path), rules, cfg)
+    pts = assign_windows(points, TIERS[cfg.tiers[0]], cfg)
+    nb = cfg.series_buckets
+
+    def add_sbucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("sbucket", pa.array([], pa.int64()))
+        b = series_bucket_array(t["series_key"].to_pylist(), nb)
+        return t.append_column("sbucket", pa.array(b, pa.int64()))
+
+    pts = pts.map_batches(add_sbucket, batch_format="pyarrow", zero_copy_batch=True)
+    if done_everywhere:
+        skip = pa.array(sorted(done_everywhere), pa.int64())
+        pts = pts.map_batches(
+            lambda t: t.filter(pa.compute.invert(
+                pa.compute.is_in(t["sbucket"], value_set=skip))),
+            batch_format="pyarrow")
+
+    worker = _FusedBucketWorker(out_dir, cfg, input_tag, cfg_hash,
+                                {t: d - done_everywhere for t, d in done.items()})
+
+    def fused_bucket(group: pa.Table) -> pa.Table:
+        return worker(group)
+
+    # Coalesce the narrow points into ~one block per CPU first: the
+    # groupby's sort cost grows with block count (samples + per-block
+    # partition slicing), and extraction emits hundreds of small blocks.
+    try:
+        import ray
+        nblocks = max(8, int(ray.cluster_resources().get("CPU", 32)))
+    except Exception:
+        nblocks = 32
+    pts = pts.repartition(nblocks)
+    pts.groupby("sbucket").map_groups(fused_bucket, batch_format="pyarrow").materialize()
+    return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
 
 
 def final_tier_dataset(input_path: str, cfg: EngineConfig | None = None,

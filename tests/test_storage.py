@@ -66,3 +66,19 @@ def test_resume_skips_and_recovers(t1_dir, tmp_path):
     mt2 = {p: os.path.getmtime(os.path.join(r, p))
            for r, _, fs in os.walk(out) for p in fs}
     assert mt == mt2
+
+
+def test_fused_run_equals_staged_run(t1_dir, tmp_path):
+    """ONE-shuffle fused pipeline == staged multi-shuffle pipeline,
+    bit-for-bit across every tier (and both leave valid manifests)."""
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    from logtrics_ray.stages.storage import read_tier
+    a_dir, b_dir = str(tmp_path / "staged"), str(tmp_path / "fused")
+    ra = P.run(t1_dir, a_dir, resume=False, mode="staged")
+    rb = P.run(t1_dir, b_dir, resume=False, mode="fused")
+    key = ["series_key", "metric_type", "window_start"]
+    for tier in ("1m", "1h", "1d"):
+        a = read_tier(a_dir, tier).to_pandas().sort_values(key).reset_index(drop=True)
+        b = read_tier(b_dir, tier).to_pandas().sort_values(key).reset_index(drop=True)
+        assert a.equals(b), f"tier {tier}: fused != staged"
+        assert sum(m["rows"] for m in ra[tier]) == sum(m["rows"] for m in rb[tier])
