@@ -217,15 +217,10 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     def fused_bucket(group: pa.Table) -> pa.Table:
         return worker(group)
 
-    # Coalesce the narrow points into ~one block per CPU first: the
-    # groupby's sort cost grows with block count (samples + per-block
-    # partition slicing), and extraction emits hundreds of small blocks.
-    try:
-        import ray
-        nblocks = max(8, int(ray.cluster_resources().get("CPU", 32)))
-    except Exception:
-        nblocks = 32
-    pts = pts.repartition(nblocks)
+    # NOTE: no repartition() before the groupby — Ray re-executes the
+    # upstream map chain inside RepartitionSplit (measured: total remote
+    # CPU doubles, 118s -> 232s at sf0.1), so coalescing costs more than
+    # the sort's per-block overhead it would save.
     pts.groupby("sbucket").map_groups(fused_bucket, batch_format="pyarrow").materialize()
     return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
 

@@ -435,16 +435,9 @@ def rollup_base_bucketed(points_ds, width_ms: int, cfg: EngineConfig):
         return t.append_column("rbucket", pa.array(b, pa.int64()))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    # Coalesce the narrow points table into ~one block per CPU before the
-    # groupby: Ray's sort cost grows with block COUNT (samples + n_blocks²
-    # partition slices), and extraction emits many small blocks.  At 100 TB
-    # block sizes are read-tuned instead; this guards the small-block end.
-    try:
-        import ray
-        nblocks = max(8, int(ray.cluster_resources().get("CPU", 32)))
-    except Exception:
-        nblocks = 32
-    ds = ds.repartition(nblocks)
+    # NOTE: no repartition() here — Ray re-executes the upstream map chain
+    # inside RepartitionSplit (measured: total remote CPU doubles), so a
+    # coalesce costs far more than the sort's per-block overhead it saves.
     return ds.groupby("rbucket").map_groups(
         lambda g: _bucket_rollup_fn(g.drop_columns(["rbucket"])),
         batch_format="pyarrow")
