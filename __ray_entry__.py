@@ -116,6 +116,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.pipelines.table_rollup import ewma_frame
         return ewma_frame(_events_points(sf_dir, "meter"), MIN_MS, _cfg())
 
+    # Fixed dimension table for the broadcast-join + retention operators
+    # (mirrored literally in the SQL oracles).
+    DIM = {
+        "click":    {"policy": "hot",  "retention_d": 7},
+        "view":     {"policy": "warm", "retention_d": 3},
+        "purchase": {"policy": "hot",  "retention_d": 30},
+        "signup":   {"policy": "warm", "retention_d": 30},
+        "error":    {"policy": "cold", "retention_d": 14},
+    }
+
+    def q_enriched_rollup(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import basic_rollup_frame
+        from logtrics_ray.stages.enrich import broadcast_enrich
+        core = _events_core(sf_dir, HOUR_MS)
+        return broadcast_enrich(basic_rollup_frame(core), DIM)
+
+    def q_retention(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import basic_rollup_frame
+        from logtrics_ray.stages.enrich import apply_retention
+        core = _events_core(sf_dir, HOUR_MS).materialize()  # small; read twice
+        horizon_end = core.max("window_start") + HOUR_MS
+        ret = {k: v["retention_d"] * DAY_MS for k, v in DIM.items()}
+        return apply_retention(basic_rollup_frame(core), ret, horizon_end)
+
     def q_topk(sf_dir):
         from logtrics_ray.pipelines.table_rollup import topk_series_frame
         return topk_series_frame(_events_points(sf_dir), k=10)
@@ -294,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_timer_digest_1h": q_timer_digest,
         "events_meter_ewma_1m": q_ewma,
         "events_topk_series": q_topk,
+        "events_enriched_rollup_1h": q_enriched_rollup,
+        "events_rollup_1h_retention": q_retention,
         "events_user_rollup_1h": q_user_rollup,
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
@@ -412,6 +438,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS series_key, count(*) AS n
             FROM events GROUP BY 1
             ORDER BY n DESC, series_key ASC LIMIT 10""",
+        "events_enriched_rollup_1h": f"""
+            WITH dim(series_key, policy, retention_d) AS (VALUES
+                ('click', 'hot', 7), ('view', 'warm', 3),
+                ('purchase', 'hot', 30), ('signup', 'warm', 30),
+                ('error', 'cold', 14)),
+            agg AS (
+              SELECT event_type AS series_key,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                     count(*) AS n,
+                     round(sum(value), 6) AS sum_value,
+                     round(min(value), 6) AS min_value,
+                     round(max(value), 6) AS max_value,
+                     round(avg(value), 6) AS avg_value
+              FROM events GROUP BY 1, 2)
+            SELECT a.*, d.policy, d.retention_d
+            FROM agg a LEFT JOIN dim d USING (series_key)""",
+        "events_rollup_1h_retention": f"""
+            WITH dim(series_key, retention_ms) AS (VALUES
+                ('click', 7 * {DAY_MS}::BIGINT), ('view', 3 * {DAY_MS}::BIGINT),
+                ('purchase', 30 * {DAY_MS}::BIGINT), ('signup', 30 * {DAY_MS}::BIGINT),
+                ('error', 14 * {DAY_MS}::BIGINT)),
+            agg AS (
+              SELECT event_type AS series_key,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                     count(*) AS n,
+                     round(sum(value), 6) AS sum_value,
+                     round(min(value), 6) AS min_value,
+                     round(max(value), 6) AS max_value,
+                     round(avg(value), 6) AS avg_value
+              FROM events GROUP BY 1, 2),
+            horizon AS (SELECT max(window_start) + {HOUR_MS} AS h_end FROM agg)
+            SELECT a.* FROM agg a, horizon, dim d
+            WHERE d.series_key = a.series_key
+              AND a.window_start >= horizon.h_end - d.retention_ms""",
         "events_user_rollup_1h": f"""
             SELECT CAST(user_id AS VARCHAR) AS series_key,
                    (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,

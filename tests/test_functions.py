@@ -146,3 +146,28 @@ def test_multimodal_stub_contracts():
         batch_format="pyarrow", batch_size=16, concurrency=2).to_pandas()
     assert (resized["meta_width"] == 128).all()
     assert resized["payload"].map(len).max() <= 128
+
+
+def test_broadcast_enrich_and_retention():
+    from logtrics_ray.stages.enrich import apply_retention, broadcast_enrich
+    t = pa.Table.from_arrays([
+        pa.array(["a", "b", "c", "a"], pa.string()),
+        pa.array([100, 200, 300, 400], pa.int64()),
+    ], names=["series_key", "window_start"])
+    ds = rd.from_arrow(t)
+    dim = {"a": {"policy": "hot"}, "b": {"policy": "cold"}}
+    got = broadcast_enrich(ds, dim).to_pandas().sort_values(
+        ["series_key", "window_start"]).reset_index(drop=True)
+    assert list(got["policy"]) == ["hot", "hot", "cold", None]
+
+    # retention: horizon_end=500; a keeps 150ms (>=350), b keeps 400 (>=100),
+    # c unlisted with default 250 (>=250)
+    kept = apply_retention(rd.from_arrow(t), {"a": 150, "b": 400}, 500,
+                           default_ms=250).to_pandas()
+    kept_pairs = sorted(zip(kept["series_key"], kept["window_start"]))
+    assert kept_pairs == [("a", 400), ("b", 200), ("c", 300)]
+
+    # no default: unlisted series keep everything
+    kept2 = apply_retention(rd.from_arrow(t), {"a": 150}, 500).to_pandas()
+    assert len(kept2) == 3 and ("a", 100) not in set(
+        zip(kept2["series_key"], kept2["window_start"]))
