@@ -78,6 +78,23 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    """Incremental append: merge shards not yet in the tier lineage."""
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.pipelines.rollup_pipeline import run_incremental
+    _ensure_ray(args.num_cpus)
+    t0 = time.time()
+    results = run_incremental(args.input, args.out,
+                              cfg=EngineConfig(tiers=tuple(args.tiers.split(","))),
+                              rules=_load_rules(args.rules))
+    print(json.dumps({
+        "wall_s": round(time.time() - t0, 3),
+        "tiers": {t: {"buckets": len(ms), "rows": int(sum(m["rows"] for m in ms))}
+                  for t, ms in results.items()},
+    }))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from logtrics_ray.synth import write_token_table
     path = write_token_table(args.out, args.rows, n_shards=args.shards)
@@ -117,6 +134,14 @@ def main(argv=None) -> int:
     r.add_argument("--no-resume", action="store_true")
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
+
+    a = sub.add_parser("append", help="incremental append of new input shards")
+    a.add_argument("--input", required=True)
+    a.add_argument("--out", required=True)
+    a.add_argument("--rules", default=None)
+    a.add_argument("--tiers", default="1m,1h,1d")
+    a.add_argument("--num-cpus", type=int, default=None)
+    a.set_defaults(fn=cmd_append)
 
     s = sub.add_parser("synth", help="write the deterministic token table")
     s.add_argument("--out", required=True)

@@ -144,13 +144,23 @@ class _FusedBucketWorker:
     output bits match the staged path (asserted in tests)."""
 
     def __init__(self, out_dir: str, cfg: EngineConfig, input_tag: str,
-                 cfg_hash: str, done: dict[str, set]):
+                 cfg_hash: str, done: dict[str, set],
+                 input_files: list[str] | None = None,
+                 merge_stored: bool = False):
         from logtrics_ray.stages.storage import BucketFinalizeWriter
         self.cfg = cfg
         self.done = done
+        self.out_dir = out_dir
+        self.input_tag, self.cfg_hash = input_tag, cfg_hash
+        self.input_files = sorted(input_files or [])
+        self.merge_stored = merge_stored
+        first = cfg.tiers[0]
+        # The first tier persists its mergeable core rows (core.parquet) —
+        # the partial-aggregate state incremental appends merge into.
         self.writers = {
             tier: BucketFinalizeWriter(out_dir, tier, TIERS[tier], cfg,
-                                       input_tag, cfg_hash)
+                                       input_tag, cfg_hash,
+                                       write_core=(tier == first))
             for tier in cfg.tiers
         }
 
@@ -162,6 +172,13 @@ class _FusedBucketWorker:
         group = group.combine_chunks()
         bucket = int(group["sbucket"][0].as_py())
         core = _bucket_rollup_fn(group.drop_columns(["sbucket"]))
+        meta = {"input_files": self.input_files}
+        if self.merge_stored:
+            from logtrics_ray.stages.incremental import merge_cores, stored_core
+            prev, prev_files = stored_core(self.out_dir, self.cfg.tiers[0],
+                                           bucket, self.input_tag, self.cfg_hash)
+            core = merge_cores(prev, core)
+            meta = {"input_files": sorted(set(prev_files) | set(self.input_files))}
         out = []
         for i, tier in enumerate(self.cfg.tiers):
             if i > 0:
@@ -170,31 +187,21 @@ class _FusedBucketWorker:
                 continue
             with_bucket = core.append_column(
                 "bucket", pa.array(np.full(core.num_rows, bucket, dtype=np.int64)))
-            out.append(self.writers[tier](with_bucket))
+            out.append(self.writers[tier](with_bucket, extra_meta=meta))
         return pa.concat_tables(out) if out else SUMMARY_SCHEMA.empty_table()
 
 
-def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
-              rules: tuple[RuleSpec, ...] | None = None,
-              input_tag: str | None = None, resume: bool = True) -> dict:
-    """Single-shuffle fused pipeline (the default `run` path).  Same
-    output bits, manifests and resume semantics as the staged run()."""
-    import numpy as np
+def _input_file_names(input_path: str) -> list[str]:
+    """Shard basenames of the input — the lineage unit for incremental."""
+    if os.path.isdir(input_path):
+        return sorted(f for f in os.listdir(input_path) if f.endswith(".parquet"))
+    return [os.path.basename(input_path)]
+
+
+def _prep_points(points_ds, cfg: EngineConfig):
+    """points -> +window_start/salt/sbucket, dict-encoded for the exchange."""
     from logtrics_ray.stages.rollup import assign_windows
-    cfg = cfg or EngineConfig()
-    rules = rules or default_rules()
-    input_tag = input_tag or input_path
-    cfg_hash = M.config_hash(cfg, rules)
-
-    done = {t: (M.completed_buckets(out_dir, t, input_tag, cfg_hash) if resume else set())
-            for t in cfg.tiers}
-    done_everywhere = set.intersection(*done.values()) if done else set()
-    all_buckets = set(range(cfg.series_buckets))
-    if done_everywhere >= all_buckets:
-        return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
-
-    points = extract_points(read_token_table(input_path), rules, cfg)
-    pts = assign_windows(points, TIERS[cfg.tiers[0]], cfg)
+    pts = assign_windows(points_ds, TIERS[cfg.tiers[0]], cfg)
     nb = cfg.series_buckets
 
     def add_sbucket(t: pa.Table) -> pa.Table:
@@ -211,7 +218,27 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
             t = t.set_column(i, c, pc.dictionary_encode(t[c].combine_chunks()))
         return t
 
-    pts = pts.map_batches(add_sbucket, batch_format="pyarrow", zero_copy_batch=True)
+    return pts.map_batches(add_sbucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
+              rules: tuple[RuleSpec, ...] | None = None,
+              input_tag: str | None = None, resume: bool = True) -> dict:
+    """Single-shuffle fused pipeline (the default `run` path).  Same
+    output bits, manifests and resume semantics as the staged run()."""
+    cfg = cfg or EngineConfig()
+    rules = rules or default_rules()
+    input_tag = input_tag or input_path
+    cfg_hash = M.config_hash(cfg, rules)
+
+    done = {t: (M.completed_buckets(out_dir, t, input_tag, cfg_hash) if resume else set())
+            for t in cfg.tiers}
+    done_everywhere = set.intersection(*done.values()) if done else set()
+    all_buckets = set(range(cfg.series_buckets))
+    if done_everywhere >= all_buckets:
+        return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+
+    pts = _prep_points(extract_points(read_token_table(input_path), rules, cfg), cfg)
     if done_everywhere:
         skip = pa.array(sorted(done_everywhere), pa.int64())
         pts = pts.map_batches(
@@ -220,7 +247,8 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
             batch_format="pyarrow")
 
     worker = _FusedBucketWorker(out_dir, cfg, input_tag, cfg_hash,
-                                {t: d - done_everywhere for t, d in done.items()})
+                                {t: d - done_everywhere for t, d in done.items()},
+                                input_files=_input_file_names(input_path))
 
     def fused_bucket(group: pa.Table) -> pa.Table:
         return worker(group)
@@ -230,6 +258,67 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     # CPU doubles, 118s -> 232s at sf0.1), so coalescing costs more than
     # the sort's per-block overhead it would save.
     pts.groupby("sbucket").map_groups(fused_bucket, batch_format="pyarrow").materialize()
+    return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+
+
+def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
+                    rules: tuple[RuleSpec, ...] | None = None,
+                    input_tag: str | None = None) -> dict:
+    """Append NEW input shards into existing tiers (stages/incremental.py).
+
+    Reads only files not yet in the tier-1m manifests' lineage, extracts
+    their points, and per bucket merges ``stored core ⊕ new core`` before
+    re-cascading 1h/1d bucket-locally.  Cost is O(new data + touched core
+    rows).  Merge semantics: exact for count/min/max/last, float sums
+    regroup associatively (== full recompute up to reduction order),
+    t-digests merge (accuracy bound unchanged) — asserted in tests.
+    """
+    import json
+    cfg = cfg or EngineConfig()
+    rules = rules or default_rules()
+    input_tag = input_tag or input_path
+    cfg_hash = M.config_hash(cfg, rules)
+    first = cfg.tiers[0]
+
+    files = _input_file_names(input_path)
+    per_bucket = {}
+    for m in M.load_manifests(out_dir, first):
+        if m.get("input_tag") == input_tag and m.get("cfg_hash") == cfg_hash:
+            per_bucket[int(m["bucket"])] = set(m.get("input_files", []))
+    consumed = set.intersection(*per_bucket.values()) if per_bucket else set()
+    new_files = [f for f in files if f not in consumed]
+    if not new_files:
+        return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+
+    paths = ([os.path.join(input_path, f) for f in new_files]
+             if os.path.isdir(input_path) else [input_path])
+    ds = rd.read_parquet(paths, columns=["doc_id", "tokens", "n_tok", "source"])
+    pts = _prep_points(extract_points(ds, rules, cfg), cfg)
+    # Lineage after this run = the full current listing (a bucket that got
+    # nothing from a shard has still consumed it), so buckets born in this
+    # append don't make old shards look unconsumed next time.
+    worker = _FusedBucketWorker(out_dir, cfg, input_tag, cfg_hash, done={},
+                                input_files=files, merge_stored=True)
+
+    def inc_bucket(group: pa.Table) -> pa.Table:
+        return worker(group)
+
+    pts.groupby("sbucket").map_groups(inc_bucket, batch_format="pyarrow").materialize()
+
+    # Buckets untouched by the new shards: their data is already complete —
+    # fast-forward the lineage so the next append sees a consistent set.
+    for bucket in per_bucket:
+        pdir = M.partition_dir(out_dir, first, bucket)
+        mpath = os.path.join(pdir, M.MANIFEST_NAME)
+        if not os.path.isfile(mpath):
+            continue
+        m = json.load(open(mpath))
+        if set(m.get("input_files", [])) >= set(files):
+            continue  # the merge pass already updated it
+        m["input_files"] = sorted(set(m.get("input_files", [])) | set(files))
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(m, f, sort_keys=True)
+        os.replace(mpath + ".tmp", mpath)
     return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
 
 

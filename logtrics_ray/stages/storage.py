@@ -118,7 +118,13 @@ def decode_blocks(blocks: pa.Table) -> pa.Table:
 
 class BucketWriter:
     """map_groups fn over bucket: encode + atomic write + manifest; returns
-    one summary row per bucket."""
+    one summary row per bucket.
+
+    core_table (optional): mergeable per-window core rows (CORE_SCHEMA,
+    incl. last_ts/last_tb/tdigest) persisted alongside the blocks as
+    ``core.parquet`` — the partial-aggregate state that makes incremental
+    appends possible (stages/incremental.py).  extra_meta lands in the
+    manifest (e.g. the consumed input-file list)."""
 
     def __init__(self, out_dir: str, tier: str, cfg: EngineConfig,
                  input_tag: str, cfg_hash: str):
@@ -127,7 +133,8 @@ class BucketWriter:
         self.out_dir, self.tier, self.cfg = out_dir, tier, cfg
         self.input_tag, self.cfg_hash = input_tag, cfg_hash
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, group: pa.Table, core_table: pa.Table | None = None,
+                 extra_meta: dict | None = None) -> pa.Table:
         bucket = int(group["bucket"][0].as_py())
         data = group.drop_columns(["bucket"])
         blocks = _encode_blocks(data, self.cfg.block_len)
@@ -139,13 +146,16 @@ class BucketWriter:
 
         def write_files(tmp_dir):
             pq.write_table(blocks, os.path.join(tmp_dir, "blocks.parquet"))
+            if core_table is not None:
+                pq.write_table(core_table, os.path.join(tmp_dir, "core.parquet"))
 
         wmin = int(pa.compute.min(data["window_start"]).as_py())
         wmax = int(pa.compute.max(data["window_start"]).as_py())
         nseries = len(set(blocks["series_key"].to_pylist()))
         self.M.write_partition(
             self.out_dir, self.tier, bucket, write_files,
-            meta=dict(input_tag=self.input_tag, cfg_hash=self.cfg_hash,
+            meta=dict(extra_meta or {},
+                      input_tag=self.input_tag, cfg_hash=self.cfg_hash,
                       rows=data.num_rows, series=nseries, blocks=blocks.num_rows,
                       window_min=wmin, window_max=wmax,
                       content_hash=h.hexdigest()))
@@ -199,13 +209,15 @@ class BucketFinalizeWriter:
     """
 
     def __init__(self, out_dir: str, tier: str, width_ms: int, cfg: EngineConfig,
-                 input_tag: str, cfg_hash: str, global_max_w: int | None = None):
+                 input_tag: str, cfg_hash: str, global_max_w: int | None = None,
+                 write_core: bool = False):
         self.inner = BucketWriter(out_dir, tier, cfg, input_tag, cfg_hash)
         self.width_ms = width_ms
         self.cfg = cfg
         self.global_max_w = global_max_w
+        self.write_core = write_core
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, group: pa.Table, extra_meta: dict | None = None) -> pa.Table:
         from logtrics_ray.stages.seriesscan import scan_group
         group = group.combine_chunks()
         bucket = int(group["bucket"][0].as_py())
@@ -224,7 +236,9 @@ class BucketFinalizeWriter:
         finalized = pa.concat_tables(finals)
         finalized = finalized.append_column(
             "bucket", pa.array(np.full(finalized.num_rows, bucket, dtype=np.int64)))
-        return self.inner(finalized)
+        return self.inner(finalized,
+                          core_table=data if self.write_core else None,
+                          extra_meta=extra_meta)
 
 
 def write_tier_finalized(core_ds, out_dir: str, tier: str, width_ms: int,

@@ -1,0 +1,113 @@
+"""Incremental append (stages/incremental.py + run_incremental).
+
+Contract: incremental(A, then B) vs full-recompute(A ∪ B) —
+  * window sets, counts, min/max, gauge last, gap_filled: EXACT
+  * float sums / derived (mean, cumulative, rate, EWMA): equal up to
+    float reduction-order regrouping (allclose at 1e-9 relative)
+  * t-digest percentiles: within the sketch's accuracy (2% here)
+and a second run with no new shards is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def split_input(tmp_path_factory):
+    """One 8-shard token table + a staged copy that grows 4 -> 8 shards."""
+    from logtrics_ray.synth import write_token_table
+    base = tmp_path_factory.mktemp("inc")
+    full = write_token_table(str(base / "full"), 4000, n_shards=8)
+    grow = str(base / "grow")
+    os.makedirs(grow, exist_ok=True)
+    shards = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    for f in shards[:4]:
+        shutil.copy(os.path.join(full, f), os.path.join(grow, f))
+    return full, grow, shards
+
+
+def _tier_frames(out_dir):
+    from logtrics_ray.stages.storage import read_tier
+    key = ["series_key", "metric_type", "window_start"]
+    return {t: read_tier(out_dir, t).to_pandas().sort_values(key).reset_index(drop=True)
+            for t in ("1m", "1h", "1d")}
+
+
+def test_incremental_append_matches_full(split_input, tmp_path):
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    full, grow, shards = split_input
+    full_out, inc_out = str(tmp_path / "full"), str(tmp_path / "inc")
+
+    P.run(full, full_out, resume=False, input_tag="tok")
+    P.run(grow, inc_out, resume=False, input_tag="tok")         # first 4 shards
+    for f in shards[4:]:                                        # append the rest
+        shutil.copy(os.path.join(full, f), os.path.join(grow, f))
+    res = P.run_incremental(grow, inc_out, input_tag="tok")
+    assert all(len(ms) > 0 for ms in res.values())
+
+    a, b = _tier_frames(full_out), _tier_frames(inc_out)
+    exact = ["series_key", "metric_type", "window_start", "count",
+             "vmin", "vmax", "last", "gap_filled"]
+    close = ["sum", "mean", "cumulative", "rate",
+             "ewma_60s", "ewma_300s", "ewma_900s"]
+    for tier in ("1m", "1h", "1d"):
+        fa, fb = a[tier], b[tier]
+        assert len(fa) == len(fb), f"{tier}: row count"
+        for c in exact:
+            assert fa[c].equals(fb[c]), f"{tier}: exact col {c}"
+        for c in close:
+            ga = fa[c].to_numpy(float); gb = fb[c].to_numpy(float)
+            ok = np.isclose(ga, gb, rtol=1e-9, atol=1e-12) | (np.isnan(ga) & np.isnan(gb))
+            assert ok.all(), f"{tier}: col {c} drifted"
+        for c in ("p50", "p99"):
+            ga = fa[c].to_numpy(float); gb = fb[c].to_numpy(float)
+            both = np.isfinite(ga) & np.isfinite(gb)
+            assert (np.isfinite(ga) == np.isfinite(gb)).all()
+            if both.any():
+                rel = np.abs(ga[both] - gb[both]) / np.maximum(np.abs(ga[both]), 1e-9)
+                assert rel.max() <= 0.02, f"{tier}: {c} beyond sketch tolerance"
+
+    # lineage complete -> second incremental run is a no-op
+    import time
+    t0 = time.perf_counter()
+    P.run_incremental(grow, inc_out, input_tag="tok")
+    assert time.perf_counter() - t0 < 2.0
+
+
+def test_merge_cores_exact_semantics():
+    """merge_cores == full recompute for int aggregates and order keys."""
+    import pyarrow as pa
+    from logtrics_ray.config import EngineConfig, TIERS
+    from logtrics_ray.stages.incremental import merge_cores
+    from logtrics_ray.stages.rollup import _bucket_rollup_fn, assign_windows
+    from logtrics_ray.stages.extract import POINTS_SCHEMA
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.Table.from_arrays([
+        pa.array(rng.choice(["a", "b"], size=n)),
+        pa.array(rng.choice(["counter", "gauge", "timer"], size=n)),
+        pa.array(rng.integers(0, 2 * 3_600_000, size=n), pa.int64()),
+        pa.array(rng.normal(size=n), pa.float64()),
+        pa.array(np.arange(n, dtype=np.uint64), pa.uint64()),
+    ], schema=POINTS_SCHEMA)
+    cfg = EngineConfig()
+    w = assign_windows(rd.from_arrow(t), TIERS["1m"], cfg).to_pandas()
+    wt = pa.Table.from_pandas(w, preserve_index=False)
+    full = _bucket_rollup_fn(wt).to_pandas()
+    part_a = _bucket_rollup_fn(wt.slice(0, 2000))
+    part_b = _bucket_rollup_fn(wt.slice(2000))
+    merged = merge_cores(part_a, part_b).to_pandas()
+    key = ["series_key", "metric_type", "window_start"]
+    full = full.sort_values(key).reset_index(drop=True)
+    merged = merged.sort_values(key).reset_index(drop=True)
+    assert len(full) == len(merged)
+    for c in key + ["count", "vmin", "vmax", "last", "last_ts", "last_tb"]:
+        assert full[c].equals(merged[c]), f"col {c}"
+    assert np.allclose(full["sum"], merged["sum"], rtol=1e-9)
