@@ -71,3 +71,24 @@ def test_gap_fill_modes_match_oracle(t1_dir, mode):
     df = finalize_tier(core["1m"], TIERS["1m"], cfg).to_pandas()
     orc = oracle_tiers(t1_dir, default_rules(), cfg)
     assert_tier_matches_oracle(df, orc["1m"], msg=f"gap_fill={mode}")
+
+
+def test_gap_domain_global_matches_oracle(t1_dir):
+    """gap_domain="global": every series is extended to the global max
+    window (the reference's registry-snapshot behavior — once registered,
+    a metric is emitted every flush, graphite.go:84-90)."""
+    from tests.oracle import (oracle_cascade, oracle_core_rollup,
+                              oracle_finalize, oracle_points)
+    cfg = EngineConfig(gap_domain="global")
+    points = extract_points(read_token_table(t1_dir), default_rules(), cfg)
+    core = build_core_tiers(points, cfg)
+    df = finalize_tier(core["1h"], TIERS["1h"], cfg).to_pandas()
+    # every series must now end at the same (global) last window
+    assert df.groupby(["series_key", "metric_type"])["window_start"].max().nunique() == 1
+
+    opts = oracle_points(t1_dir, default_rules(), cfg)
+    ocore1m = oracle_core_rollup(opts, TIERS["1m"], cfg)
+    ocore1h = oracle_cascade(ocore1m, TIERS["1h"])
+    gmax = max(w for rows in ocore1h.values() for w in rows)
+    assert_tier_matches_oracle(df, oracle_finalize(ocore1h, TIERS["1h"], cfg, gmax),
+                               msg="gap_domain=global 1h")
