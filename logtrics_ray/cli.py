@@ -129,7 +129,7 @@ def main(argv=None) -> int:
     r.add_argument("--tiers", default="1m,1h,1d")
     r.add_argument("--gap-fill", default="locf", choices=["null", "locf", "linear"])
     r.add_argument("--salt-buckets", type=int, default=8)
-    r.add_argument("--series-buckets", type=int, default=32)
+    r.add_argument("--series-buckets", type=int, default=64)
     r.add_argument("--rollup-buckets", type=int, default=64)
     r.add_argument("--no-resume", action="store_true")
     r.add_argument("--num-cpus", type=int, default=None)

@@ -60,8 +60,11 @@ class EngineConfig:
     gap_domain: str = "series"  # "series" | "global"
 
     # Output partitioning: series are hashed into this many buckets; each
-    # bucket is one resumable output partition with its own manifest.
-    series_buckets: int = 32
+    # bucket is one resumable output partition with its own manifest.  Also
+    # the reduce-side task count of the fused pipeline's single exchange —
+    # size ~2x the cluster's cores so a straggler bucket doesn't stall a
+    # whole wave (64 ≈ 2x the 32-CPU sandbox; scale up with the cluster).
+    series_buckets: int = 64
 
     # Shuffle granularity of the bucket-major rollup path: points are
     # hash-partitioned into this many groups (performance-only knob — the
