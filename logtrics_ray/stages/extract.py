@@ -56,6 +56,60 @@ POINTS_SCHEMA = pa.schema([
 _TEMPLATE_SPLIT = re.compile(r"\{(\w+)\}")
 
 
+def required_chars(expression: str) -> set[str] | None:
+    """Characters every match of ``expression`` must contain, or None.
+
+    Literal-factoring prefilter support (same idea as RE2's required
+    prefix / Hyperscan literal factoring): walk the regex parse tree and
+    collect LITERAL chars that occur unconditionally (top-level sequence,
+    capture groups, and repeats with min >= 1).  Branches / classes /
+    optional parts contribute nothing — conservative by construction.
+    """
+    try:
+        import re._parser as sre_parse
+        from re._constants import (BRANCH, LITERAL, MAX_REPEAT, MIN_REPEAT,
+                                   SUBPATTERN)
+        tree = sre_parse.parse(expression)
+    except Exception:
+        return None
+    chars: set[str] = set()
+
+    def walk(seq):
+        for op, arg in seq:
+            if op is LITERAL:
+                chars.add(chr(arg))
+            elif op is SUBPATTERN:
+                walk(arg[3])
+            elif op in (MAX_REPEAT, MIN_REPEAT):
+                lo, _hi, sub = arg
+                if lo >= 1:
+                    walk(sub)
+            elif op is BRANCH:
+                pass  # a char required in EVERY branch would qualify; skip
+
+    walk(tree)
+    return chars or None
+
+
+def build_anchor_ids(rules, vocab_pieces) -> np.ndarray | None:
+    """Token ids that can complete some rule's required char — the
+    token-level prefilter set.  A single char cannot span token pieces,
+    so a row none of whose pieces contains ANY rule's required char
+    cannot match any rule and is dropped before detokenization.  Returns
+    None (prefilter disabled) unless EVERY rule has a required char."""
+    per_rule = []
+    for r in rules:
+        req = required_chars(r.expression)
+        if not req:
+            return None
+        # the rarest char (fewest vocab pieces contain it) prunes best
+        counts = {c: sum(1 for p in vocab_pieces if c in p) for c in req}
+        per_rule.append(min(counts, key=counts.get))
+    anchor = sorted({i for i, p in enumerate(vocab_pieces)
+                     if any(c in p for c in set(per_rule))})
+    return np.asarray(anchor, dtype=np.int64)
+
+
 def _render_series(template: str, fields: dict[str, pa.Array], n: int) -> pa.Array:
     """Vectorized series-template rendering: literal/field interleave via
     binary_join_element_wise (no Python per row)."""
@@ -94,7 +148,18 @@ class RuleExtractor:
         self.cfg = cfg
         self.text_column = text_column
         # Detokenization vocab — built once per actor (not per batch).
-        self.vocab_pa = None if text_column else V.vocab_as_arrow()
+        self.anchor_table = None
+        if text_column:
+            self.vocab_pa = None
+        else:
+            pieces = V.build_vocab()
+            self.vocab_pa = V.vocab_as_arrow(pieces)
+            # Literal-factoring prefilter: rows whose pieces can't contain
+            # any rule's required char skip detokenize+regex entirely.
+            aid = build_anchor_ids(rules, pieces)
+            if aid is not None:
+                self.anchor_table = np.zeros(len(pieces), dtype=bool)
+                self.anchor_table[aid] = True
         # Validate all regexes compile up-front (parser.go:28-31: compile
         # errors are fatal at load, not at match time).
         for r in rules:
@@ -124,6 +189,23 @@ class RuleExtractor:
                 # log-and-continue (script.go:58-61): count, drop nothing —
                 # the tokens themselves are still the ground truth.
                 self.row_errors += bad
+
+        if self.anchor_table is not None:
+            tok = batch["tokens"]
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            flat = tok.values.to_numpy(zero_copy_only=False)
+            seg_len = np.diff(tok.offsets.to_numpy())
+            hit = np.zeros(flat.size, dtype=bool)
+            inb = (flat >= 0) & (flat < self.anchor_table.size)
+            hit[inb] = self.anchor_table[flat[inb]]
+            rowid = np.repeat(np.arange(n), seg_len)
+            keep = np.bincount(rowid[hit], minlength=n) > 0
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                n = batch.num_rows
+                if n == 0:
+                    return POINTS_SCHEMA.empty_table()
 
         text = self._text(batch)
         doc_ids = batch["doc_id"]

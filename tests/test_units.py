@@ -249,3 +249,33 @@ def test_timer_digest_frame_accuracy(t1_dir):
         assert row["n"] == len(seg)
         assert abs(row["p50"] - exact50) <= 0.02 * exact50 + 1e-9
         assert abs(row["p99"] - exact99) <= 0.02 * exact99 + 1e-9
+
+
+def test_anchor_prefilter_is_sound_and_identical():
+    """Literal-factoring prefilter: derived required chars, anchor ids,
+    and bit-identical extractor output with the prefilter disabled."""
+    import numpy as np
+    from logtrics_ray import vocab as V
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.rules import default_rules, load_rules
+    from logtrics_ray.stages.extract import (RuleExtractor, build_anchor_ids,
+                                             required_chars)
+    from logtrics_ray.synth import synth_shard
+
+    assert '"' in required_chars(r'hello "(?P<first>[a-zA-Z0-9]+)"')
+    assert "=" in required_chars(r"latency_ms=(?P<ms>\d+)")
+    assert required_chars(r"(?P<a>\d+)|x") is None  # top-level branch: nothing required
+    # a rule with no unconditional literal disables the prefilter
+    free = load_rules([{"name": "free", "expression": r"(?P<x>\w+)",
+                        "emit": [{"metric_type": "counter", "series": "s",
+                                  "value": 1}]}])
+    assert build_anchor_ids(free, V.build_vocab()) is None
+
+    batch = synth_shard(0, 1500, seed=42, row_offset=0)
+    ex = RuleExtractor(default_rules(), EngineConfig())
+    assert ex.anchor_table is not None
+    with_f = ex(batch)
+    ex.anchor_table = None
+    without = ex(batch)
+    assert with_f.equals(without)
+    assert with_f.num_rows > 0
