@@ -45,13 +45,18 @@ def add_content_hash(ds, text_col: str = "text"):
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Survivors of exact dedup: min id per content hash.  Returns a
-    Dataset of (doc_id) — narrow output, shuffle carries only hash+id."""
+    Dataset of (doc_id) — narrow output, shuffle carries only hash+id.
+
+    Uses the built-in vectorized min aggregation (one reduce per block,
+    not one Python group call per hash — at 100 TB the group count is the
+    row count, so per-group Python would be the bottleneck)."""
     hashed = add_content_hash(ds, text_col).select_columns(["content_hash", id_col])
+    agg = hashed.groupby("content_hash").min(id_col)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [g[id_col].min()]})
+    def project(t: pa.Table) -> pa.Table:
+        return t.select([f"min({id_col})"]).rename_columns([id_col])
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ minhash-LSH --
@@ -192,14 +197,16 @@ class SimHasher:
 
 
 def simhash_dedup(ds, mask_bits: int = 4):
-    """Survivors (min id) per masked-simhash bucket."""
+    """Survivors (min id) per masked-simhash bucket — vectorized min
+    aggregation (no per-group Python; see exact_dedup)."""
     sh = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(mask_bits=mask_bits),
                         batch_format="pyarrow", concurrency=2)
+    agg = sh.groupby("simhash").min("doc_id")
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["min(doc_id)"]).rename_columns(["doc_id"])
 
-    return sh.groupby("simhash").map_groups(keep_first, batch_format="pandas")
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- n-gram Jaccard ----

@@ -44,7 +44,10 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding"):
     """Exact cosine top-k (self excluded).  Returns a pandas frame
     (query_id, neighbor_id, rank, score) — score rounded to 6dp."""
-    q_rows = ds.filter(lambda r: r[id_col] in set(query_ids)).take_all()
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col],
+                                            value_set=pa.array(query_ids))),
+        batch_format="pyarrow").take_all()
     q_rows.sort(key=lambda r: r[id_col])
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qmat = _norm_rows(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
@@ -120,12 +123,18 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
                              fn_constructor_kwargs=dict(centroids_ref=cref,
                                                         vec_col=vec_col, id_col=id_col),
                              batch_format="pyarrow", concurrency=2)
-    q_rows = ds.filter(lambda r: r[id_col] in set(query_ids)).take_all()
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col],
+                                            value_set=pa.array(query_ids))),
+        batch_format="pyarrow").take_all()
     q_rows.sort(key=lambda r: r[id_col])
     qmat = _norm_rows(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
     probe_lists = np.argsort(-(qmat @ _norm_rows(cents).T), axis=1)[:, :nprobe]
     wanted = sorted({int(x) for row in probe_lists for x in row})
-    sub = indexed.filter(lambda r: r["ivf_list"] in set(wanted))
+    sub = indexed.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["ivf_list"],
+                                            value_set=pa.array(wanted, pa.int64()))),
+        batch_format="pyarrow")
     return knn_bruteforce(sub, query_ids, k=k, id_col=id_col, vec_col=vec_col)
 
 
