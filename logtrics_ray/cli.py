@@ -95,6 +95,30 @@ def cmd_append(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Audit pass: per-row invariant check (n_tok == len(tokens)) over the
+    whole input — the engine's log-and-continue error policy
+    (/root/reference/script.go:58-61) as an explicit, reportable scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    _ensure_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input, columns=["doc_id", "tokens", "n_tok"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        ok = pc.equal(pc.list_value_length(t["tokens"]),
+                      pc.cast(t["n_tok"], pa.int32()))
+        bad = t.num_rows - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+        return pa.Table.from_pydict({"rows": [t.num_rows], "violations": [bad]})
+
+    parts = ds.map_batches(audit, batch_format="pyarrow").take_all()  # 1 row/batch
+    rows = sum(p["rows"] for p in parts)
+    bad = sum(p["violations"] for p in parts)
+    print(json.dumps({"rows": int(rows), "violations": int(bad),
+                      "ok": bad == 0}))
+    return 0 if bad == 0 else 1
+
+
 def cmd_synth(args) -> int:
     from logtrics_ray.synth import write_token_table
     path = write_token_table(args.out, args.rows, n_shards=args.shards)
@@ -142,6 +166,11 @@ def main(argv=None) -> int:
     a.add_argument("--tiers", default="1m,1h,1d")
     a.add_argument("--num-cpus", type=int, default=None)
     a.set_defaults(fn=cmd_append)
+
+    v = sub.add_parser("validate", help="audit the input's per-row invariants")
+    v.add_argument("--input", required=True)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("synth", help="write the deterministic token table")
     s.add_argument("--out", required=True)
