@@ -279,3 +279,50 @@ def test_anchor_prefilter_is_sound_and_identical():
     without = ex(batch)
     assert with_f.equals(without)
     assert with_f.num_rows > 0
+
+
+def test_toml_rule_file_loading(tmp_path):
+    """S4: rule-spec discovery from a TOML file ([[rule]] array), mirroring
+    the reference's script-dir loading (/root/reference/app.go:96-111)."""
+    from logtrics_ray.rules import load_rules
+    f = tmp_path / "rules.toml"
+    f.write_text('''
+[[rule]]
+name = "evt"
+expression = 'evt=(?P<kind>[a-z]+) v=(?P<v>\\\\d+)'
+[[rule.emit]]
+metric_type = "gauge"
+series = "t.{kind}"
+value = "float(v)"
+''')
+    rules = load_rules(str(f))
+    assert len(rules) == 1 and rules[0].name == "evt"
+    assert rules[0].emits[0].series == "t.{kind}"
+    assert rules[0].group_names == ["kind", "v"]
+
+
+def test_console_style_text_extraction():
+    """S1: the console-reader analog — literal in-memory lines through the
+    extractor's text-column path (no token table), every rule fan-out."""
+    import pyarrow as pa
+    import ray.data as rd
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.rules import default_rules
+    from logtrics_ray.stages.extract import extract_points
+    lines = [
+        'x hello "alice7" y',            # gauge rule: len("alice7") = 6
+        "latency_ms=250 GET /api/users", # timer + counter
+        "nothing to see here",           # drop path
+    ]
+    t = pa.Table.from_arrays([
+        pa.array([f"doc-{i}" for i in range(len(lines))]),
+        pa.array(lines),
+        pa.array(["console"] * len(lines)),
+    ], names=["doc_id", "line", "source"])
+    pts = extract_points(rd.from_arrow(t), default_rules(), EngineConfig(),
+                         text_column="line").to_pandas()
+    got = dict(zip(pts["series_key"], pts["value"]))
+    assert got["lt.hello.alice7"] == 6.0
+    assert got["lt.latency.console"] == 250.0
+    assert got["lt.req.users"] == 1.0
+    assert len(pts) == 3                # the no-match line emitted nothing
