@@ -3,15 +3,23 @@
 A from-scratch reimagination of smitajit/logtrics (regex -> metric
 extraction, Graphite-style counter/gauge/timer/meter rollups) as a
 columnar, distributed, windowed rollup + downsample + retention engine
-built on ``ray.data.Dataset`` pipelines:
+built on ``ray.data.Dataset`` pipelines.  Default (fused) spine — ONE
+all-to-all exchange end to end:
 
-    read_parquet(token table)
-      -> map_batches(RuleExtractor actor pool)      # regex extraction -> points
-      -> window assignment (tumbling 1m/1h/1d)
-      -> salted two-phase grouped aggregation       # count/sum/min/max/last/t-digest
-      -> per-series ordered scan                    # cumulative, EWMA, rate, gap-fill
-      -> cascade 1m -> 1h -> 1d                     # continuous aggregates
-      -> Gorilla-compressed blocks in partitioned Parquet + lineage manifests
+    read_parquet(token table, column-pruned)
+      -> map_batches(rule extraction)               # regex -> narrow points
+      -> +window/salt/output-bucket, dict-encoded
+      -> groupby(bucket)                            # the single shuffle
+      -> per bucket, in one group call:
+           salted vectorized 1m rollup              # count/sum/min/max/last/t-digest
+           cascade 1m -> 1h -> 1d                   # continuous aggregates
+           per-series ordered scan                  # cumulative, EWMA, rate, gap-fill
+           Gorilla blocks -> partitioned Parquet    # + lineage manifests
+
+Also: incremental appends (`run_incremental` merges new shards into the
+persisted per-bucket core partials), broadcast dim enrichment +
+per-series retention (stages/enrich.py), and a training-data operator
+library (functions/: dedup, similarity, text stats, multimodal).
 
 The reference semantics being reproduced are cited per-module with
 file:line pointers into /root/reference (smitajit/logtrics).
@@ -20,6 +28,19 @@ file:line pointers into /root/reference (smitajit/logtrics).
 from logtrics_ray.config import EngineConfig, TIERS
 from logtrics_ray.rules import RuleSpec, EmitSpec, load_rules, default_rules
 
+
+def run(*args, **kwargs):
+    """Convenience re-export of pipelines.rollup_pipeline.run (lazy import
+    so `import logtrics_ray` stays Ray-free)."""
+    from logtrics_ray.pipelines.rollup_pipeline import run as _run
+    return _run(*args, **kwargs)
+
+
+def run_incremental(*args, **kwargs):
+    from logtrics_ray.pipelines.rollup_pipeline import run_incremental as _ri
+    return _ri(*args, **kwargs)
+
+
 __all__ = [
     "EngineConfig",
     "TIERS",
@@ -27,4 +48,6 @@ __all__ = [
     "EmitSpec",
     "load_rules",
     "default_rules",
+    "run",
+    "run_incremental",
 ]
