@@ -166,9 +166,67 @@ def _ctz64(x: int) -> int:
     return (x & -x).bit_length() - 1 if x else 64
 
 
+# Leading/trailing-zero counts per byte value (for the vectorized path).
+_LZ8 = np.array([8] + [8 - int(b).bit_length() for b in range(1, 256)],
+                dtype=np.int64)
+_TZ8 = np.array([8] + [(int(b) & -int(b)).bit_length() - 1 for b in range(1, 256)],
+                dtype=np.int64)
+
+
+def _encode_floats_vectorized(bits: np.ndarray, xors: np.ndarray) -> bytes:
+    """Context-free '11'-branch-only encoding of the SAME byte format —
+    every step is a numpy kernel, no per-value Python.  The decoder is
+    branch-agnostic, so output decodes identically; on noisy columns the
+    size matches the sequential encoder closely (the '10' window-reuse
+    it forgoes pays off only on smooth series, which take the sequential
+    path via the dispatch in encode_floats)."""
+    n = bits.size
+    m = xors.size  # == n - 1
+    # vectorized clz/ctz via big-endian byte decomposition
+    xb = xors.byteswap().view(np.uint8).reshape(m, 8)
+    nzb = xb != 0
+    any_nz = nzb.any(axis=1)
+    first_b = np.argmax(nzb, axis=1)
+    last_b = 7 - np.argmax(nzb[:, ::-1], axis=1)
+    rows = np.arange(m)
+    lz = first_b * 8 + _LZ8[xb[rows, first_b]]
+    tz = (7 - last_b) * 8 + _TZ8[xb[rows, last_b]]
+    lz = np.minimum(lz, 31)
+    mbits = np.where(any_nz, 64 - lz - tz, 0)
+
+    # per-value code: zero-xor -> 1 bit '0'; else 13-bit prefix + payload
+    p13 = np.where(any_nz,
+                   (0b11 << 11) | (lz << 6) | np.maximum(mbits - 1, 0),
+                   0).astype(np.uint16)
+    payload = np.where(any_nz, xors >> (tz % 64).astype(np.uint64), np.uint64(0))
+
+    W = 13 + 64
+    mat = np.zeros((m, W), dtype=bool)
+    shifts13 = (12 - np.arange(13)).astype(np.uint16)
+    mat[:, :13] = (p13[:, None] >> shifts13[None, :]) & 1
+    pal = payload << ((64 - mbits) % 64).astype(np.uint64)  # left-align in 64
+    shifts64 = (63 - np.arange(64)).astype(np.uint64)
+    mat[:, 13:] = ((pal[:, None] >> shifts64[None, :]) & np.uint64(1)).astype(bool)
+    nbits = np.where(any_nz, 13 + mbits, 1)
+    valid = np.arange(W)[None, :] < nbits[:, None]
+    # zero-xor rows: the single '0' control bit (mat row is already 0s)
+    flat = mat[valid]  # row-major ragged selection keeps stream order
+
+    head = BitWriter()
+    head.write(n, 32)
+    head.write(int(bits[0]), 64)  # 96 bits -> byte-aligned tail start
+    return head.getvalue() + np.packbits(flat).tobytes()
+
+
 def encode_floats(values: np.ndarray) -> bytes:
     bits = np.asarray(values, dtype=np.float64).view(np.uint64)
     n = bits.size
+    if n >= 512:
+        xors = np.bitwise_xor(bits[1:], bits[:-1])
+        # Noisy columns (most xors nonzero) gain nothing from the
+        # sequential '10' window-reuse branch — take the numpy path.
+        if np.count_nonzero(xors) >= 0.5 * xors.size:
+            return _encode_floats_vectorized(bits, xors)
     w = BitWriter()
     w.write(n, 32)
     if n == 0:

@@ -326,3 +326,23 @@ def test_console_style_text_extraction():
     assert got["lt.latency.console"] == 250.0
     assert got["lt.req.users"] == 1.0
     assert len(pts) == 3                # the no-match line emitted nothing
+
+
+def test_gorilla_vectorized_encoder_matches_decode():
+    """The numpy '11'-branch encoder emits the same FORMAT (decoder is
+    branch-agnostic): round-trips bit-exactly on every shape, and the
+    dispatching encode_floats stays exact at both path choices."""
+    rng = np.random.default_rng(21)
+    cases = [
+        rng.normal(size=4096),                                   # vectorized
+        np.where(rng.random(4096) < 0.7, np.nan, rng.normal(size=4096)),
+        np.repeat(2.5, 4096),                                    # sequential
+        np.array([1.0, np.nan, np.inf, -np.inf, 0.0, -0.0, 1e300, 5e-324] * 128),
+    ]
+    for v in cases:
+        bits = v.astype(np.float64).view(np.uint64)
+        enc = gorilla.encode_floats(v)
+        assert gorilla.decode_floats(enc).view(np.uint64).tolist() == bits.tolist()
+        encv = gorilla._encode_floats_vectorized(
+            bits, np.bitwise_xor(bits[1:], bits[:-1]))
+        assert gorilla.decode_floats(encv).view(np.uint64).tolist() == bits.tolist()
