@@ -66,3 +66,21 @@ def test_engine_equals_oracle_on_random_points(pts):
     assert_tier_matches_oracle(
         df_1h, oracle_finalize(oracle_cascade(ocore_1m, TIERS["1h"]), TIERS["1h"], cfg),
         msg="random-points 1h cascade")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.sampled_from([0.0, -0.0, 1.5, 1.5, 1.5])),   # repeats -> zero-xor runs
+    min_size=0, max_size=700))
+def test_gorilla_floats_roundtrip_property(vals):
+    import numpy as np
+    from logtrics_ray.stages import gorilla
+    v = np.array(vals, dtype=np.float64)
+    bits = v.view(np.uint64)
+    enc = gorilla.encode_floats(v)
+    assert gorilla.decode_floats(enc).view(np.uint64).tolist() == bits.tolist()
+    if v.size >= 2:
+        encv = gorilla._encode_floats_vectorized(
+            bits, np.bitwise_xor(bits[1:], bits[:-1]))
+        assert gorilla.decode_floats(encv).view(np.uint64).tolist() == bits.tolist()
