@@ -121,6 +121,8 @@ def cmd_validate(args) -> int:
 
 def cmd_synth(args) -> int:
     from logtrics_ray.synth import write_token_table
+    if args.rows >= 50_000:
+        _ensure_ray(args.num_cpus)   # parallel shard writes
     path = write_token_table(args.out, args.rows, n_shards=args.shards)
     print(json.dumps({"path": path, "rows": args.rows, "shards": args.shards}))
     return 0
@@ -176,6 +178,7 @@ def main(argv=None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--rows", type=int, default=200_000)
     s.add_argument("--shards", type=int, default=8)
+    s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_synth)
 
     i = sub.add_parser("inspect", help="decode + summarize a written tier")
