@@ -92,3 +92,39 @@ def test_gap_domain_global_matches_oracle(t1_dir):
     gmax = max(w for rows in ocore1h.values() for w in rows)
     assert_tier_matches_oracle(df, oracle_finalize(ocore1h, TIERS["1h"], cfg, gmax),
                                msg="gap_domain=global 1h")
+
+
+def test_many_rules_fanout_matches_oracle(t1_dir):
+    """Rule fan-out at scale (every row offered to EVERY rule,
+    /root/reference/app.go:80-82): 20+ generated rules — distinct series
+    namespaces, shared capture shapes, all four metric types — engine ==
+    oracle bit-for-bit at 1m.  Also exercises the literal-factoring
+    prefilter with a wide anchor set."""
+    from logtrics_ray.rules import load_rules
+    from tests.oracle import oracle_core_rollup, oracle_finalize, oracle_points
+    from tests.util import assert_tier_matches_oracle
+
+    mts = ["counter", "gauge", "timer", "meter"]
+    spec = []
+    for i in range(20):
+        spec.append({
+            "name": f"gen-{i}",
+            # digits rotate the match set per rule; every rule still has
+            # required literal chars for the prefilter
+            "expression": rf'latency_ms=(?P<ms>\d*{i % 10}\d*)',
+            "emit": [{"metric_type": mts[i % 4],
+                      "series": f"gen{i}.{{_source}}",
+                      "value": "float(ms)" if mts[i % 4] != "counter" else 1}],
+        })
+    rules = load_rules(spec)
+    cfg = EngineConfig()
+    points = extract_points(read_token_table(t1_dir), rules, cfg)
+    core = build_core_tiers(points, cfg)
+    df = finalize_tier(core["1m"], TIERS["1m"], cfg).to_pandas()
+    assert df["series_key"].str.startswith("gen").all()
+    assert df["series_key"].nunique() > 20   # fan-out across rules x sources
+
+    opts = oracle_points(t1_dir, rules, cfg)
+    ocore = oracle_core_rollup(opts, TIERS["1m"], cfg)
+    assert_tier_matches_oracle(df, oracle_finalize(ocore, TIERS["1m"], cfg),
+                               msg="20-rule fanout 1m")
