@@ -128,3 +128,18 @@ def test_many_rules_fanout_matches_oracle(t1_dir):
     ocore = oracle_core_rollup(opts, TIERS["1m"], cfg)
     assert_tier_matches_oracle(df, oracle_finalize(ocore, TIERS["1m"], cfg),
                                msg="20-rule fanout 1m")
+
+
+def test_actor_pool_extraction_matches_task_mode(t1_dir):
+    """The stateful actor-pool stage (north star: rules compiled once per
+    actor in __init__) and the task-mode per-process cache produce
+    identical points."""
+    cfg = EngineConfig(extract_concurrency=(1, 2))
+    a = extract_points(read_token_table(t1_dir), default_rules(), cfg,
+                       use_actors=True).to_pandas()
+    b = extract_points(read_token_table(t1_dir), default_rules(), cfg,
+                       use_actors=False).to_pandas()
+    key = ["series_key", "metric_type", "ts_ms", "tiebreak", "value"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
