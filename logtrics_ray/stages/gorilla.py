@@ -75,15 +75,13 @@ class BitReader:
         self.pos = 0  # bit position
 
     def read(self, bits: int) -> int:
-        out = 0
-        pos = self.pos
-        data = self.data
-        for _ in range(bits):
-            byte = data[pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return out
+        """O(bytes) per call: slice the covering byte window once and
+        shift, instead of one Python op per bit."""
+        start = self.pos
+        end = start + bits
+        chunk = int.from_bytes(self.data[start >> 3:(end + 7) >> 3], "big")
+        self.pos = end
+        return (chunk >> ((-end) % 8)) & ((1 << bits) - 1)
 
 
 def encode_timestamps(ts: np.ndarray) -> bytes:

@@ -31,10 +31,14 @@ from logtrics_ray.hashing import series_bucket_array
 from logtrics_ray.stages import gorilla
 from logtrics_ray.stages.seriesscan import FINAL_SCHEMA
 
-# float64-encoded value columns, in storage order.
-VALUE_COLS = ["count", "sum", "vmin", "vmax", "mean", "last",
+# float64-encoded value columns, in storage order.  ``mean`` and ``rate``
+# are NOT stored: they are exact functions of stored columns + the tier
+# width (mean = sum/count; rate = sum/width_s for meters, count/width_s
+# for timers, NaN else) and are re-derived bit-exactly at decode — 2 of
+# 16 encode passes and ~12% of block bytes saved.
+VALUE_COLS = ["count", "sum", "vmin", "vmax", "last",
               "p50", "p75", "p95", "p99", "p999",
-              "cumulative", "rate", "ewma_60s", "ewma_300s", "ewma_900s"]
+              "cumulative", "ewma_60s", "ewma_300s", "ewma_900s"]
 
 BLOCK_SCHEMA = pa.schema(
     [("series_key", pa.string()), ("metric_type", pa.string()),
@@ -95,17 +99,33 @@ def _encode_blocks(group: pa.Table, block_len: int) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=BLOCK_SCHEMA)
 
 
-def decode_blocks(blocks: pa.Table) -> pa.Table:
-    """Gorilla block rows -> final tier rows (exact round-trip)."""
+def decode_blocks(blocks: pa.Table, width_ms: int) -> pa.Table:
+    """Gorilla block rows -> final tier rows (exact round-trip).
+
+    ``mean``/``rate`` are re-derived from the decoded columns with the
+    identical expressions the scan used, so the reconstruction is
+    bit-exact (same float64 operands, same single division)."""
+    width_s = width_ms / 1000.0
     out = {f.name: [] for f in FINAL_SCHEMA}
     for i in range(blocks.num_rows):
         n = blocks["n"][i].as_py()
+        mtype = blocks["metric_type"][i].as_py()
         out["series_key"].extend([blocks["series_key"][i].as_py()] * n)
-        out["metric_type"].extend([blocks["metric_type"][i].as_py()] * n)
+        out["metric_type"].extend([mtype] * n)
         out["window_start"].append(gorilla.decode_timestamps(blocks["b_ts"][i].as_py()))
+        dec = {}
         for c in VALUE_COLS:
-            dec = gorilla.decode_floats(blocks[f"b_{c}"][i].as_py())
-            out[c].append(dec.astype(np.int64) if c == "count" else dec)
+            d = gorilla.decode_floats(blocks[f"b_{c}"][i].as_py())
+            dec[c] = d
+            out[c].append(d.astype(np.int64) if c == "count" else d)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["mean"].append(dec["sum"] / dec["count"])
+            if mtype == "meter":
+                out["rate"].append(dec["sum"] / width_s)
+            elif mtype == "timer":
+                out["rate"].append(dec["count"] / width_s)
+            else:
+                out["rate"].append(np.full(n, np.nan))
         out["gap_filled"].append(gorilla.decode_bools(blocks["b_gap"][i].as_py()))
     cols = []
     for f in FINAL_SCHEMA:
@@ -187,6 +207,8 @@ def write_tier(final_ds, out_dir: str, tier: str, cfg: EngineConfig,
 def read_tier(out_dir: str, tier: str):
     """Read a tier back as a Dataset of decoded final rows (streaming)."""
     import ray.data as rd
+    from logtrics_ray.config import TIERS
+    width_ms = TIERS[tier]
     path = os.path.join(out_dir, f"tier={tier}")
     files = []
     for bucket_dir in sorted(os.listdir(path)):
@@ -194,7 +216,7 @@ def read_tier(out_dir: str, tier: str):
         if os.path.isfile(f):
             files.append(f)
     ds = rd.read_parquet(files)
-    return ds.map_batches(lambda t: decode_blocks(t.combine_chunks()),
+    return ds.map_batches(lambda t: decode_blocks(t.combine_chunks(), width_ms),
                           batch_format="pyarrow")
 
 
