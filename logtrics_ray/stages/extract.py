@@ -91,23 +91,36 @@ def required_chars(expression: str) -> set[str] | None:
     return chars or None
 
 
-def build_anchor_ids(rules, vocab_pieces) -> np.ndarray | None:
-    """Token ids that can complete some rule's required char — the
-    token-level prefilter set.  A single char cannot span token pieces,
-    so a row none of whose pieces contains ANY rule's required char
-    cannot match any rule and is dropped before detokenization.  Returns
-    None (prefilter disabled) unless EVERY rule has a required char."""
-    per_rule = []
+def per_rule_anchor_ids(rules, vocab_pieces) -> list[np.ndarray] | None:
+    """Per rule: token ids that can supply the rule's required char.  A
+    single char cannot span token pieces, so a row none of whose pieces
+    contains rule j's required char cannot match rule j.  Returns None
+    (prefilter disabled) unless EVERY rule has a required char.
+
+    NOTE: per-rule regex subsetting was measured SLOWER than running
+    every rule's RE2 on the full batch (string take() copies outweigh
+    RE2's own internal literal prefiltering), so only the UNION
+    (build_anchor_ids) is used, to skip detokenization entirely for
+    rows no rule can match."""
+    out = []
     for r in rules:
         req = required_chars(r.expression)
         if not req:
             return None
         # the rarest char (fewest vocab pieces contain it) prunes best
         counts = {c: sum(1 for p in vocab_pieces if c in p) for c in req}
-        per_rule.append(min(counts, key=counts.get))
-    anchor = sorted({i for i, p in enumerate(vocab_pieces)
-                     if any(c in p for c in set(per_rule))})
-    return np.asarray(anchor, dtype=np.int64)
+        best = min(counts, key=counts.get)
+        out.append(np.asarray([i for i, p in enumerate(vocab_pieces) if best in p],
+                              dtype=np.int64))
+    return out
+
+
+def build_anchor_ids(rules, vocab_pieces) -> np.ndarray | None:
+    """Union of the per-rule anchor sets (the any-rule prefilter)."""
+    per_rule = per_rule_anchor_ids(rules, vocab_pieces)
+    if per_rule is None:
+        return None
+    return np.unique(np.concatenate(per_rule)) if per_rule else None
 
 
 def _render_series(template: str, fields: dict[str, pa.Array], n: int) -> pa.Array:
