@@ -82,3 +82,34 @@ def test_fused_run_equals_staged_run(t1_dir, tmp_path):
         b = read_tier(b_dir, tier).to_pandas().sort_values(key).reset_index(drop=True)
         assert a.equals(b), f"tier {tier}: fused != staged"
         assert sum(m["rows"] for m in ra[tier]) == sum(m["rows"] for m in rb[tier])
+
+
+def test_no_match_rules_produce_empty_tiers(t1_dir, tmp_path):
+    """A rule set that never matches -> 0-row tiers, no crash (the drop
+    path at scale, /root/reference/logtrics.go:184-188)."""
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    from logtrics_ray.rules import load_rules
+    rules = load_rules([{
+        "name": "never",
+        "expression": r"zz_absent_anchor_q7=(?P<x>\d+)",
+        "emit": [{"metric_type": "counter", "series": "n.{x}", "value": 1}],
+    }])
+    out = str(tmp_path / "empty")
+    res = P.run(t1_dir, out, rules=rules, resume=False)
+    assert all(len(ms) == 0 for ms in res.values())   # no buckets written
+
+
+def test_empty_input_pipeline(tmp_path):
+    """A zero-row (but schema-complete) input runs clean end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    d = tmp_path / "empty_in"
+    d.mkdir()
+    empty = pa.Table.from_arrays([
+        pa.array([], pa.string()), pa.array([], pa.list_(pa.int32())),
+        pa.array([], pa.int32()), pa.array([], pa.string()),
+    ], names=["doc_id", "tokens", "n_tok", "source"])
+    pq.write_table(empty, str(d / "part-0.parquet"))
+    res = P.run(str(d), str(tmp_path / "empty_out"), resume=False)
+    assert all(len(ms) == 0 for ms in res.values())
