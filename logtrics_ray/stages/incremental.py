@@ -53,12 +53,21 @@ def stored_core(out_dir: str, tier: str, bucket: int, input_tag: str,
     pdir = M.partition_dir(out_dir, tier, bucket)
     mpath = os.path.join(pdir, M.MANIFEST_NAME)
     cpath = os.path.join(pdir, "core.parquet")
-    if not (os.path.isfile(mpath) and os.path.isfile(cpath)):
+    if not os.path.isfile(mpath):
         return None, []
     try:
         m = json.load(open(mpath))
     except (json.JSONDecodeError, OSError):
         return None, []
     if m.get("input_tag") != input_tag or m.get("cfg_hash") != cfg_hash:
+        return None, []
+    if not os.path.isfile(cpath):
+        if m.get("input_files"):
+            # A manifest with lineage but no core partials would make the
+            # merge silently drop the stored history — fail loudly; this
+            # state cannot be produced by the engine's own writers.
+            raise RuntimeError(
+                f"bucket {bucket}: manifest records input_files but "
+                f"core.parquet is missing — refusing a lossy merge ({pdir})")
         return None, []
     return pq.read_table(cpath), list(m.get("input_files", []))
