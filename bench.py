@@ -210,8 +210,11 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     # used is explicit in cpus_lo/cpus_hi; both measurements stay in the
     # JSON).
     if (result["value"] < 0.8 and ceiling < 0.8
-            and time.perf_counter() - t_start < budget_s):
-        alt = measure_pair(lo // 2, hi // 2, 2)
+            # only with enough headroom for a full extra pair (one attempt
+            # ~= the first pair's per-attempt cost) before the caller's clock
+            and time.perf_counter() - t_start
+                < budget_s - (time.perf_counter() - t_start) / result["attempts"]):
+        alt = measure_pair(lo // 2, hi // 2, 1)
         alt["host_burn_scaling_ceiling"] = ceiling
         if alt["value"] > result["value"]:
             alt["full_width_pair"] = {k: result[k] for k in
