@@ -140,6 +140,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ret = {k: v["retention_d"] * DAY_MS for k, v in DIM.items()}
         return apply_retention(basic_rollup_frame(core), ret, horizon_end)
 
+    def q_props_rollup(sf_dir):
+        """JSON-ish field extraction with the engine's own regex stage:
+        props = '{"k": N}' -> value N, rolled up hourly per event_type."""
+        import ray.data as rd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from logtrics_ray.pipelines.table_rollup import (basic_rollup_frame,
+                                                         points_from_table)
+        from logtrics_ray.stages.rollup import rollup_base
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "event_type", "props"])
+
+        def extract_k(t: pa.Table) -> pa.Table:
+            m = pc.extract_regex(t["props"].combine_chunks()
+                                 if isinstance(t["props"], pa.ChunkedArray)
+                                 else t["props"], r'"k":\s*(?P<k>-?\d+)')
+            k = pc.cast(m.field("k"), pa.float64())
+            return (t.drop_columns(["props"]).append_column("k", k)
+                     .filter(pc.is_valid(k)))
+
+        pts = points_from_table(ds.map_batches(extract_k, batch_format="pyarrow"),
+                                "ts", "event_type", "k", "event_id")
+        return basic_rollup_frame(rollup_base(pts, HOUR_MS, _cfg()))
+
+    def q_rollup_15m(sf_dir):
+        from logtrics_ray.pipelines.table_rollup import basic_rollup_frame
+        return basic_rollup_frame(_events_core(sf_dir, 15 * MIN_MS))
+
     def q_topk(sf_dir):
         from logtrics_ray.pipelines.table_rollup import topk_series_frame
         return topk_series_frame(_events_points(sf_dir), k=10)
@@ -318,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_timer_digest_1h": q_timer_digest,
         "events_meter_ewma_1m": q_ewma,
         "events_topk_series": q_topk,
+        "events_props_rollup_1h": q_props_rollup,
+        "events_rollup_15m": q_rollup_15m,
         "events_enriched_rollup_1h": q_enriched_rollup,
         "events_rollup_1h_retention": q_retention,
         "events_user_rollup_1h": q_user_rollup,
@@ -438,6 +468,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS series_key, count(*) AS n
             FROM events GROUP BY 1
             ORDER BY n DESC, series_key ASC LIMIT 10""",
+        "events_props_rollup_1h": f"""
+            WITH ext AS (
+              SELECT event_type, ts, event_id,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+              FROM events)
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                   count(*) AS n,
+                   round(sum(k), 6) AS sum_value,
+                   round(min(k), 6) AS min_value,
+                   round(max(k), 6) AS max_value,
+                   round(avg(k), 6) AS avg_value
+            FROM ext WHERE k IS NOT NULL GROUP BY 1, 2""",
+        "events_rollup_15m": f"""
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {15 * MIN_MS}) * {15 * MIN_MS} AS window_start,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2""",
         "events_enriched_rollup_1h": f"""
             WITH dim(series_key, policy, retention_d) AS (VALUES
                 ('click', 'hot', 7), ('view', 'warm', 3),
