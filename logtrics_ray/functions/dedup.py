@@ -1,5 +1,11 @@
 """Deduplication operators for training-data pipelines.
 
+Public techniques: MinHash/LSH after Broder, "On the resemblance and
+containment of documents" (SEQUENCES 1997) with banded LSH as in
+Rajaraman & Ullman, *Mining of Massive Datasets* ch.3; SimHash after
+Charikar, "Similarity estimation techniques from rounding algorithms"
+(STOC 2002).
+
 All are Dataset->Dataset transforms designed for the 100 TB shape:
 
   * exact_dedup: content-hash per batch (vectorized) -> hash-partitioned

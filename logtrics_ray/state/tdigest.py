@@ -1,5 +1,9 @@
 """Deterministic batch t-digest (numpy, no Python-per-value loops).
 
+After Dunning & Ertl, "Computing Extremely Accurate Quantiles Using
+t-Digests" (arXiv:1902.04023): k1 (arcsine) scale function, mergeable
+centroids; determinism here comes from sorted inputs + fixed merge order.
+
 Percentile sketch for timer rollups (p50/p75/p95/p99/p999 — the
 reference's Graphite percentile set, /root/reference/graphite/graphite.go:72).
 The reference's go-metrics uses reservoir sampling (nondeterministic);
