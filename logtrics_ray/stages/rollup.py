@@ -335,10 +335,23 @@ def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
     modes; only scheduling granularity differs.
     """
     group = group.combine_chunks()
-    sk = np.asarray(group["series_key"].to_pylist(), dtype=object)
-    mt = np.asarray(group["metric_type"].to_pylist(), dtype=object)
-    key = np.array([f"{a}\x00{b}" for a, b in zip(sk, mt)], dtype=object)
-    uniq, code = np.unique(key, return_inverse=True)
+    # (series, metric_type) group codes WITHOUT per-row Python strings:
+    # the fused exchange ships these columns dictionary-encoded, so the
+    # dictionary indices already are the codes; plain-string inputs (the
+    # staged path, tests) pay one C++ dictionary_encode instead.
+    skc = group["series_key"].combine_chunks()
+    mtc = group["metric_type"].combine_chunks()
+    if not pa.types.is_dictionary(skc.type):
+        skc = skc.dictionary_encode()
+    if not pa.types.is_dictionary(mtc.type):
+        mtc = mtc.dictionary_encode()
+    sk_labels = np.asarray(skc.dictionary.to_pylist(), dtype=object)
+    mt_labels = np.asarray(mtc.dictionary.to_pylist(), dtype=object)
+    comb = (skc.indices.to_numpy().astype(np.int64) * len(mt_labels)
+            + mtc.indices.to_numpy())
+    uniq_comb, code = np.unique(comb, return_inverse=True)
+    u_sk = sk_labels[uniq_comb // len(mt_labels)]
+    u_mt = mt_labels[uniq_comb % len(mt_labels)]
     w = _np(group, "window_start"); ts = _np(group, "ts_ms")
     tb = _np(group, "tiebreak"); v = _np(group, "value")
     salt = _np(group, "salt")
@@ -360,7 +373,7 @@ def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
     p_max = np.maximum.reduceat(v1, seg_change)
     p_last, p_lts, p_ltb = v1[ends1], ts1[ends1], tb1[ends1]
 
-    timer_mask_series = np.array([u.split("\x00")[1] == "timer" for u in uniq])
+    timer_mask_series = (u_mt == "timer")
     p_digest: list = [None] * p_code.size
     if timer_mask_series.any():
         idx = np.flatnonzero(timer_mask_series[p_code])
@@ -401,8 +414,8 @@ def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
             merged[i] = d.to_bytes()
             qs[i] = d.quantiles(PCTL_QS)
 
-    out_series = np.array([uniq[c].split("\x00")[0] for c in out_code], dtype=object)
-    out_mt = np.array([uniq[c].split("\x00")[1] for c in out_code], dtype=object)
+    out_series = u_sk[out_code]
+    out_mt = u_mt[out_code]
     cols = [
         pa.array(out_series, pa.string()),
         pa.array(out_mt, pa.string()),
