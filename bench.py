@@ -14,6 +14,13 @@ Prints ONE JSON line:
 --scaling: reruns this script in FRESH processes at RAY_GRAFT_CPUS=8 and
 =32 on the same input and reports both throughputs + scaling efficiency
 (the sandbox proxy for the north rule's N vs 4N node clusters).
+Robustness on this shared host: best-throughput-per-level across
+attempts (noise on a deterministic job is strictly additive), a CPU
+steal probe + a pure-numpy hardware scaling ceiling recorded in the
+JSON, a wall-clock budget (LT_SCALE_BUDGET_S) protecting the caller's
+timeout, and — when the hypervisor cannot deliver 32 real cores — a
+fallback measurement at the widest N-vs-4N pair inside real capacity
+(4 vs 16), with the 8-vs-32 numbers kept alongside.
 """
 
 from __future__ import annotations
