@@ -42,10 +42,14 @@ _WS = re.compile(r"\s+")
 
 
 def add_content_hash(ds, text_col: str = "text"):
+    # int64 reinterpretation of the 64-bit hash: Ray's sort-shuffle
+    # boundary sampling round-trips key samples through Python ints and
+    # OVERFLOWS on uint64 values > 2^63 (ArrowConversionError) — signed
+    # keys group identically and shuffle safely.
     def fn(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
-        h = hash64_array(texts)
-        return t.append_column("content_hash", pa.array(h, pa.uint64()))
+        h = hash64_array(texts).astype(np.int64)
+        return t.append_column("content_hash", pa.array(h, pa.int64()))
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -132,13 +136,13 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
         out_band, out_hash, out_id = [], [], []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            bh = hash64_array(["|".join(map(str, row)) for row in chunk])
+            bh = hash64_array(["|".join(map(str, row)) for row in chunk]).astype(np.int64)
             out_band.append(np.full(len(ids), b, dtype=np.int64))
             out_hash.append(bh)
             out_id.append(ids)
         return pa.Table.from_arrays(
             [pa.array(np.concatenate(out_band), pa.int64()),
-             pa.array(np.concatenate(out_hash), pa.uint64()),
+             pa.array(np.concatenate(out_hash), pa.int64()),  # signed: shuffle-safe keys
              pa.array(np.concatenate(out_id))],
             names=["band_id", "band_hash", "doc_id"])
 
@@ -198,7 +202,8 @@ class SimHasher:
         out = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
         return pa.Table.from_arrays(
             [batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray)
-             else batch["doc_id"], pa.array(out, pa.uint64())],
+             else batch["doc_id"],
+             pa.array(out.astype(np.int64), pa.int64())],  # signed: shuffle-safe keys
             names=["doc_id", "simhash"])
 
 
