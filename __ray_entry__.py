@@ -168,6 +168,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.pipelines.table_rollup import basic_rollup_frame
         return basic_rollup_frame(_events_core(sf_dir, 15 * MIN_MS))
 
+    def q_sliding(sf_dir):
+        """Hopping window: 1h wide, 15m hop — each event lands in 4 windows."""
+        from logtrics_ray.pipelines.table_rollup import basic_rollup_frame
+        from logtrics_ray.stages.rollup import (assign_sliding_windows,
+                                                rollup_windowed)
+        pts = assign_sliding_windows(_events_points(sf_dir), HOUR_MS,
+                                     15 * MIN_MS, _cfg())
+        return basic_rollup_frame(rollup_windowed(pts))
+
     def q_topk(sf_dir):
         from logtrics_ray.pipelines.table_rollup import topk_series_frame
         return topk_series_frame(_events_points(sf_dir), k=10)
@@ -348,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_series": q_topk,
         "events_props_rollup_1h": q_props_rollup,
         "events_rollup_15m": q_rollup_15m,
+        "events_sliding_1h_step15m": q_sliding,
         "events_enriched_rollup_1h": q_enriched_rollup,
         "events_rollup_1h_retention": q_retention,
         "events_user_rollup_1h": q_user_rollup,
@@ -490,6 +500,17 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2""",
+        "events_sliding_1h_step15m": f"""
+            WITH hops AS (SELECT unnest(generate_series(0, 3)) AS k)
+            SELECT event_type AS series_key,
+                   ((epoch_ms(ts) // {15 * MIN_MS}) - k) * {15 * MIN_MS}
+                       AS window_start,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events CROSS JOIN hops GROUP BY 1, 2""",
         "events_enriched_rollup_1h": f"""
             WITH dim(series_key, policy, retention_d) AS (VALUES
                 ('click', 'hot', 7), ('view', 'warm', 3),

@@ -89,6 +89,46 @@ def assign_windows(points_ds, width_ms: int, cfg: EngineConfig):
     return points_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def assign_sliding_windows(points_ds, width_ms: int, step_ms: int,
+                           cfg: EngineConfig):
+    """Sliding (hopping) windows: width W, hop S, W % S == 0.  Each point
+    belongs to exactly W/S windows with starts (ts//S - k)*S, k=0..W/S-1 —
+    materialized by an explicit W/S-fold expansion of the NARROW points
+    table (the standard shuffle-side expansion for hopping windows; the
+    wide input never expands).  Emits window_start + salt like
+    assign_windows, so every downstream rollup path applies unchanged."""
+    if width_ms % step_ms:
+        raise ValueError("sliding window width must be a multiple of the step")
+    f = width_ms // step_ms
+    S = np.uint64(cfg.salt_buckets)
+    step = np.int64(step_ms)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return (t.append_column("window_start", pa.array([], pa.int64()))
+                     .append_column("salt", pa.array([], pa.int64())))
+        ts = t["ts_ms"].to_numpy()
+        tb = t["tiebreak"].to_numpy()
+        idx = np.repeat(np.arange(n), f)
+        k = np.tile(np.arange(f, dtype=np.int64), n)
+        tse = ts[idx]
+        w = (tse // step - k) * step
+        out = t.take(pa.array(idx, pa.int64()))
+        salt = (tb[idx] % S).astype(np.int64)
+        return (out.append_column("window_start", pa.array(w, pa.int64()))
+                   .append_column("salt", pa.array(salt, pa.int64())))
+
+    return points_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rollup_windowed(windowed_ds):
+    """Grouped rollup over a Dataset that already carries window_start +
+    salt (e.g. sliding windows).  Same defining semantics as rollup_base."""
+    return windowed_ds.groupby(["series_key", "metric_type"]).map_groups(
+        _fused_fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- partials --
 
 def _np(t: pa.Table, col: str) -> np.ndarray:
