@@ -203,22 +203,39 @@ class RuleExtractor:
                 # the tokens themselves are still the ground truth.
                 self.row_errors += bad
 
-        if self.anchor_table is not None:
+        if self.vocab_pa is not None and "tokens" in batch.column_names:
             tok = batch["tokens"]
             if isinstance(tok, pa.ChunkedArray):
                 tok = tok.combine_chunks()
             flat = tok.values.to_numpy(zero_copy_only=False)
             seg_len = np.diff(tok.offsets.to_numpy())
-            hit = np.zeros(flat.size, dtype=bool)
-            inb = (flat >= 0) & (flat < self.anchor_table.size)
-            hit[inb] = self.anchor_table[flat[inb]]
             rowid = np.repeat(np.arange(n), seg_len)
-            keep = np.bincount(rowid[hit], minlength=n) > 0
-            if not keep.all():
-                batch = batch.filter(pa.array(keep))
+            inb = (flat >= 0) & (flat < len(self.vocab_pa))
+            if not inb.all():
+                # Malformed rows (ids outside the vocab) would crash the
+                # detokenize take(); drop + count them — log-and-continue
+                # per-row error policy (script.go:58-61).
+                badrow = np.bincount(rowid[~inb], minlength=n) > 0
+                self.row_errors += int(badrow.sum())
+                batch = batch.filter(pa.array(~badrow))
                 n = batch.num_rows
                 if n == 0:
                     return POINTS_SCHEMA.empty_table()
+                tok = batch["tokens"].combine_chunks() if isinstance(
+                    batch["tokens"], pa.ChunkedArray) else batch["tokens"]
+                flat = tok.values.to_numpy(zero_copy_only=False)
+                seg_len = np.diff(tok.offsets.to_numpy())
+                rowid = np.repeat(np.arange(n), seg_len)
+            if self.anchor_table is not None:
+                hit = np.zeros(flat.size, dtype=bool)
+                hit[flat < self.anchor_table.size] = \
+                    self.anchor_table[flat[flat < self.anchor_table.size]]
+                keep = np.bincount(rowid[hit], minlength=n) > 0
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
+                    n = batch.num_rows
+                    if n == 0:
+                        return POINTS_SCHEMA.empty_table()
 
         text = self._text(batch)
         doc_ids = batch["doc_id"]

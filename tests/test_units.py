@@ -346,3 +346,23 @@ def test_gorilla_vectorized_encoder_matches_decode():
         encv = gorilla._encode_floats_vectorized(
             bits, np.bitwise_xor(bits[1:], bits[:-1]))
         assert gorilla.decode_floats(encv).view(np.uint64).tolist() == bits.tolist()
+
+
+def test_malformed_token_ids_dropped_and_counted():
+    """Rows with out-of-vocab token ids are dropped + counted (log-and-
+    continue, /root/reference/script.go:58-61), never crash detokenize."""
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.rules import default_rules
+    from logtrics_ray.stages.extract import RuleExtractor
+    good = synth_shard(0, 50, seed=42, row_offset=0)
+    bad_tokens = pa.array([[1, 99_999_999, 2]], type=pa.list_(pa.int32()))
+    bad = pa.Table.from_arrays(
+        [pa.array(["doc-bad"]), bad_tokens, pa.array([3], pa.int32()),
+         pa.array(["web"])], names=["doc_id", "tokens", "n_tok", "source"])
+    both = pa.concat_tables([good, bad])
+    ex = RuleExtractor(default_rules(), EngineConfig())
+    out_both = ex(both)
+    errs = ex.row_errors
+    out_good = ex(good)
+    assert errs == 1                      # the malformed row was counted
+    assert out_both.equals(out_good)      # ...and contributed nothing
