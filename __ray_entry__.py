@@ -391,7 +391,7 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS sum_value,
                round(min(value), 6) AS min_value,
                round(max(value), 6) AS max_value,
-               round(avg(value), 6) AS avg_value
+               round(round(sum(value), 6) / count(*), 6) AS avg_value
         FROM events GROUP BY 1, 2"""
 
     return {
@@ -489,7 +489,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(k), 6) AS sum_value,
                    round(min(k), 6) AS min_value,
                    round(max(k), 6) AS max_value,
-                   round(avg(k), 6) AS avg_value
+                   round(round(sum(k), 6) / count(*), 6) AS avg_value
             FROM ext WHERE k IS NOT NULL GROUP BY 1, 2""",
         "events_rollup_15m": f"""
             SELECT event_type AS series_key,
@@ -498,7 +498,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value,
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value,
-                   round(avg(value), 6) AS avg_value
+                   round(round(sum(value), 6) / count(*), 6) AS avg_value
             FROM events GROUP BY 1, 2""",
         "events_sliding_1h_step15m": f"""
             WITH hops AS (SELECT unnest(generate_series(0, 3)) AS k)
@@ -509,7 +509,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value,
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value,
-                   round(avg(value), 6) AS avg_value
+                   round(round(sum(value), 6) / count(*), 6) AS avg_value
             FROM events CROSS JOIN hops GROUP BY 1, 2""",
         "events_enriched_rollup_1h": f"""
             WITH dim(series_key, policy, retention_d) AS (VALUES
@@ -523,7 +523,7 @@ def oracle_sql() -> dict[str, str]:
                      round(sum(value), 6) AS sum_value,
                      round(min(value), 6) AS min_value,
                      round(max(value), 6) AS max_value,
-                     round(avg(value), 6) AS avg_value
+                     round(round(sum(value), 6) / count(*), 6) AS avg_value
               FROM events GROUP BY 1, 2)
             SELECT a.*, d.policy, d.retention_d
             FROM agg a LEFT JOIN dim d USING (series_key)""",
@@ -539,7 +539,7 @@ def oracle_sql() -> dict[str, str]:
                      round(sum(value), 6) AS sum_value,
                      round(min(value), 6) AS min_value,
                      round(max(value), 6) AS max_value,
-                     round(avg(value), 6) AS avg_value
+                     round(round(sum(value), 6) / count(*), 6) AS avg_value
               FROM events GROUP BY 1, 2),
             horizon AS (SELECT max(window_start) + {HOUR_MS} AS h_end FROM agg)
             SELECT a.* FROM agg a, horizon, dim d
@@ -552,7 +552,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value,
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value,
-                   round(avg(value), 6) AS avg_value
+                   round(round(sum(value), 6) / count(*), 6) AS avg_value
             FROM events GROUP BY 1, 2""",
         "lineitem_daily_revenue": f"""
             SELECT l_returnflag AS series_key,

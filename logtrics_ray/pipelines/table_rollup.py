@@ -94,8 +94,14 @@ def basic_rollup_frame(core_ds, include_avg: bool = True) -> pa.Table:
         names = ["series_key", "window_start", "n", "sum_value", "min_value",
                  "max_value"]
         if include_avg:
-            cols.append(pa.array(_round6(t["mean"].to_numpy(zero_copy_only=False)),
-                                 pa.float64()))
+            # avg from the ROUNDED sum: when values are fixed-decimal (the
+            # events table), round6(sum) lands on the same double on both
+            # engine and SQL sides, so the division and the final rounding
+            # are bit-identical even when sum/count sits exactly on a 6dp
+            # half (where raw-mean rounding flips on ULP noise).
+            s6 = _round6(t["sum"].to_numpy(zero_copy_only=False))
+            cnt = t["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+            cols.append(pa.array(_round6(s6 / cnt), pa.float64()))
             names.append("avg_value")
         return pa.Table.from_arrays(cols, names=names)
 
