@@ -208,7 +208,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             "sf": r_lo["sf"],
         }
 
-    result = measure_pair(lo, hi, int(os.environ.get("LT_SCALE_ATTEMPTS", "2")))
+    result = measure_pair(lo, hi, int(os.environ.get("LT_SCALE_ATTEMPTS", "1")))
     result["host_burn_scaling_ceiling"] = ceiling = _host_scaling_ceiling(lo, hi)
     # The pair is a PROXY for N vs 4N nodes.  When the shared host cannot
     # deliver `hi` real cores (its own pure-numpy ceiling is below target),
