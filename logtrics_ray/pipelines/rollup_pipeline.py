@@ -107,7 +107,7 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     from concurrent.futures import ThreadPoolExecutor
 
     def write_one(tier, core_ds):
-        storage.write_tier_finalized(
+        return storage.write_tier_finalized(
             core_ds, out_dir, tier, TIERS[tier], cfg, input_tag, cfg_hash,
             skip_buckets=done[tier] - done_everywhere).materialize()
 
@@ -125,8 +125,19 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
                                         cfg.rollup_buckets).materialize()
             futures.append(pool.submit(write_one, tier, core))
             core_prev = core
-        for f in futures:
-            f.result()
+        summaries = [f.result() for f in futures]
+    # rows=0 manifests for unobserved buckets (no input_files/core here:
+    # the staged path's non-empty partitions carry neither — incremental
+    # appends are the fused path's feature).
+    from logtrics_ray.stages.storage import write_empty_partition
+    for tier, summary in zip(cfg.tiers, summaries):
+        observed = {int(r["bucket"]) for r in
+                    summary.select_columns(["bucket"]).take_all()}
+        complete = observed | done[tier]
+        for bucket in range(cfg.series_buckets):
+            if bucket not in complete:
+                write_empty_partition(out_dir, tier, bucket, cfg, input_tag,
+                                      cfg_hash)
     for tier in cfg.tiers:
         results[tier] = M.load_manifests(out_dir, tier)
     return results
@@ -146,7 +157,8 @@ class _FusedBucketWorker:
     def __init__(self, out_dir: str, cfg: EngineConfig, input_tag: str,
                  cfg_hash: str, done: dict[str, set],
                  input_files: list[str] | None = None,
-                 merge_stored: bool = False):
+                 merge_stored: bool = False,
+                 merge_files: list[str] | None = None):
         from logtrics_ray.stages.storage import BucketFinalizeWriter
         self.cfg = cfg
         self.done = done
@@ -154,6 +166,12 @@ class _FusedBucketWorker:
         self.input_tag, self.cfg_hash = input_tag, cfg_hash
         self.input_files = sorted(input_files or [])
         self.merge_stored = merge_stored
+        # Shards whose points are in THIS pass, indexed by the `_shard`
+        # column (incremental path only).  Per bucket, shards already in
+        # the stored manifest's lineage are filtered out BEFORE the merge,
+        # so re-applying the same shards (task retry, driver crash between
+        # bucket commits) is idempotent — never double-counted.
+        self.merge_files = list(merge_files or [])
         first = cfg.tiers[0]
         # The first tier persists its mergeable core rows (core.parquet) —
         # the partial-aggregate state incremental appends merge into.
@@ -167,23 +185,52 @@ class _FusedBucketWorker:
     def __call__(self, group: pa.Table) -> pa.Table:
         import numpy as np
         from logtrics_ray.stages.cascade import _cascade_bucket_fn
-        from logtrics_ray.stages.rollup import _bucket_rollup_fn
+        from logtrics_ray.stages.rollup import CORE_SCHEMA, _bucket_rollup_fn
         from logtrics_ray.stages.storage import SUMMARY_SCHEMA
         group = group.combine_chunks()
         bucket = int(group["sbucket"][0].as_py())
-        core = _bucket_rollup_fn(group.drop_columns(["sbucket"]))
+        data = group.drop_columns(["sbucket"])
         meta = {"input_files": self.input_files}
         if self.merge_stored:
             from logtrics_ray.stages.incremental import merge_cores, stored_core
             prev, prev_files = stored_core(self.out_dir, self.cfg.tiers[0],
                                            bucket, self.input_tag, self.cfg_hash)
-            core = merge_cores(prev, core)
+            # Idempotency guard: merge only shards this bucket has NOT
+            # yet consumed (per-point provenance via the _shard column).
+            if "_shard" in data.column_names:
+                consumed = {i for i, f in enumerate(self.merge_files)
+                            if f in set(prev_files)}
+                if consumed:
+                    keep_ids = pa.array(
+                        [i for i in range(len(self.merge_files))
+                         if i not in consumed], pa.int32())
+                    data = data.filter(
+                        pa.compute.is_in(data["_shard"], value_set=keep_ids))
+                data = data.drop_columns(["_shard"])
+            core = (merge_cores(prev, _bucket_rollup_fn(data))
+                    if data.num_rows else
+                    (prev if prev is not None else CORE_SCHEMA.empty_table()))
             meta = {"input_files": sorted(set(prev_files) | set(self.input_files))}
+        else:
+            if "_shard" in data.column_names:
+                data = data.drop_columns(["_shard"])
+            core = _bucket_rollup_fn(data)
         out = []
         for i, tier in enumerate(self.cfg.tiers):
-            if i > 0:
+            if i > 0 and core.num_rows:
                 core = _cascade_bucket_fn(core, TIERS[tier])
             if bucket in self.done.get(tier, ()):
+                continue
+            if core.num_rows == 0:
+                from logtrics_ray.stages.storage import write_empty_partition
+                write_empty_partition(self.out_dir, tier, bucket, self.cfg,
+                                      self.input_tag, self.cfg_hash,
+                                      extra_meta=meta,
+                                      write_core=(tier == self.cfg.tiers[0]))
+                out.append(pa.Table.from_pydict(
+                    dict(tier=[tier], bucket=[bucket], rows=[0], series=[0],
+                         blocks=[0], window_min=[None], window_max=[None]),
+                    schema=SUMMARY_SCHEMA))
                 continue
             with_bucket = core.append_column(
                 "bucket", pa.array(np.full(core.num_rows, bucket, dtype=np.int64)))
@@ -257,8 +304,31 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     # upstream map chain inside RepartitionSplit (measured: total remote
     # CPU doubles, 118s -> 232s at sf0.1), so coalescing costs more than
     # the sort's per-block overhead it would save.
-    pts.groupby("sbucket").map_groups(fused_bucket, batch_format="pyarrow").materialize()
+    summaries = (pts.groupby("sbucket")
+                 .map_groups(fused_bucket, batch_format="pyarrow").materialize())
+    _fill_empty_buckets(summaries, done, out_dir, cfg, input_tag, cfg_hash,
+                        input_files=_input_file_names(input_path))
     return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+
+
+def _fill_empty_buckets(summaries, done: dict[str, set], out_dir: str,
+                        cfg: EngineConfig, input_tag: str, cfg_hash: str,
+                        input_files: list[str]) -> None:
+    """Write rows=0 manifests for buckets the shuffle never observed, so
+    run completeness is bucket-set-complete (resume early-exit works) and
+    incremental lineage covers buckets born empty."""
+    from logtrics_ray.stages.storage import write_empty_partition
+    observed: dict[str, set] = {t: set() for t in cfg.tiers}
+    for row in summaries.select_columns(["tier", "bucket"]).take_all():
+        observed.setdefault(row["tier"], set()).add(int(row["bucket"]))
+    meta = {"input_files": sorted(input_files)}
+    for tier in cfg.tiers:
+        complete = observed[tier] | done.get(tier, set())
+        for bucket in range(cfg.series_buckets):
+            if bucket not in complete:
+                write_empty_partition(out_dir, tier, bucket, cfg, input_tag,
+                                      cfg_hash, extra_meta=meta,
+                                      write_core=(tier == cfg.tiers[0]))
 
 
 def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
@@ -292,13 +362,30 @@ def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = No
 
     paths = ([os.path.join(input_path, f) for f in new_files]
              if os.path.isdir(input_path) else [input_path])
-    ds = rd.read_parquet(paths, columns=["doc_id", "tokens", "n_tok", "source"])
-    pts = _prep_points(extract_points(ds, rules, cfg), cfg)
+    ds = rd.read_parquet(paths, columns=["doc_id", "tokens", "n_tok", "source"],
+                         include_paths=True)
+    shard_of = {f: i for i, f in enumerate(new_files)}
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        # path -> shard index, via the (tiny) dictionary of distinct paths.
+        enc = pa.compute.dictionary_encode(t["path"].combine_chunks()
+                                           if isinstance(t["path"], pa.ChunkedArray)
+                                           else t["path"])
+        lut = pa.array([shard_of[os.path.basename(p.as_py())]
+                        for p in enc.dictionary], pa.int32())
+        shard = pa.compute.take(lut, enc.indices)
+        return t.drop_columns(["path"]).append_column("_shard", shard)
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    pts = _prep_points(extract_points(ds, rules, cfg, passthrough=("_shard",)), cfg)
     # Lineage after this run = the full current listing (a bucket that got
     # nothing from a shard has still consumed it), so buckets born in this
-    # append don't make old shards look unconsumed next time.
+    # append don't make old shards look unconsumed next time.  merge_files
+    # indexes the _shard provenance column: per bucket, shards already in
+    # the stored lineage are filtered out pre-merge (idempotent re-apply).
     worker = _FusedBucketWorker(out_dir, cfg, input_tag, cfg_hash, done={},
-                                input_files=files, merge_stored=True)
+                                input_files=files, merge_stored=True,
+                                merge_files=new_files)
 
     def inc_bucket(group: pa.Table) -> pa.Table:
         return worker(group)

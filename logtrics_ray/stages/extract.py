@@ -56,38 +56,53 @@ POINTS_SCHEMA = pa.schema([
 _TEMPLATE_SPLIT = re.compile(r"\{(\w+)\}")
 
 
-def required_chars(expression: str) -> set[str] | None:
-    """Characters every match of ``expression`` must contain, or None.
+def required_chars(expression: str) -> set[frozenset[str]] | None:
+    """Required-character alternatives of ``expression``, or None.
 
     Literal-factoring prefilter support (same idea as RE2's required
     prefix / Hyperscan literal factoring): walk the regex parse tree and
     collect LITERAL chars that occur unconditionally (top-level sequence,
     capture groups, and repeats with min >= 1).  Branches / classes /
     optional parts contribute nothing — conservative by construction.
+
+    Each element is an *alternative set*: every match must contain at
+    least one char from each set.  Case-sensitive literals yield a
+    singleton {c}; literals under re.IGNORECASE (global flag or inline
+    (?i), where the sre tree still stores the original-case char) yield
+    {c.lower(), c.upper()} so case-insensitive rules are never
+    over-pruned.
     """
     try:
         import re._parser as sre_parse
         from re._constants import (BRANCH, LITERAL, MAX_REPEAT, MIN_REPEAT,
                                    SUBPATTERN)
         tree = sre_parse.parse(expression)
+        global_ci = bool(tree.state.flags & re.IGNORECASE)
     except Exception:
         return None
-    chars: set[str] = set()
+    chars: set[frozenset[str]] = set()
 
-    def walk(seq):
+    def walk(seq, ci: bool):
         for op, arg in seq:
             if op is LITERAL:
-                chars.add(chr(arg))
+                c = chr(arg)
+                if ci:
+                    chars.add(frozenset({c.lower(), c.upper()}))
+                else:
+                    chars.add(frozenset({c}))
             elif op is SUBPATTERN:
-                walk(arg[3])
+                _group, add_flags, del_flags, sub = arg
+                sub_ci = (ci or bool(add_flags & re.IGNORECASE)) and not bool(
+                    del_flags & re.IGNORECASE)
+                walk(sub, sub_ci)
             elif op in (MAX_REPEAT, MIN_REPEAT):
                 lo, _hi, sub = arg
                 if lo >= 1:
-                    walk(sub)
+                    walk(sub, ci)
             elif op is BRANCH:
                 pass  # a char required in EVERY branch would qualify; skip
 
-    walk(tree)
+    walk(tree, global_ci)
     return chars or None
 
 
@@ -107,11 +122,15 @@ def per_rule_anchor_ids(rules, vocab_pieces) -> list[np.ndarray] | None:
         req = required_chars(r.expression)
         if not req:
             return None
-        # the rarest char (fewest vocab pieces contain it) prunes best
-        counts = {c: sum(1 for p in vocab_pieces if c in p) for c in req}
+        # the rarest alternative-set (fewest vocab pieces contain any of
+        # its chars) prunes best; a row matches an alt-set if any piece
+        # contains any char of the set.
+        counts = {alt: sum(1 for p in vocab_pieces if any(c in p for c in alt))
+                  for alt in req}
         best = min(counts, key=counts.get)
-        out.append(np.asarray([i for i, p in enumerate(vocab_pieces) if best in p],
-                              dtype=np.int64))
+        out.append(np.asarray(
+            [i for i, p in enumerate(vocab_pieces) if any(c in p for c in best)],
+            dtype=np.int64))
     return out
 
 
@@ -156,10 +175,14 @@ class RuleExtractor:
     built once in ``__init__``."""
 
     def __init__(self, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
-                 text_column: str | None = None):
+                 text_column: str | None = None,
+                 passthrough: tuple[str, ...] = ()):
         self.rules = rules
         self.cfg = cfg
         self.text_column = text_column
+        # Input columns copied onto every emitted point (row-aligned), e.g.
+        # the `_shard` provenance column of the incremental-append path.
+        self.passthrough = tuple(passthrough)
         # Detokenization vocab — built once per actor (not per batch).
         self.anchor_table = None
         if text_column:
@@ -187,11 +210,18 @@ class RuleExtractor:
             return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         return V.detokenize(batch["tokens"], self.vocab_pa)
 
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        if not self.passthrough:
+            return POINTS_SCHEMA.empty_table()
+        fields = list(POINTS_SCHEMA) + [batch.schema.field(c)
+                                        for c in self.passthrough]
+        return pa.schema(fields).empty_table()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         self.rows_in += n
         if n == 0:
-            return POINTS_SCHEMA.empty_table()
+            return self._empty(batch)
 
         if "n_tok" in batch.column_names and "tokens" in batch.column_names:
             # Token-array equality invariant (BASELINE.json input_hint).
@@ -220,7 +250,7 @@ class RuleExtractor:
                 batch = batch.filter(pa.array(~badrow))
                 n = batch.num_rows
                 if n == 0:
-                    return POINTS_SCHEMA.empty_table()
+                    return self._empty(batch)
                 tok = batch["tokens"].combine_chunks() if isinstance(
                     batch["tokens"], pa.ChunkedArray) else batch["tokens"]
                 flat = tok.values.to_numpy(zero_copy_only=False)
@@ -235,7 +265,7 @@ class RuleExtractor:
                     batch = batch.filter(pa.array(keep))
                     n = batch.num_rows
                     if n == 0:
-                        return POINTS_SCHEMA.empty_table()
+                        return self._empty(batch)
 
         text = self._text(batch)
         doc_ids = batch["doc_id"]
@@ -247,6 +277,10 @@ class RuleExtractor:
         source = batch["source"] if "source" in batch.column_names else None
         if isinstance(source, pa.ChunkedArray):
             source = source.combine_chunks()
+        pass_cols = {}
+        for c in self.passthrough:
+            col = batch[c]
+            pass_cols[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
         out: list[pa.Table] = []
         for rule in self.rules:
@@ -261,41 +295,51 @@ class RuleExtractor:
                 fields["_source"] = source.filter(mask)
             ts = pa.array(ts_all[np.asarray(mask)], type=pa.int64())
             tb = pa.array(tiebreak_all[np.asarray(mask)], type=pa.uint64())
+            pfiltered = [(c, col.filter(mask)) for c, col in pass_cols.items()]
             for emit in rule.emits:
                 series = _render_series(emit.series, fields, nv)
                 value = _emit_value(emit, fields, nv)
                 mt = pa.array([emit.metric_type] * nv, type=pa.string())
-                out.append(pa.Table.from_arrays([series, mt, ts, value, tb],
-                                                schema=POINTS_SCHEMA))
+                t = pa.Table.from_arrays([series, mt, ts, value, tb],
+                                         schema=POINTS_SCHEMA)
+                for c, col in pfiltered:
+                    t = t.append_column(c, col)
+                out.append(t)
             if rule.handler is not None:
-                out.append(self._run_handler(rule, fields, ts, tb, nv))
+                out.append(self._run_handler(rule, fields, ts, tb, nv, pfiltered))
 
         self.points_out += sum(t.num_rows for t in out)
         if not out:
-            return POINTS_SCHEMA.empty_table()
+            return self._empty(batch)
         return pa.concat_tables(out)
 
     def _run_handler(self, rule: RuleSpec, fields: dict[str, pa.Array],
-                     ts: pa.Array, tb: pa.Array, nv: int) -> pa.Table:
+                     ts: pa.Array, tb: pa.Array, nv: int,
+                     pfiltered: list = ()) -> pa.Table:
         """Slow-path escape hatch ≙ the Lua handler (logtrics.go:176-202):
         per-row Python callable returning [(metric_type, series, value), ...].
         Documented slow path — per-row Python, use emits when possible."""
         names = list(fields)
         cols = [fields[k].to_pylist() for k in names]
         ts_l, tb_l = ts.to_pylist(), tb.to_pylist()
-        s_out, m_out, t_out, v_out, b_out = [], [], [], [], []
+        s_out, m_out, t_out, v_out, b_out, i_out = [], [], [], [], [], []
         for i in range(nv):
             event = {k: c[i] for k, c in zip(names, cols)}
             try:
                 for mt, series, value in (rule.handler(event) or []):
                     s_out.append(series); m_out.append(mt)
                     t_out.append(ts_l[i]); v_out.append(float(value)); b_out.append(tb_l[i])
+                    i_out.append(i)
             except Exception:
                 self.row_errors += 1  # swallow like script.go:58-61
-        return pa.Table.from_arrays(
+        t = pa.Table.from_arrays(
             [pa.array(s_out, pa.string()), pa.array(m_out, pa.string()),
              pa.array(t_out, pa.int64()), pa.array(v_out, pa.float64()),
              pa.array(b_out, pa.uint64())], schema=POINTS_SCHEMA)
+        idx = pa.array(i_out, pa.int64())
+        for c, col in pfiltered:
+            t = t.append_column(c, col.take(idx))
+        return t
 
 
 # Per-worker-process extractor cache for the task-based path: Ray reuses
@@ -306,16 +350,19 @@ _PROCESS_EXTRACTORS: dict = {}
 
 
 def _cached_extractor(rules: tuple[RuleSpec, ...], cfg: EngineConfig,
-                      text_column: str | None) -> RuleExtractor:
-    key = (rules, cfg, text_column)
+                      text_column: str | None,
+                      passthrough: tuple[str, ...] = ()) -> RuleExtractor:
+    key = (rules, cfg, text_column, passthrough)
     ex = _PROCESS_EXTRACTORS.get(key)
     if ex is None:
-        ex = _PROCESS_EXTRACTORS[key] = RuleExtractor(rules, cfg, text_column)
+        ex = _PROCESS_EXTRACTORS[key] = RuleExtractor(rules, cfg, text_column,
+                                                      passthrough=passthrough)
     return ex
 
 
 def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
-                   text_column: str | None = None, use_actors: bool = False):
+                   text_column: str | None = None, use_actors: bool = False,
+                   passthrough: tuple[str, ...] = ()):
     """token/text Dataset -> points Dataset.
 
     Two physical modes with identical semantics:
@@ -330,7 +377,8 @@ def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
     if use_actors:
         return ds.map_batches(
             RuleExtractor,
-            fn_constructor_kwargs=dict(rules=rules, cfg=cfg, text_column=text_column),
+            fn_constructor_kwargs=dict(rules=rules, cfg=cfg, text_column=text_column,
+                                       passthrough=passthrough),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=cfg.extract_concurrency,
@@ -338,6 +386,6 @@ def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
         )
 
     def fn(batch: pa.Table) -> pa.Table:
-        return _cached_extractor(rules, cfg, text_column)(batch)
+        return _cached_extractor(rules, cfg, text_column, passthrough)(batch)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)

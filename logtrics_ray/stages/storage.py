@@ -212,12 +212,41 @@ def read_tier(out_dir: str, tier: str):
     path = os.path.join(out_dir, f"tier={tier}")
     files = []
     for bucket_dir in sorted(os.listdir(path)):
+        if "." in bucket_dir:      # .tmp / .old working dirs are not partitions
+            continue
         f = os.path.join(path, bucket_dir, "blocks.parquet")
         if os.path.isfile(f):
             files.append(f)
     ds = rd.read_parquet(files)
     return ds.map_batches(lambda t: decode_blocks(t.combine_chunks(), width_ms),
                           batch_format="pyarrow")
+
+
+def write_empty_partition(out_dir: str, tier: str, bucket: int,
+                          cfg: EngineConfig, input_tag: str, cfg_hash: str,
+                          extra_meta: dict | None = None,
+                          write_core: bool = False) -> dict:
+    """Write a rows=0 partition + manifest for a bucket that received no
+    points.  Makes completeness a property of the RUN, not of series
+    hashing: a fully-complete resumed run early-exits instead of
+    re-extracting everything just to rediscover the empty groups, and
+    incremental lineage stays consistent for buckets born empty."""
+    from logtrics_ray.stages.rollup import CORE_SCHEMA
+    from logtrics_ray.state import manifest as M
+
+    def write_files(tmp_dir):
+        pq.write_table(BLOCK_SCHEMA.empty_table(),
+                       os.path.join(tmp_dir, "blocks.parquet"))
+        if write_core:
+            pq.write_table(CORE_SCHEMA.empty_table(),
+                           os.path.join(tmp_dir, "core.parquet"))
+
+    return M.write_partition(
+        out_dir, tier, bucket, write_files,
+        meta=dict(extra_meta or {}, input_tag=input_tag, cfg_hash=cfg_hash,
+                  rows=0, series=0, blocks=0,
+                  window_min=None, window_max=None,
+                  content_hash=hashlib.blake2b(b"", digest_size=8).hexdigest()))
 
 
 class BucketFinalizeWriter:

@@ -33,23 +33,48 @@ def partition_dir(out_dir: str, tier: str, bucket: int) -> str:
 def write_partition(out_dir: str, tier: str, bucket: int, write_files,
                     meta: dict) -> dict:
     """Atomically write one partition: ``write_files(tmp_dir)`` writes the
-    data files, then tmp is renamed over the final dir and the manifest is
-    written last (a partition without a manifest is incomplete)."""
+    data files, then tmp is swapped with the final dir and the manifest is
+    written last (a partition without a manifest is incomplete).
+
+    Crash safety: an existing committed partition is RENAMED ASIDE
+    (``.old``), never deleted before its replacement is in place — a crash
+    at any point leaves either the old committed data (recoverable: the
+    next run sees its manifest via the ``.old`` fallback cleanup below
+    being deferred until after the swap) or the new data.  ``.old`` /
+    ``.tmp`` siblings are ignored by the manifest listers."""
     final = partition_dir(out_dir, tier, bucket)
-    tmp = final + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    tmp, old = final + ".tmp", final + ".old"
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     os.makedirs(tmp, exist_ok=True)
     write_files(tmp)
     if os.path.exists(final):
-        shutil.rmtree(final)
+        os.rename(final, old)       # keep committed data until the swap lands
     os.replace(tmp, final)
     manifest = dict(meta, tier=tier, bucket=bucket)
     mpath = os.path.join(final, MANIFEST_NAME)
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f, sort_keys=True)
     os.replace(mpath + ".tmp", mpath)
+    if os.path.exists(old):
+        shutil.rmtree(old)          # safe: the new partition is committed
     return manifest
+
+
+def recover_partition(out_dir: str, tier: str, bucket: int) -> bool:
+    """Restore a partition lost to a crash inside ``write_partition``'s
+    swap window (final missing, ``.old`` still holding the committed
+    data).  Returns True if a restore happened."""
+    final = partition_dir(out_dir, tier, bucket)
+    old = final + ".old"
+    if (not os.path.isfile(os.path.join(final, MANIFEST_NAME))
+            and os.path.isfile(os.path.join(old, MANIFEST_NAME))):
+        if os.path.exists(final):
+            shutil.rmtree(final)    # incomplete replacement (no manifest)
+        os.rename(old, final)
+        return True
+    return False
 
 
 def completed_buckets(out_dir: str, tier: str, input_tag: str, cfg_hash: str) -> set[int]:
@@ -59,6 +84,17 @@ def completed_buckets(out_dir: str, tier: str, input_tag: str, cfg_hash: str) ->
     if not os.path.isdir(tier_dir):
         return done
     for name in os.listdir(tier_dir):
+        # Recover partitions caught mid-swap by a crash (.old holds the
+        # committed data, final has no manifest yet).
+        if name.endswith(".old"):
+            base = name[:-len(".old")]
+            try:
+                recover_partition(out_dir, tier, int(base.split("=")[1]))
+            except (ValueError, IndexError, OSError):
+                pass
+    for name in os.listdir(tier_dir):
+        if "." in name:            # .tmp / .old working dirs are not partitions
+            continue
         mpath = os.path.join(tier_dir, name, MANIFEST_NAME)
         if not os.path.isfile(mpath):
             continue
@@ -77,6 +113,8 @@ def load_manifests(out_dir: str, tier: str) -> list[dict]:
     if not os.path.isdir(tier_dir):
         return out
     for name in sorted(os.listdir(tier_dir)):
+        if "." in name:            # .tmp / .old working dirs are not partitions
+            continue
         mpath = os.path.join(tier_dir, name, MANIFEST_NAME)
         if os.path.isfile(mpath):
             out.append(json.load(open(mpath)))

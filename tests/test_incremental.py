@@ -79,6 +79,52 @@ def test_incremental_append_matches_full(split_input, tmp_path):
     assert time.perf_counter() - t0 < 2.0
 
 
+def test_incremental_retry_is_idempotent(split_input, tmp_path):
+    """Simulated crash between bucket commits: after an append, one
+    bucket's partitions are restored to their pre-append state (as if that
+    bucket never committed).  Re-running the append must (a) bring the
+    stale bucket up to date and (b) NOT double-merge the shards into
+    buckets that already consumed them — the double-count hazard of the
+    unguarded merge (per-point _shard provenance filters consumed shards
+    per bucket before the merge)."""
+    import json
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    full, grow_src, shards = split_input
+    grow = str(tmp_path / "grow2")
+    os.makedirs(grow, exist_ok=True)
+    for f in shards[:4]:
+        shutil.copy(os.path.join(full, f), os.path.join(grow, f))
+    out = str(tmp_path / "out")
+    P.run(grow, out, resume=False, input_tag="tok")
+
+    # pick a bucket with data and snapshot its partitions (all tiers)
+    mset = [m for m in P.M.load_manifests(out, "1m") if m["rows"] > 0]
+    bucket = int(mset[0]["bucket"])
+    snap = str(tmp_path / "snap")
+    for tier in ("1m", "1h", "1d"):
+        src = P.M.partition_dir(out, tier, bucket)
+        shutil.copytree(src, os.path.join(snap, f"tier={tier}"))
+
+    for f in shards[4:]:
+        shutil.copy(os.path.join(full, f), os.path.join(grow, f))
+    P.run_incremental(grow, out, input_tag="tok")
+    want = _tier_frames(out)
+
+    # crash simulation: bucket never committed the append
+    for tier in ("1m", "1h", "1d"):
+        dst = P.M.partition_dir(out, tier, bucket)
+        shutil.rmtree(dst)
+        shutil.copytree(os.path.join(snap, f"tier={tier}"), dst)
+    stale = json.load(open(os.path.join(P.M.partition_dir(out, "1m", bucket),
+                                        P.M.MANIFEST_NAME)))
+    assert set(stale["input_files"]) < set(shards)  # genuinely stale
+
+    P.run_incremental(grow, out, input_tag="tok")   # the retry
+    got = _tier_frames(out)
+    for tier in ("1m", "1h", "1d"):
+        assert want[tier].equals(got[tier]), f"{tier}: retry changed bits"
+
+
 def test_merge_cores_exact_semantics():
     """merge_cores == full recompute for int aggregates and order keys."""
     import pyarrow as pa

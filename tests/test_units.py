@@ -262,9 +262,14 @@ def test_anchor_prefilter_is_sound_and_identical():
                                              required_chars)
     from logtrics_ray.synth import synth_shard
 
-    assert '"' in required_chars(r'hello "(?P<first>[a-zA-Z0-9]+)"')
-    assert "=" in required_chars(r"latency_ms=(?P<ms>\d+)")
+    assert frozenset('"') in required_chars(r'hello "(?P<first>[a-zA-Z0-9]+)"')
+    assert frozenset("=") in required_chars(r"latency_ms=(?P<ms>\d+)")
     assert required_chars(r"(?P<a>\d+)|x") is None  # top-level branch: nothing required
+    # IGNORECASE (global flag or inline (?i)): literals expand to both
+    # cases so case-insensitive rules are never over-pruned.
+    assert frozenset("eE") in required_chars(r"(?i)ERROR (?P<x>\d+)")
+    assert frozenset("eE") in required_chars(r"(?i:ERROR) (?P<x>\d+)")
+    assert frozenset("=") in required_chars(r"(?i)x=(?P<v>\d+)")  # non-alpha unaffected
     # a rule with no unconditional literal disables the prefilter
     free = load_rules([{"name": "free", "expression": r"(?P<x>\w+)",
                         "emit": [{"metric_type": "counter", "series": "s",
@@ -279,6 +284,20 @@ def test_anchor_prefilter_is_sound_and_identical():
     without = ex(batch)
     assert with_f.equals(without)
     assert with_f.num_rows > 0
+
+    # (?i) soundness: the text holds 'GET /api/...' — a case-insensitive
+    # rule written in the OTHER case must still match with the prefilter
+    # on (the sre tree stores original-case literals; regression for the
+    # over-pruning bug).
+    ci = load_rules([{"name": "ci-req", "expression": r"(?i)get /API/(?P<ep>[a-z]+)",
+                      "emit": [{"metric_type": "counter", "series": "ci.{ep}",
+                                "value": 1}]}])
+    ex_ci = RuleExtractor(ci, EngineConfig())
+    with_ci = ex_ci(batch)
+    ex_ci.anchor_table = None
+    without_ci = ex_ci(batch)
+    assert with_ci.equals(without_ci)
+    assert with_ci.num_rows > 0
 
 
 def test_toml_rule_file_loading(tmp_path):
