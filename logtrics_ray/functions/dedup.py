@@ -47,8 +47,7 @@ def add_content_hash(ds, text_col: str = "text"):
     # OVERFLOWS on uint64 values > 2^63 (ArrowConversionError) — signed
     # keys group identically and shuffle safely.
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        h = hash64_array(texts).astype(np.int64)
+        h = hash64_array(t[text_col]).astype(np.int64)
         return t.append_column("content_hash", pa.array(h, pa.int64()))
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

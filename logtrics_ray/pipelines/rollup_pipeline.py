@@ -95,7 +95,7 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
         def drop_done(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t
-            b = series_bucket_array(t["series_key"].to_pylist(), cfg.series_buckets)
+            b = series_bucket_array(t["series_key"], cfg.series_buckets)
             return t.filter(pa.compute.invert(
                 pa.compute.is_in(pa.array(b, pa.int64()), value_set=skip)))
 
@@ -254,7 +254,7 @@ def _prep_points(points_ds, cfg: EngineConfig):
     def add_sbucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("sbucket", pa.array([], pa.int64()))
-        b = series_bucket_array(t["series_key"].to_pylist(), nb)
+        b = series_bucket_array(t["series_key"], nb)
         t = t.append_column("sbucket", pa.array(b, pa.int64()))
         # Dictionary-encode the repeated-string columns for the exchange:
         # the shuffle payload drops ~25% (331 -> 247 MB at sf0.1) and the

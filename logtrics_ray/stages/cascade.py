@@ -174,7 +174,7 @@ def cascade_bucketed(child_core_ds, parent_width_ms: int, rollup_buckets: int = 
     def add_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("rbucket", pa.array([], pa.int64()))
-        b = series_bucket_array(t["series_key"].to_pylist(), rollup_buckets)
+        b = series_bucket_array(t["series_key"], rollup_buckets)
         return t.append_column("rbucket", pa.array(b, pa.int64()))
 
     ds = child_core_ds.map_batches(add_bucket, batch_format="pyarrow",

@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 
 from logtrics_ray import vocab as V
 from logtrics_ray.config import EngineConfig
-from logtrics_ray.hashing import hash64_array
+from logtrics_ray.hashing import id_hash64_array
 from logtrics_ray.rules import RuleSpec, EmitSpec
 
 POINTS_SCHEMA = pa.schema([
@@ -271,7 +271,7 @@ class RuleExtractor:
         doc_ids = batch["doc_id"]
         if isinstance(doc_ids, pa.ChunkedArray):
             doc_ids = doc_ids.combine_chunks()
-        tiebreak_all = hash64_array(doc_ids.to_pylist())
+        tiebreak_all = id_hash64_array(doc_ids)
         ts_all = (np.int64(self.cfg.epoch0_ms)
                   + (tiebreak_all % np.uint64(self.cfg.horizon_ms)).astype(np.int64))
         source = batch["source"] if "source" in batch.column_names else None

@@ -484,7 +484,7 @@ def rollup_base_bucketed(points_ds, width_ms: int, cfg: EngineConfig):
     def add_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("rbucket", pa.array([], pa.int64()))
-        b = series_bucket_array(t["series_key"].to_pylist(), nb)
+        b = series_bucket_array(t["series_key"], nb)
         return t.append_column("rbucket", pa.array(b, pa.int64()))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)

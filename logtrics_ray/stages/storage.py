@@ -60,7 +60,7 @@ def add_bucket_column(final_ds, cfg: EngineConfig):
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("bucket", pa.array([], pa.int64()))
-        b = series_bucket_array(t["series_key"].to_pylist(), nb)
+        b = series_bucket_array(t["series_key"], nb)
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
     return final_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from logtrics_ray.config import TIERS, EngineConfig
-from logtrics_ray.hashing import hash64
+from logtrics_ray.hashing import id_hash64
 from logtrics_ray.rules import RuleSpec
 from logtrics_ray.stages.rollup import PCTL_QS
 from logtrics_ray.state.tdigest import TDigest
@@ -61,7 +61,7 @@ def oracle_points(parquet_dir_or_table, rules: tuple[RuleSpec, ...], cfg: Engine
         else:
             line = cols[text_column][i]
         doc_id = cols["doc_id"][i]
-        tb = hash64(doc_id)
+        tb = id_hash64(doc_id)
         ts = cfg.epoch0_ms + tb % cfg.horizon_ms
         src = cols.get("source", [None] * n)[i]
         for rule, cre in compiled:
