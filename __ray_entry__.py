@@ -58,7 +58,10 @@ def _token_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     n = _SF_ROWS.get(tag, 2_000)
     from logtrics_ray.synth import write_token_table
-    return write_token_table(f"/tmp/lt_tokens_{tag}", n, n_shards=8)
+    # with_text: the detokenized side table under <dir>/text is what the
+    # flagship DuckDB oracle reads (token_rollup_* SQL below).
+    return write_token_table(f"/tmp/lt_tokens_{tag}", n, n_shards=8,
+                             with_text=True)
 
 
 # --------------------------------------------------------------- queries --
@@ -226,27 +229,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "o_orderkey")
         return basic_rollup_frame(rollup_base(pts, DAY_MS, _cfg()), include_avg=False)
 
-    # flagship token pipeline (rows-only: input is the synthesized table).
-    # The three tier queries share one extraction + core-rollup chain: the
-    # materialized core tiers are cached per input path, so 1h/1d reuse the
-    # 1m work instead of re-extracting (same blocks -> bit-identical).
+    # Flagship token pipeline — DuckDB-oracle-checked via the detokenized
+    # side table (synth.detok_text_table): extraction + 1m/1h/1d rollup +
+    # gap-fill/cumulative/rate are recomputed in SQL.  The three tier
+    # queries share one extraction + core-rollup chain: the materialized
+    # core tiers are cached per input path, so 1h/1d reuse the 1m work
+    # instead of re-extracting (same blocks -> bit-identical).
     core_cache: dict[str, dict] = {}
+
+    def _token_final(sf_dir, tier):
+        from logtrics_ray.config import TIERS
+        from logtrics_ray.pipelines.rollup_pipeline import (
+            build_core_tiers, read_token_table)
+        from logtrics_ray.rules import default_rules
+        from logtrics_ray.stages.extract import extract_points
+        from logtrics_ray.stages.seriesscan import finalize_tier
+        cfg = _cfg()
+        path = _token_dir(sf_dir)
+        if path not in core_cache:
+            points = extract_points(read_token_table(path), default_rules(), cfg)
+            core_cache[path] = build_core_tiers(points, cfg)
+        return finalize_tier(core_cache[path][tier], TIERS[tier], cfg)
 
     def q_token_tier(tier):
         def f(sf_dir):
-            from logtrics_ray.config import TIERS
-            from logtrics_ray.pipelines.rollup_pipeline import (
-                build_core_tiers, read_token_table)
-            from logtrics_ray.rules import default_rules
-            from logtrics_ray.stages.extract import extract_points
-            from logtrics_ray.stages.seriesscan import finalize_tier
-            cfg = _cfg()
-            path = _token_dir(sf_dir)
-            if path not in core_cache:
-                points = extract_points(read_token_table(path), default_rules(), cfg)
-                core_cache[path] = build_core_tiers(points, cfg)
-            return finalize_tier(core_cache[path][tier], TIERS[tier], cfg)
+            from logtrics_ray.pipelines.table_rollup import tier_oracle_frame
+            return tier_oracle_frame(_token_final(sf_dir, tier))
         return f
+
+    def q_token_full(sf_dir):
+        """Full finalized 1m tier incl. EWMA + t-digest percentiles (the
+        sequential/sketch columns SQL can't express — pytest-checked)."""
+        return _token_final(sf_dir, "1m")
 
     # --- training-data ops over documents / embeddings ---
 
@@ -366,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rollup_1m": q_token_tier("1m"),
         "token_rollup_1h": q_token_tier("1h"),
         "token_rollup_1d": q_token_tier("1d"),
+        "token_rollup_full_1m": q_token_full,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -382,7 +397,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _token_tier_sql(width: int, token_dir: str) -> str:
+    """DuckDB recompute of the flagship token pipeline at one tier width:
+    regex extraction over the detokenized side table (synth writes it next
+    to the token shards; text assembled independently of the engine's
+    Arrow detokenize kernel), event-time from the shared id hash
+    (ts = epoch0 + tiebreak % horizon), per-(series, metric_type) tumbling
+    windows, dense gap-filled domain, LOCF last, per-type cumulative/rate.
+    Column names and 6dp rounding match tier_oracle_frame exactly."""
+    cfg = _cfg()
+    w = int(width)
+    width_s = w / 1000.0
+    ext = r"""
+      SELECT 'lt.hello.' || regexp_extract(text, 'hello "([a-zA-Z0-9]+)"', 1)
+               AS series_key, 'gauge' AS metric_type, ts_ms, tiebreak,
+             CAST(length(regexp_extract(text, 'hello "([a-zA-Z0-9]+)"', 1))
+                  AS DOUBLE) AS value
+      FROM docs WHERE regexp_matches(text, 'hello "[a-zA-Z0-9]+"')
+      UNION ALL
+      SELECT 'lt.latency.' || source, 'timer', ts_ms, tiebreak,
+             CAST(regexp_extract(text, 'latency_ms=(\d+)', 1) AS DOUBLE)
+      FROM docs WHERE regexp_matches(text, 'latency_ms=\d+')
+      UNION ALL
+      SELECT 'lt.req.' || regexp_extract(text, 'GET /api/([a-z]+)', 1),
+             'counter', ts_ms, tiebreak, 1.0
+      FROM docs WHERE regexp_matches(text, 'GET /api/[a-z]+')
+      UNION ALL
+      SELECT 'lt.bytes.total', 'meter', ts_ms, tiebreak,
+             CAST(regexp_extract(text, 'bytes=(\d+)', 1) AS DOUBLE)
+      FROM docs WHERE regexp_matches(text, 'bytes=\d+')
+      UNION ALL
+      SELECT 'lt.status.' || regexp_extract(text, 'status=(\d{3})', 1),
+             'counter', ts_ms, tiebreak, 1.0
+      FROM docs WHERE regexp_matches(text, 'status=\d{3}')
+      UNION ALL
+      SELECT 'lt.status.all', 'meter', ts_ms, tiebreak, 1.0
+      FROM docs WHERE regexp_matches(text, 'status=\d{3}')
+    """
+    return f"""
+    WITH docs AS (
+      SELECT text, source, tiebreak,
+             {cfg.epoch0_ms} + CAST(tiebreak % {cfg.horizon_ms} AS BIGINT) AS ts_ms
+      FROM read_parquet('{token_dir}/text/*.parquet')),
+    pts AS ({ext}),
+    agg AS (
+      SELECT series_key, metric_type, (ts_ms // {w}) * {w} AS w,
+             count(*) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx,
+             arg_max(value, ts_ms::HUGEINT * 18446744073709551616
+                            + tiebreak::HUGEINT) AS lastv
+      FROM pts GROUP BY 1, 2, 3),
+    bounds AS (SELECT series_key, metric_type, min(w) AS wmin, max(w) AS wmax
+               FROM agg GROUP BY 1, 2),
+    dense AS (SELECT series_key, metric_type,
+                     unnest(generate_series(wmin, wmax, {w})) AS w
+              FROM bounds),
+    j AS (SELECT d.series_key, d.metric_type, d.w, a.n, a.s, a.mn, a.mx,
+                 a.lastv, a.w IS NOT NULL AS present
+          FROM dense d LEFT JOIN agg a
+            ON a.series_key = d.series_key
+           AND a.metric_type = d.metric_type AND a.w = d.w)
+    SELECT series_key, metric_type, w AS window_start,
+           coalesce(n, 0) AS n,
+           round(coalesce(s, 0.0), 6) AS sum_value,
+           round(mn, 6) AS min_value,
+           round(mx, 6) AS max_value,
+           round(round(s, 6) / n, 6) AS avg_value,
+           round(last_value(lastv IGNORE NULLS) OVER w_acc, 6) AS last_value,
+           CASE WHEN metric_type IN ('counter', 'meter')
+                  THEN round(sum(coalesce(s, 0.0)) OVER w_acc, 6)
+                WHEN metric_type = 'timer'
+                  THEN round(sum(coalesce(n, 0)) OVER w_acc, 6)
+           END AS cumulative,
+           CASE WHEN metric_type = 'meter'
+                  THEN round(coalesce(s, 0.0) / {width_s}, 6)
+                WHEN metric_type = 'timer'
+                  THEN round(coalesce(n, 0) / {width_s}, 6)
+           END AS rate,
+           NOT present AS gap_filled
+    FROM j
+    WINDOW w_acc AS (PARTITION BY series_key, metric_type ORDER BY w)"""
+
+
 def oracle_sql() -> dict[str, str]:
+    # The driver runs correctness at sf=0.01; make sure the token input
+    # (and its detokenized oracle side table) exists regardless of whether
+    # it runs the Ray queries or the SQL first.
+    token_dir = _token_dir("/root/testdata/sf0.01")
+
     def rollup(width):
         return f"""
         SELECT event_type AS series_key,
@@ -583,6 +684,9 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s DESC, neighbor_id ASC) AS rank,
                    round(s, 6) AS score
             FROM scored QUALIFY rank <= 5""",
+        "token_rollup_1m": _token_tier_sql(MIN_MS, token_dir),
+        "token_rollup_1h": _token_tier_sql(HOUR_MS, token_dir),
+        "token_rollup_1d": _token_tier_sql(DAY_MS, token_dir),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "text_stats": r"""
             SELECT doc_id,

@@ -30,7 +30,15 @@ from logtrics_ray.state import manifest as M
 
 
 def read_token_table(path: str):
-    """Column-pruned read: only what extraction needs leaves storage."""
+    """Column-pruned read: only what extraction needs leaves storage.
+
+    Directories expand to their TOP-LEVEL shards only — side tables
+    (e.g. the oracle's ``text/`` subdir) are not part of the input."""
+    if os.path.isdir(path):
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.endswith(".parquet"))
+        if files:
+            path = files
     return rd.read_parquet(path, columns=["doc_id", "tokens", "n_tok", "source"])
 
 

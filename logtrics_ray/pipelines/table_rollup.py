@@ -278,6 +278,47 @@ def exact_percentile_frame(points_ds, width_ms: int, cfg: EngineConfig,
         per_series, batch_format="pyarrow")
 
 
+def tier_oracle_frame(final_ds) -> "rd.Dataset":
+    """Finalized tier rows -> the driver-facing, SQL-comparable frame for
+    the flagship token rollup (the north rule's own pipeline).
+
+    Keeps every column the DuckDB oracle can recompute — dense gap-filled
+    windows, count/sum/min/max/avg, LOCF'd last, per-type cumulative and
+    rate — and drops only the sequential-recurrence EWMA columns and the
+    t-digest percentiles (pytest-checked instead; see
+    ``token_rollup_full_1m``).  All floats rounded to 6dp; avg recomputed
+    from the ROUNDED sum exactly like basic_rollup_frame so both sides
+    divide identical doubles."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        def col(name):
+            c = t[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        cnt = t["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s6 = _round6(t["sum"].to_numpy(zero_copy_only=False))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(cnt > 0, _round6(s6 / cnt), np.nan)
+        cols = [
+            col("series_key"), col("metric_type"), col("window_start"),
+            col("count"),
+            pa.array(s6, pa.float64()),
+            pa.array(_round6(t["vmin"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(_round6(t["vmax"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(avg, pa.float64()),
+            pa.array(_round6(t["last"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(_round6(t["cumulative"].to_numpy(zero_copy_only=False)), pa.float64()),
+            pa.array(_round6(t["rate"].to_numpy(zero_copy_only=False)), pa.float64()),
+            col("gap_filled"),
+        ]
+        return pa.Table.from_arrays(cols, names=[
+            "series_key", "metric_type", "window_start", "n", "sum_value",
+            "min_value", "max_value", "avg_value", "last_value", "cumulative",
+            "rate", "gap_filled"])
+
+    return final_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def topk_series_frame(points_ds, k: int = 10):
     """Hottest series by point count (diagnostic top-k, SURVEY §2.6):
     (series_key, n) — deterministic tiebreak by series_key."""

@@ -106,23 +106,64 @@ def synth_shard(shard: int, n_rows: int, seed: int = 42, row_offset: int | None 
         schema=TOKEN_SCHEMA)
 
 
+TEXT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("text", pa.string()),
+    ("source", pa.string()),
+    ("tiebreak", pa.uint64()),
+])
+
+
+def detok_text_table(token_table: pa.Table) -> pa.Table:
+    """Side table (doc_id, text, source, tiebreak) for the DuckDB oracle.
+
+    ``text`` is assembled with a plain Python join over the vocab pieces —
+    deliberately NOT the engine's vectorized Arrow detokenize kernel, so
+    the flagship oracle independently checks that path too.  ``tiebreak``
+    is the engine's id hash (single source of truth, hashing.py); the
+    oracle derives ts in SQL as ``epoch0 + tiebreak % horizon``."""
+    from logtrics_ray.hashing import id_hash64_array
+    vocab = V.build_vocab()
+    toks = token_table["tokens"].to_pylist()
+    texts = ["".join(vocab[t] for t in row) for row in toks]
+    doc_ids = token_table["doc_id"]
+    return pa.Table.from_arrays([
+        doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids,
+        pa.array(texts, pa.string()),
+        token_table["source"].combine_chunks()
+        if isinstance(token_table["source"], pa.ChunkedArray) else token_table["source"],
+        pa.array(id_hash64_array(doc_ids), pa.uint64()),
+    ], schema=TEXT_SCHEMA)
+
+
 def write_token_table(out_dir: str, n_rows: int, n_shards: int = 8, seed: int = 42,
-                      row_group_size: int = 2048) -> str:
+                      row_group_size: int = 2048, with_text: bool = False) -> str:
     """Write the table as one parquet file per shard (many row groups →
-    ray.data.read_parquet splits well).  Idempotent: skips if complete."""
+    ray.data.read_parquet splits well).  Idempotent: skips if complete.
+
+    with_text=True additionally writes the detokenized side table under
+    ``out_dir/text/`` (the flagship oracle's input — tests/benchmarks at
+    small sf only; the token pipeline itself never reads it)."""
     os.makedirs(out_dir, exist_ok=True)
     done_marker = os.path.join(out_dir, "_DONE")
-    tag = f"{seed}:{n_rows}:{n_shards}"
-    if os.path.exists(done_marker) and open(done_marker).read().strip() == tag:
-        return out_dir
+    tag = f"v2:{seed}:{n_rows}:{n_shards}:text={int(with_text)}"
+    have = open(done_marker).read().strip() if os.path.exists(done_marker) else ""
+    if have == tag or (not with_text and have == tag[:-1] + "1"):
+        return out_dir        # a text-bearing dir satisfies a text-free ask
     per = n_rows // n_shards
     counts = [per + (1 if i < n_rows % n_shards else 0) for i in range(n_shards)]
     offsets = [sum(counts[:i]) for i in range(n_shards)]
+    if with_text:
+        os.makedirs(os.path.join(out_dir, "text"), exist_ok=True)
 
     def _write_one(shard: int, cnt: int, off: int):
         t = synth_shard(shard, cnt, seed=seed, row_offset=off)
         pq.write_table(t, os.path.join(out_dir, f"part-{shard:05d}.parquet"),
                        row_group_size=row_group_size)
+        if with_text:
+            pq.write_table(detok_text_table(t),
+                           os.path.join(out_dir, "text", f"part-{shard:05d}.parquet"),
+                           row_group_size=row_group_size)
 
     try:
         import ray
