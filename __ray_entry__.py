@@ -291,15 +291,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_text_quality(sf_dir):
         import ray.data as rd
+        from logtrics_ray.functions.dedup import process_cached
         from logtrics_ray.functions.textstats import TextStats
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(TextStats, batch_format="pandas", concurrency=2)
+        return ds.map_batches(lambda df: process_cached(TextStats)(df),
+                              batch_format="pandas")
 
     def q_lang_id(sf_dir):
         import ray.data as rd
+        from logtrics_ray.functions.dedup import process_cached
         from logtrics_ray.functions.textstats import LangId
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+        return ds.map_batches(lambda df: process_cached(LangId)(df),
+                              batch_format="pandas")
 
     def q_fingerprint(sf_dir):
         import ray.data as rd
@@ -342,6 +346,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.functions.similarity import embedding_dedup_survivors
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_dedup_survivors(ds, threshold=0.95)
+
+    def q_embedding_dedup_lsh(sf_dir):
+        import ray.data as rd
+        from logtrics_ray.functions.similarity import embedding_dedup_lsh
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_dedup_lsh(ds, threshold=0.95)
 
     def q_multimodal(sf_dir):
         import ray.data as rd
@@ -392,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "multimodal_decode": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
     }

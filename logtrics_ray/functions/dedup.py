@@ -11,18 +11,29 @@ All are Dataset->Dataset transforms designed for the 100 TB shape:
   * exact_dedup: content-hash per batch (vectorized) -> hash-partitioned
     groupby -> keep min doc_id per hash.  The shuffle moves only
     (hash, doc_id) — never the text.
-  * minhash_lsh_dedup: shingle -> minhash signature per batch (numpy) ->
-    explode to (band_id, band_hash, doc_id) rows -> groupby bands ->
-    candidate pairs -> keep-earliest rule.  Only signatures shuffle.
+  * minhash dedup: shingle -> minhash signature per batch (numpy) ->
+    explode to (band_id, band_hash, doc_id) rows -> built-in groupby.min
+    per bucket -> hash-join members back to their bucket minima ->
+    groupby.min per doc.  A doc survives iff it IS the minimum of every
+    bucket it hashes into; everything is vectorized built-in aggregates
+    + one distributed hash join — no per-bucket Python calls, nothing
+    materialized on the driver.
   * simhash_dedup: 64-bit simhash per batch; near-dups = identical
     simhash after masking k noise bits (bucketed groupby, no pair blowup).
-  * ngram_jaccard_pairs: verification kernel — exact Jaccard over n-gram
-    sets for a candidate pair list (broadcast the small candidate set).
+  * ngram_jaccard dedup: LSH candidate pairs stay a Dataset; exact
+    Jaccard verification runs in map_batches against a broadcast of the
+    candidate docs' n-gram hash sets (bounded by the near-dup count —
+    documented), and the final drop filter is a vectorized ``pc.is_in``.
 
 Drop rule (shared, SQL-expressible): a doc is dropped iff some doc with
 a SMALLER doc_id is its duplicate under the operator's predicate —
 deterministic, order-free, and independently checkable by the DuckDB
 oracle.
+
+Stateful per-batch callables (MinHasher/SimHasher) run in TASK mode via
+a per-worker-process instance cache (same amortization as an actor's
+``__init__`` — state built once per process — without pinning an
+actor-pool size that could starve a node; see stages/extract.py).
 """
 
 from __future__ import annotations
@@ -34,9 +45,21 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from logtrics_ray.hashing import hash64_array
+from logtrics_ray.hashing import hash64_array, hash64_words
 
 _WS = re.compile(r"\s+")
+
+# Per-worker-process cache of stateful batch callables (task-mode analog
+# of actor __init__; Ray reuses worker processes across tasks).
+_PROCESS_INSTANCES: dict = {}
+
+
+def process_cached(cls, **kwargs):
+    key = (cls.__qualname__, tuple(sorted(kwargs.items())))
+    inst = _PROCESS_INSTANCES.get(key)
+    if inst is None:
+        inst = _PROCESS_INSTANCES[key] = cls(**kwargs)
+    return inst
 
 # ------------------------------------------------------------ exact dedup --
 
@@ -114,64 +137,126 @@ class MinHasher:
             names=["doc_id", "minhash"])
 
 
-def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
-                           shingle_n: int = 3):
-    """documents -> candidate near-dup pairs via banded LSH.
+def minhash_signatures(ds, num_perm: int = 64, shingle_n: int = 3):
+    """documents -> (doc_id, minhash list<uint64>), task mode (process-
+    cached MinHasher state; no fixed actor-pool size)."""
 
-    Pipeline: signature per batch (actor pool) -> explode to one row per
-    band (band_id, band_hash, doc_id) -> groupby band bucket -> pairs of
-    ids sharing a bucket (earliest id first).  Returns Dataset of
-    (a, b) id pairs with a < b.
-    """
+    def fn(t: pa.Table) -> pa.Table:
+        return process_cached(MinHasher, num_perm=num_perm, shingle_n=shingle_n)(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lsh_exploded(ds, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
+    """documents -> one row per (band_id, band_hash, doc_id).
+
+    Band hashes are computed NUMERICALLY from the uint64 signature words
+    (hash64_words with the band index as seed — no per-row string
+    rendering).  Only (16 + id) bytes per band ever shuffle."""
     rows_per_band = num_perm // bands
-    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(
-        num_perm=num_perm, shingle_n=shingle_n),
-        batch_format="pyarrow", concurrency=2)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sig = np.stack(t["minhash"].to_pylist()).astype(np.uint64) if t.num_rows else \
-            np.empty((0, num_perm), dtype=np.uint64)
-        out_band, out_hash, out_id = [], [], []
-        for b in range(bands):
-            chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            bh = hash64_array(["|".join(map(str, row)) for row in chunk]).astype(np.int64)
-            out_band.append(np.full(len(ids), b, dtype=np.int64))
-            out_hash.append(bh)
-            out_id.append(ids)
+        n = t.num_rows
+        ids = t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) \
+            else t["doc_id"]
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], ids.type)],
+                names=["band_id", "band_hash", "doc_id"])
+        mh = t["minhash"].combine_chunks() if isinstance(t["minhash"], pa.ChunkedArray) \
+            else t["minhash"]
+        sig = mh.values.to_numpy(zero_copy_only=False).reshape(n, num_perm)
+        out_band = np.repeat(np.arange(bands, dtype=np.int64), n)
+        # int64 reinterpretation: Ray's sort-shuffle boundary sampling
+        # overflows on uint64 keys > 2^63 (see add_content_hash).
+        out_hash = np.concatenate([
+            hash64_words(sig[:, b * rows_per_band:(b + 1) * rows_per_band],
+                         seed=b).astype(np.int64)
+            for b in range(bands)])
+        idx = pa.array(np.tile(np.arange(n), bands), pa.int64())
         return pa.Table.from_arrays(
-            [pa.array(np.concatenate(out_band), pa.int64()),
-             pa.array(np.concatenate(out_hash), pa.int64()),  # signed: shuffle-safe keys
-             pa.array(np.concatenate(out_id))],
+            [pa.array(out_band, pa.int64()),
+             pa.array(out_hash, pa.int64()),
+             ids.take(idx)],
             names=["band_id", "band_hash", "doc_id"])
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        # pair every member with the bucket minimum — enough for the
-        # keep-earliest rule and linear (not quadratic) in bucket size.
-        return pd.DataFrame({"a": np.full(ids.size - 1, ids[0]), "b": ids[1:]})
-
-    return exploded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    return minhash_signatures(ds, num_perm, shingle_n).map_batches(
+        explode, batch_format="pyarrow")
 
 
-def minhash_dedup_survivors(ds, **kw):
-    """ids that survive keep-earliest minhash dedup (drop b of every pair)."""
+def _bucket_minima_join(exploded, num_partitions: int):
+    """(band_id, band_hash, doc_id) rows -> same rows + ``bucket_min``
+    column, via built-in groupby.min + one distributed hash join (the
+    vectorized replacement for a per-bucket Python call: bucket count
+    grows with docs x bands at scale)."""
+    minima = exploded.groupby(["band_id", "band_hash"]).min("doc_id")
+    joined = exploded.join(minima, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("band_id", "band_hash"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        names = [("bucket_min" if c == "min(doc_id)" else c)
+                 for c in t.column_names]
+        return t.rename_columns(names)
+
+    return joined.map_batches(rename, batch_format="pyarrow")
+
+
+def _default_join_partitions() -> int:
+    """Hash-join partition count sized to the cluster (~1 per 2 cores,
+    min 2): a fixed large count deadlocks small clusters (each aggregator
+    reserves resources), a fixed small one under-parallelizes big ones."""
     import ray
-    pairs = minhash_lsh_candidates(ds, **kw)
-    dropped = pairs.unique("b")  # list of dropped ids (small: near-dup count)
-    drop_ref = ray.put(set(dropped))
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, cpus // 2)
+
+
+def minhash_dedup_survivors(ds, num_perm: int = 64, bands: int = 16,
+                            shingle_n: int = 3, num_partitions: int | None = None):
+    """ids that survive keep-earliest minhash dedup.
+
+    A doc is dropped iff some bucket it hashes into contains a smaller
+    doc_id, i.e. it survives iff min over its buckets of the bucket
+    minimum equals itself.  Fully distributed: two built-in vectorized
+    aggregations + one hash join; the driver never sees ids or buckets."""
+    joined = _bucket_minima_join(
+        lsh_exploded(ds, num_perm, bands, shingle_n),
+        num_partitions or _default_join_partitions())
+    per_doc = joined.groupby("doc_id").min("bucket_min")
 
     def keep(t: pa.Table) -> pa.Table:
-        drop = ray.get(drop_ref)
-        mask = pa.array([i not in drop for i in t["doc_id"].to_pylist()])
-        return t.filter(mask)
+        mask = pc.equal(t["doc_id"], t["min(bucket_min)"])
+        return t.filter(mask).select(["doc_id"])
 
-    return ds.select_columns(["doc_id"]).map_batches(keep, batch_format="pyarrow")
+    return per_doc.map_batches(keep, batch_format="pyarrow")
+
+
+def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
+                           shingle_n: int = 3, num_partitions: int | None = None):
+    """documents -> DISTINCT candidate near-dup pairs (a < b) via banded
+    LSH: every bucket member pairs with its bucket minimum (linear in
+    bucket size — sufficient for the keep-earliest rule).  Returns a
+    Dataset of (a, b); stays distributed end to end."""
+    joined = _bucket_minima_join(
+        lsh_exploded(ds, num_perm, bands, shingle_n),
+        num_partitions or _default_join_partitions())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["doc_id"], t["bucket_min"])
+        t = t.filter(mask)
+        return pa.Table.from_arrays(
+            [t["bucket_min"].combine_chunks() if isinstance(t["bucket_min"], pa.ChunkedArray)
+             else t["bucket_min"],
+             t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray)
+             else t["doc_id"]],
+            names=["a", "b"])
+
+    cand = joined.map_batches(pairs, batch_format="pyarrow")
+    # distinct (a, b): built-in vectorized count aggregation as the dedupe
+    distinct = cand.groupby(["a", "b"]).count()
+    return distinct.map_batches(lambda t: t.select(["a", "b"]),
+                                batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash --
@@ -209,8 +294,11 @@ class SimHasher:
 def simhash_dedup(ds, mask_bits: int = 4):
     """Survivors (min id) per masked-simhash bucket — vectorized min
     aggregation (no per-group Python; see exact_dedup)."""
-    sh = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(mask_bits=mask_bits),
-                        batch_format="pyarrow", concurrency=2)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return process_cached(SimHasher, mask_bits=mask_bits)(t)
+
+    sh = ds.map_batches(fn, batch_format="pyarrow")
     agg = sh.groupby("simhash").min("doc_id")
 
     def project(t: pa.Table) -> pa.Table:
@@ -228,50 +316,90 @@ def ngram_set(text: str, n: int = 3) -> set:
     return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
 
 
-def ngram_jaccard_dedup_survivors(ds, threshold: float = 0.8, n: int = 3,
-                                  id_col: str = "doc_id", **lsh_kw):
-    """Near-dedup with exact verification: LSH candidates (cheap, recall
-    stage) -> exact n-gram Jaccard >= threshold (precision stage) -> drop
-    the later id of each verified pair.  Only the verified-dup set is
-    broadcast; texts shuffle nowhere."""
-    import ray
-    pair_rows = minhash_lsh_candidates(ds, shingle_n=n, **lsh_kw).take_all()
-    pairs = sorted({(r["a"], r["b"]) for r in pair_rows})
-    if pairs:
-        verified = ngram_jaccard_pairs(ds, pairs, n=n, id_col=id_col)
-        dropped = set(verified.loc[verified["jaccard"] >= threshold, "b"])
-    else:
-        dropped = set()
-    drop_ref = ray.put(dropped)
-
-    def keep(t: pa.Table) -> pa.Table:
-        drop = ray.get(drop_ref)
-        mask = pa.array([i not in drop for i in t[id_col].to_pylist()])
-        return t.filter(mask)
-
-    return ds.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")
-
-
-def ngram_jaccard_pairs(ds, candidate_pairs: list[tuple], n: int = 3,
-                        text_col: str = "text", id_col: str = "doc_id"):
-    """Exact Jaccard verification for a (small, broadcast) candidate list.
-    Texts are fetched via a filtered pass; similarity computed driver-side
-    on the candidate subset only."""
-    import ray
-    wanted = {a for a, _ in candidate_pairs} | {b for _, b in candidate_pairs}
-    wanted_ref = ray.put(wanted)
+def _gram_hash_map(ds, ids, n: int, text_col: str, id_col: str) -> dict:
+    """{candidate id: sorted uint64 n-gram hash array}, computed inside
+    map_batches over a vectorized ``pc.is_in`` filtered pass.  Bounded by
+    the CANDIDATE count (near-dup pairs), not the corpus — the documented
+    broadcast side of the verification stage."""
+    wanted = pa.array(sorted(ids))
 
     def pick(t: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        mask = pa.array([i in w for i in t[id_col].to_pylist()])
-        return t.filter(mask)
+        sub = t.filter(pc.is_in(t[id_col], value_set=wanted))
+        gids = sub[id_col].combine_chunks() if isinstance(sub[id_col], pa.ChunkedArray) \
+            else sub[id_col]
+        grams = [np.unique(hash64_array(sorted(ngram_set(s, n))))
+                 if s else np.empty(0, np.uint64)
+                 for s in sub[text_col].to_pylist()]
+        return pa.Table.from_arrays(
+            [gids, pa.array([g.tolist() for g in grams], pa.list_(pa.uint64()))],
+            names=[id_col, "grams"])
 
-    sub = ds.map_batches(pick, batch_format="pyarrow").select_columns([id_col, text_col])
-    texts = {r[id_col]: r[text_col] for r in sub.take_all()}
+    out = {}
+    for row in ds.map_batches(pick, batch_format="pyarrow").take_all():
+        out[row[id_col]] = np.asarray(row["grams"], dtype=np.uint64)
+    return out
+
+
+def ngram_jaccard_pairs(ds, candidate_pairs, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Exact Jaccard for a candidate pair list (64-bit gram hashes: set
+    sizes via np.intersect1d — collision probability ~2^-64/pair).
+    Returns a pandas frame (a, b, jaccard)."""
+    pairs = list(candidate_pairs)
+    ids = {a for a, _ in pairs} | {b for _, b in pairs}
+    grams = _gram_hash_map(ds, ids, n, text_col, id_col) if ids else {}
+    empty = np.empty(0, np.uint64)
     rows = []
-    for a, b in candidate_pairs:
-        sa, sb = ngram_set(texts.get(a, ""), n), ngram_set(texts.get(b, ""), n)
-        denom = len(sa | sb)
-        rows.append({"a": a, "b": b,
-                     "jaccard": (len(sa & sb) / denom) if denom else 0.0})
+    for a, b in pairs:
+        sa, sb = grams.get(a, empty), grams.get(b, empty)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        denom = sa.size + sb.size - inter
+        rows.append({"a": a, "b": b, "jaccard": (inter / denom) if denom else 0.0})
     return pd.DataFrame(rows)
+
+
+def ngram_jaccard_dedup_survivors(ds, threshold: float = 0.8, n: int = 3,
+                                  id_col: str = "doc_id", text_col: str = "text",
+                                  **lsh_kw):
+    """Near-dedup with exact verification: LSH candidates (recall stage,
+    a Dataset end to end) -> exact n-gram Jaccard >= threshold verified
+    INSIDE map_batches against a broadcast of the candidate docs' gram
+    hashes (precision stage) -> vectorized ``pc.is_in`` drop filter.
+
+    Driver/broadcast state is bounded by the candidate-pair count (the
+    near-dup rate), never the corpus; texts shuffle nowhere."""
+    import ray
+    # candidates are bounded by the near-dup rate: materialize once so the
+    # id-collection and verify passes don't re-execute the LSH chain.
+    pairs_ds = minhash_lsh_candidates(ds, shingle_n=n, **lsh_kw).materialize()
+    cand_ids = set(pairs_ds.unique("a")) | set(pairs_ds.unique("b"))
+    if cand_ids:
+        grams_ref = ray.put(_gram_hash_map(ds, cand_ids, n, text_col, id_col))
+        empty = np.empty(0, np.uint64)
+
+        def verify(t: pa.Table) -> pa.Table:
+            grams = ray.get(grams_ref)
+            a_l, b_l = t["a"].to_pylist(), t["b"].to_pylist()
+            jac = np.empty(len(a_l))
+            for i, (a, b) in enumerate(zip(a_l, b_l)):
+                sa, sb = grams.get(a, empty), grams.get(b, empty)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                denom = sa.size + sb.size - inter
+                jac[i] = (inter / denom) if denom else 0.0
+            return t.append_column("jaccard", pa.array(jac, pa.float64()))
+
+        verified = pairs_ds.map_batches(verify, batch_format="pyarrow")
+        dropped = verified.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
+                       .select(["b"]),
+            batch_format="pyarrow").unique("b")
+    else:
+        dropped = []
+    drop_arr = pa.array(sorted(dropped))
+
+    def keep(t: pa.Table) -> pa.Table:
+        if len(drop_arr) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=drop_arr)))
+
+    return ds.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")

@@ -117,12 +117,17 @@ def fit_centroids(ds, n_centroids: int, vec_col: str = "embedding",
 def knn_ivf(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Approximate top-k: probe only the nprobe nearest inverted lists."""
+    from logtrics_ray.functions.dedup import process_cached
     cents = fit_centroids(ds, n_centroids, vec_col)
     cref = ray.put(cents)
-    indexed = ds.map_batches(IVFIndexer,
-                             fn_constructor_kwargs=dict(centroids_ref=cref,
-                                                        vec_col=vec_col, id_col=id_col),
-                             batch_format="pyarrow", concurrency=2)
+
+    def assign(t):
+        # task mode + per-process instance cache: centroids fetched once
+        # per worker process (local object-store read), no pinned pool
+        return process_cached(IVFIndexer, centroids_ref=cref,
+                              vec_col=vec_col, id_col=id_col)(t)
+
+    indexed = ds.map_batches(assign, batch_format="pyarrow")
     q_rows = ds.map_batches(
         lambda t: t.filter(pa.compute.is_in(t[id_col],
                                             value_set=pa.array(query_ids))),
@@ -138,41 +143,123 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
     return knn_bruteforce(sub, query_ids, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _normalized_blocks(ds, id_col: str, vec_col: str, target_rows: int = 4096):
+    """Dataset -> list of ObjectRefs to (id, normalized-matrix) Arrow
+    tables.  The vectors live in the OBJECT STORE (spillable), never on
+    the driver."""
+    import pyarrow as pa
+
+    def norm(t: pa.Table) -> pa.Table:
+        m = _norm_rows(_batch_matrix(t, vec_col))
+        flat = pa.array(m.reshape(-1), pa.float64())
+        lists = pa.FixedSizeListArray.from_arrays(flat, m.shape[1] if m.size else 1)
+        return pa.Table.from_arrays(
+            [t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray)
+             else t[id_col], lists],
+            names=[id_col, "nvec"])
+
+    mat = ds.select_columns([id_col, vec_col]).map_batches(
+        norm, batch_format="pyarrow", batch_size=target_rows).materialize()
+    return mat.to_arrow_refs()
+
+
+def _block_arrays(t, id_col: str):
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = t["nvec"]
+    if hasattr(nv, "combine_chunks"):
+        nv = nv.combine_chunks()
+    width = nv.type.list_size
+    m = nv.values.to_numpy(zero_copy_only=False).reshape(len(ids), width)
+    return ids, m
+
+
+@ray.remote
+def _dedup_block_pair(ref_a, ref_b, threshold: float, id_col: str) -> np.ndarray:
+    """Dropped ids from comparing block A x block B (possibly A == B):
+    v is dropped iff some u with u.id < v.id has cosine >= threshold."""
+    ta = ray.get(ref_a) if not hasattr(ref_a, "num_rows") else ref_a
+    tb = ray.get(ref_b) if not hasattr(ref_b, "num_rows") else ref_b
+    ids_a, ma = _block_arrays(ta, id_col)
+    ids_b, mb = _block_arrays(tb, id_col)
+    s = ma @ mb.T                                  # (na, nb)
+    hit = s >= threshold
+    lt = np.less.outer(ids_a, ids_b)
+    gt = np.greater.outer(ids_a, ids_b)
+    dropped_b = ids_b[(hit & lt).any(axis=0)]      # some a.id < b.id is a dup
+    dropped_a = ids_a[(hit & gt).any(axis=1)]      # some b.id < a.id is a dup
+    return np.unique(np.concatenate([dropped_a, dropped_b]))
+
+
 def embedding_dedup_survivors(ds, threshold: float = 0.98,
                               id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Near-dup rule: drop v iff ∃ u < v with cosine(u, v) >= threshold.
-    Pairwise over hash-bucketed blocks (all-pairs across block pairs is
-    avoided by comparing against a broadcast of block minima... for the
-    bounded embeddings table we broadcast the normalized corpus matrix —
-    documented O(n²/P) block kernel; the LSH path for true scale is
-    minhash/simhash in dedup.py)."""
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    rows.sort(key=lambda r: r[id_col])
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    m = _norm_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
-    ref = ray.put((ids, m))
-    import ray.data as rd
+    """EXACT near-dup rule: drop v iff ∃ u < v with cosine(u, v) >=
+    threshold.  Distributed block-pair kernel: normalized blocks live in
+    the object store (``to_arrow_refs`` — the driver never holds a
+    vector); one Ray task per block pair (i <= j) does a float64 matmul
+    and returns only dropped IDS; survivors stream out as a Dataset with
+    a vectorized ``pc.is_in`` filter over the (small, dup-count-bounded)
+    dropped set.
 
-    n = ids.size
-    chunk = max(256, n // 32)
-    starts = list(range(0, n, chunk))
+    Cost is O(n²/B²) tasks — the exact path, kept because the dedup rule
+    is exact (and DuckDB-oracle-checked).  At 100 TB use
+    ``embedding_dedup_lsh`` (random-hyperplane buckets, near-linear) and
+    accept its measured recall."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    refs = _normalized_blocks(ds, id_col, vec_col)
+    futures = [_dedup_block_pair.remote(refs[i], refs[j], threshold, id_col)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    dropped: set = set()
+    for part in ray.get(futures):
+        dropped.update(part.tolist())
+    drop_arr = pa.array(sorted(dropped), pa.int64())
 
-    @ray.remote
-    def block(start: int) -> list[int]:
-        ids_, m_ = ray.get(ref)
-        end = min(start + chunk, ids_.size)
-        s = m_[start:end] @ m_.T  # (chunk, n)
-        dropped = []
-        for i in range(end - start):
-            gi = start + i
-            sim = s[i]
-            mask = (ids_ < ids_[gi]) & (sim >= threshold)
-            if mask.any():
-                dropped.append(int(ids_[gi]))
-        return dropped
+    def keep(t: pa.Table) -> pa.Table:
+        if len(drop_arr) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(
+            pc.cast(t[id_col], pa.int64()), value_set=drop_arr)))
 
-    dropped = set()
-    for part in ray.get([block.remote(s) for s in starts]):
-        dropped.update(part)
-    keep = [int(i) for i in ids if int(i) not in dropped]
-    return pd.DataFrame({id_col: keep})
+    return ds.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")
+
+
+def embedding_dedup_lsh(ds, threshold: float = 0.98, n_planes: int = 12,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 29):
+    """Scale path for embedding near-dedup: random-hyperplane LSH buckets
+    (identical sign pattern over ``n_planes`` hyperplanes) -> EXACT
+    cosine verification within each bucket (vectorized map_groups) ->
+    keep-earliest.  Near-linear: only bucket-mates are compared; recall
+    vs the exact kernel is measured in tests (high-cosine pairs agree on
+    most hyperplane signs: P[same bucket] = (1 - theta/pi)^n_planes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = _norm_rows(_batch_matrix(t, vec_col))
+        rng = np.random.default_rng(seed)           # same planes every batch
+        planes = rng.normal(size=(m.shape[1], n_planes))
+        bits = (m @ planes) >= 0
+        bucket = (bits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int64)
+        flat = pa.array(m.reshape(-1), pa.float64())
+        lists = pa.FixedSizeListArray.from_arrays(flat, m.shape[1] if m.size else 1)
+        return pa.Table.from_arrays(
+            [t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray)
+             else t[id_col],
+             pa.array(bucket, pa.int64()), lists],
+            names=[id_col, "bucket", "nvec"])
+
+    buck = ds.select_columns([id_col, vec_col]).map_batches(
+        bucketize, batch_format="pyarrow")
+
+    def verify(g: pa.Table) -> pa.Table:
+        ids, m = _block_arrays(g.combine_chunks(), id_col)
+        s = m @ m.T
+        hit = (s >= threshold) & np.less.outer(ids, ids)   # u < v dup pairs
+        keep = ids[~hit.any(axis=0)]
+        return pa.Table.from_arrays([pa.array(keep, pa.int64())], names=[id_col])
+
+    kept_in_bucket = buck.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    # a doc survives iff it survived its bucket (each doc is in exactly
+    # one bucket, so no cross-bucket reconciliation is needed)
+    return kept_in_bucket

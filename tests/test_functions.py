@@ -127,6 +127,58 @@ def test_knn_ivf_recall_vs_bruteforce():
     assert np.mean(recalls) >= 0.8
 
 
+def _embedding_corpus(n=400, dim=12, dup_rate=0.15, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dim))
+    # plant near-dups: scaled + tiny-noise copies of earlier rows
+    n_dup = int(n * dup_rate)
+    src = rng.integers(0, n - n_dup, size=n_dup)
+    base[n - n_dup:] = base[src] * 1.7 + 0.01 * rng.normal(size=(n_dup, dim))
+    t = pa.Table.from_arrays(
+        [pa.array(np.arange(n), pa.int64()),
+         pa.array(list(base.astype(np.float32)), pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    return t, base
+
+
+def test_embedding_dedup_exact_matches_bruteforce():
+    from logtrics_ray.functions.similarity import (_norm_rows,
+                                                   embedding_dedup_survivors)
+    t, base = _embedding_corpus()
+    thr = 0.98
+    # repartition forces MULTIPLE blocks -> exercises cross-block pairs
+    ds = rd.from_arrow(t).repartition(6)
+    got = sorted(r["vec_id"] for r in
+                 embedding_dedup_survivors(ds, threshold=thr).take_all())
+    m = _norm_rows(np.asarray(
+        t["embedding"].combine_chunks().values.to_numpy().reshape(len(t), -1),
+        dtype=np.float64))
+    s = m @ m.T
+    expect = [v for v in range(len(t))
+              if not any(s[u, v] >= thr for u in range(v))]
+    assert got == expect
+    assert len(got) < len(t)        # planted dups actually dropped
+
+
+def test_embedding_dedup_lsh_recall():
+    """LSH variant: identical survivors on the planted high-cosine dups
+    (recall >= 0.9 against the exact kernel at threshold 0.98)."""
+    from logtrics_ray.functions.similarity import (embedding_dedup_lsh,
+                                                   embedding_dedup_survivors)
+    t, _ = _embedding_corpus()
+    ds = rd.from_arrow(t)
+    exact = set(r["vec_id"] for r in
+                embedding_dedup_survivors(ds, threshold=0.98).take_all())
+    lsh = set(r["vec_id"] for r in
+              embedding_dedup_lsh(ds, threshold=0.98, n_planes=10).take_all())
+    dropped_exact = set(range(len(t))) - exact
+    dropped_lsh = set(range(len(t))) - lsh
+    assert dropped_lsh <= dropped_exact          # LSH never over-drops
+    recall = (len(dropped_lsh & dropped_exact) / len(dropped_exact)
+              if dropped_exact else 1.0)
+    assert recall >= 0.9
+
+
 def test_multimodal_stub_contracts():
     from logtrics_ray.functions.multimodal import (ImageDecodeStub, ResizeStub,
                                                    decode_features,
