@@ -354,17 +354,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return embedding_dedup_lsh(ds, threshold=0.95)
 
     def q_multimodal(sf_dir):
+        """REAL decode kernels (PPM + WAV, stdlib/numpy only): features
+        from actual pixel/sample planes.  Deterministic synth corpus."""
+        import ray.data as rd
+        from logtrics_ray.functions.multimodal import (decode_media_features,
+                                                       synth_real_media_table)
+        ds = rd.from_arrow(synth_real_media_table(200))
+        return decode_media_features(ds)
+
+    def q_multimodal_resize(sf_dir):
+        """REAL nearest-neighbor PPM resize -> re-decode features of the
+        resized payloads (proves the bytes round-trip)."""
+        import ray.data as rd
+        from logtrics_ray.functions.multimodal import (decode_media_features,
+                                                       resize_media,
+                                                       synth_real_media_table)
+        ds = rd.from_arrow(synth_real_media_table(200))
+        return decode_media_features(resize_media(ds, 24, 24))
+
+    def q_multimodal_stub(sf_dir):
+        """Declared-stub path for formats needing absent libraries (the
+        plumbing contract: actor-pool shape, pyarrow binary columns)."""
         import ray.data as rd
         from logtrics_ray.functions.multimodal import decode_features, synth_media_table
         ds = rd.from_arrow(synth_media_table(200))
         return decode_features(ds, fake=True)
-
-    def q_multimodal_resize(sf_dir):
-        import ray.data as rd
-        from logtrics_ray.functions.multimodal import ResizeStub, synth_media_table
-        ds = rd.from_arrow(synth_media_table(200))
-        return ds.map_batches(ResizeStub, fn_constructor_kwargs=dict(fake=True),
-                              batch_format="pyarrow", batch_size=64, concurrency=2)
 
     return {
         "events_rollup_1m": q_rollup(MIN_MS),
@@ -405,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "multimodal_decode": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_stub": q_multimodal_stub,
     }
 
 

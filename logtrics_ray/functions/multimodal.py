@@ -1,24 +1,34 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+REAL dependency-free codecs for two formats and declared stubs beyond.
 
 Image/audio/video payloads are treated as opaque ``binary`` columns with
-typed metadata columns alongside (media_type, width/height or
-sample_rate, codec).  The decode/feature kernels themselves are STUBBED
-(this container ships no image/audio libraries — each stub raises
-NotImplementedError unless ``fake=True`` selects the deterministic fake
-used by tests), but the Ray-side plumbing is real and tested:
+typed metadata columns alongside (media_type, width/height).  Two codec
+paths are fully real (stdlib/numpy only, no external image/audio libs):
 
-  * actor-pool stage shape (decoder state built once per actor),
+  * ``image/x-portable-pixmap`` (PPM P6): header parse + zero-copy
+    ``np.frombuffer`` decode, nearest-neighbor resize, channel-stat
+    features — a genuine decode->transform->featurize pipeline.
+  * ``audio/wav`` (PCM16): stdlib ``wave`` decode, duration/RMS/
+    zero-crossing features.
+
+Formats that need external libraries (JPEG/PNG/...) remain clearly
+marked stubs: NotImplementedError unless ``fake=True`` selects the
+deterministic fake used by plumbing tests.  The Ray-side shape is the
+same either way and is what matters at 100 TB:
+
+  * stateful stage (decoder state built once per actor/process),
   * ``batch_format="pyarrow"`` end to end (binary columns must NOT pass
     through pandas object dtype),
   * small ``batch_size`` for wide binary rows (payload bytes × batch ×
-    concurrency must fit the worker heap — the knob that matters at
-    100 TB),
+    concurrency must fit the worker heap),
   * schema in/out contracts.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -45,6 +55,222 @@ def synth_media_table(n: int, payload_bytes: int = 4096, seed: int = 5) -> pa.Ta
         pa.array(rng.integers(64, 1024, size=n, dtype=np.int32), pa.int32()),
     ], schema=MEDIA_SCHEMA)
 
+
+# ------------------------------------------------------- real codecs ------
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PPM P6 bytes (pure stdlib)."""
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM P6 bytes -> (h, w, 3) uint8 via np.frombuffer (no copy of the
+    pixel plane beyond the reshape view)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a PPM P6 payload")
+    # header: magic, width, height, maxval — whitespace separated
+    parts, idx = [], 2
+    while len(parts) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":           # comment line
+            idx = payload.index(b"\n", idx) + 1
+            continue
+        end = idx
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        parts.append(int(payload[idx:end]))
+        idx = end
+    idx += 1                                          # single ws after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                         offset=idx).reshape(h, w, 3)
+
+
+def resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy integer gather."""
+    h, w, _ = rgb.shape
+    yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return rgb[yi[:, None], xi[None, :], :]
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] -> mono PCM16 WAV bytes (stdlib wave)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 samples in [-1, 1], sample rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            raise ValueError("only mono PCM16 WAV supported")
+        rate = f.getframerate()
+        raw = f.readframes(f.getnframes())
+    return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0, rate
+
+
+PPM_TYPE = "image/x-portable-pixmap"
+WAV_TYPE = "audio/wav"
+
+
+def synth_real_media_table(n: int, seed: int = 9) -> pa.Table:
+    """Deterministic corpus of REAL decodable payloads: alternating PPM
+    images (gradient + seeded noise) and WAV clips (two-tone + noise)."""
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+            grad = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+            img = (grad + rng.integers(0, 64, size=(h, w, 3))).clip(0, 255)
+            payloads.append(encode_ppm(img.astype(np.uint8)))
+            types.append(PPM_TYPE)
+            ws.append(w); hs.append(h)
+        else:
+            rate = 8000
+            t = np.arange(int(rng.integers(800, 2400))) / rate
+            f0 = float(rng.integers(100, 900))
+            sig = (0.5 * np.sin(2 * np.pi * f0 * t)
+                   + 0.1 * rng.normal(size=t.size))
+            payloads.append(encode_wav_pcm16(sig, rate))
+            types.append(WAV_TYPE)
+            ws.append(0); hs.append(0)
+        ids.append(f"med-{i:08d}")
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.string()), pa.array(types, pa.string()),
+        pa.array(payloads, pa.binary()),
+        pa.array(np.asarray(ws, dtype=np.int32), pa.int32()),
+        pa.array(np.asarray(hs, dtype=np.int32), pa.int32()),
+    ], schema=MEDIA_SCHEMA)
+
+
+class MediaDecoder:
+    """Stateful per-batch decode+featurize stage (real kernels).
+
+    Per media_type:
+      PPM  -> [width, height, mean_r, mean_g, mean_b, std_luma, 0, 0]
+      WAV  -> [duration_s, rate, rms, zero_cross_rate, mean, std, 0, 0]
+    Unknown types raise (strict=True) or emit a null feature row
+    (strict=False, log-and-continue counted in ``self.errors``)."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.errors = 0
+
+    def _features(self, media_type: str, payload: bytes) -> np.ndarray:
+        f = np.zeros(self.FEATURE_DIM, dtype=np.float64)
+        if media_type == PPM_TYPE:
+            img = decode_ppm(payload).astype(np.float64)
+            luma = img @ np.array([0.2126, 0.7152, 0.0722])
+            f[:6] = [img.shape[1], img.shape[0],
+                     img[..., 0].mean(), img[..., 1].mean(),
+                     img[..., 2].mean(), luma.std()]
+        elif media_type == WAV_TYPE:
+            x, rate = decode_wav_pcm16(payload)
+            zc = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))) \
+                if x.size > 1 else 0.0
+            f[:6] = [x.size / rate, rate, float(np.sqrt(np.mean(x * x))),
+                     zc, float(x.mean()), float(x.std())]
+        else:
+            raise NotImplementedError(
+                f"no dependency-free decoder for {media_type!r}; JPEG/PNG "
+                "etc. need an image library absent from this environment")
+        return f
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].combine_chunks() if isinstance(
+            t["media_id"], pa.ChunkedArray) else t["media_id"]
+        types = t["media_type"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        feats = np.full((len(types), self.FEATURE_DIM), np.nan)
+        ok = np.ones(len(types), dtype=bool)
+        for i, (mt, p) in enumerate(zip(types, payloads)):
+            try:
+                feats[i] = self._features(mt, p)
+            except (NotImplementedError, ValueError):
+                if self.strict:
+                    raise
+                ok[i] = False
+                self.errors += 1
+        return pa.Table.from_arrays([
+            ids,
+            t["media_type"].combine_chunks() if isinstance(
+                t["media_type"], pa.ChunkedArray) else t["media_type"],
+            pa.array(list(feats.astype(np.float32)), pa.list_(pa.float32())),
+            pa.array(ok, pa.bool_()),
+        ], names=["media_id", "media_type", "feature", "decoded"])
+
+
+class PpmResize:
+    """Real resize stage for PPM payloads: decode -> nearest-neighbor ->
+    re-encode.  Non-PPM rows pass through unchanged (resize is a no-op
+    for them; a JPEG resize would need an external library)."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        types = t["media_type"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out_p, out_w, out_h = [], [], []
+        ws = t["meta_width"].to_pylist()
+        hs = t["meta_height"].to_pylist()
+        for mt, p, w, h in zip(types, payloads, ws, hs):
+            if mt == PPM_TYPE:
+                out_p.append(encode_ppm(resize_nearest(decode_ppm(p),
+                                                       self.tw, self.th)))
+                out_w.append(self.tw); out_h.append(self.th)
+            else:
+                out_p.append(p); out_w.append(w); out_h.append(h)
+        return pa.Table.from_arrays([
+            t["media_id"].combine_chunks() if isinstance(
+                t["media_id"], pa.ChunkedArray) else t["media_id"],
+            t["media_type"].combine_chunks() if isinstance(
+                t["media_type"], pa.ChunkedArray) else t["media_type"],
+            pa.array(out_p, pa.binary()),
+            pa.array(np.asarray(out_w, dtype=np.int32), pa.int32()),
+            pa.array(np.asarray(out_h, dtype=np.int32), pa.int32()),
+        ], schema=MEDIA_SCHEMA)
+
+
+def decode_media_features(ds, batch_size: int = 64):
+    """Media Dataset -> real decoded features (task mode, process-cached
+    decoder; small batch_size because binary rows are wide)."""
+    from logtrics_ray.functions.dedup import process_cached
+
+    def fn(t: pa.Table) -> pa.Table:
+        return process_cached(MediaDecoder, strict=True)(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def resize_media(ds, target_w: int = 32, target_h: int = 32,
+                 batch_size: int = 64):
+    from logtrics_ray.functions.dedup import process_cached
+
+    def fn(t: pa.Table) -> pa.Table:
+        return process_cached(PpmResize, target_w=target_w,
+                              target_h=target_h)(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --------------------------------------------- declared stubs (non-PPM) ---
 
 class ImageDecodeStub:
     """Actor-pool decode stage.  Real codec absent -> fake=True produces a
@@ -101,7 +327,8 @@ class ResizeStub(ImageDecodeStub):
         ], schema=MEDIA_SCHEMA)
 
 
-def decode_features(ds, fake: bool = True, batch_size: int = 64, concurrency=2):
+def decode_features(ds, fake: bool = True, batch_size: int = 64,
+                    concurrency=(1, 2)):
     """Media Dataset -> feature Dataset via the actor-pool stub.  Small
     batch_size on purpose: binary payload rows are wide."""
     return ds.map_batches(ImageDecodeStub, fn_constructor_kwargs=dict(fake=fake),
