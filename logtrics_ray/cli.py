@@ -47,6 +47,9 @@ def _load_rules(path: str | None):
     from logtrics_ray.rules import default_rules, load_rules
     if not path:
         return default_rules()
+    import os
+    if os.path.isdir(path):
+        return load_rules(path)  # directory of *.toml rule files
     if path.endswith(".json"):
         with open(path) as f:
             return load_rules(json.load(f))
@@ -151,7 +154,8 @@ def main(argv=None) -> int:
     r = sub.add_parser("run", help="extract -> rollup -> tiers -> write")
     r.add_argument("--input", required=True, help="token-table parquet dir")
     r.add_argument("--out", required=True, help="tier output root")
-    r.add_argument("--rules", default=None, help="rule spec file (TOML/JSON)")
+    r.add_argument("--rules", default=None,
+                   help="rule spec: TOML/JSON file OR a directory of *.toml files")
     r.add_argument("--tiers", default="1m,1h,1d")
     r.add_argument("--gap-fill", default="locf", choices=["null", "locf", "linear"])
     r.add_argument("--salt-buckets", type=int, default=8)

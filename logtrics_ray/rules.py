@@ -22,9 +22,58 @@ path and documented as such.
 
 from __future__ import annotations
 
+import logging
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Callable
+
+
+class RuleLogger:
+    """Per-rule logging API handed to handler UDFs — the reimagined
+    ``fatal/error/warn/info/debug/trace`` bindings the reference injects
+    into every Lua script state tagged ``script:[name]``
+    (/root/reference/logtrics.go:162-173,204-267).
+
+    Each method logs through the ``logtrics.rule.<name>`` logger with the
+    ``script:[name]`` prefix; ``fatal`` raises (the reference's
+    ``log.Fatal`` exits the process — in a batch engine that's an error
+    surfaced through the per-rule error counter instead of a worker
+    kill)."""
+
+    __slots__ = ("name", "_log")
+
+    def __init__(self, name: str):
+        self.name = name
+        self._log = logging.getLogger(f"logtrics.rule.{name}")
+
+    def _fmt(self, msg: str, args) -> str:
+        return f"script:[{self.name}] " + (msg % args if args else msg)
+
+    def trace(self, msg, *args):
+        self._log.debug(self._fmt(msg, args))
+
+    def debug(self, msg, *args):
+        self._log.debug(self._fmt(msg, args))
+
+    def info(self, msg, *args):
+        self._log.info(self._fmt(msg, args))
+
+    def warn(self, msg, *args):
+        self._log.warning(self._fmt(msg, args))
+
+    def error(self, msg, *args):
+        self._log.error(self._fmt(msg, args))
+
+    def fatal(self, msg, *args):
+        text = self._fmt(msg, args)
+        self._log.error(text)
+        raise RuleFatal(text)
+
+
+class RuleFatal(RuntimeError):
+    """Raised by RuleLogger.fatal inside a handler; counted per rule by
+    the extractor (log-and-continue, /root/reference/script.go:58-61)."""
 
 METRIC_TYPES = ("counter", "gauge", "timer", "meter")
 
@@ -117,7 +166,29 @@ def _build_rule(d: dict) -> RuleSpec:
 
 
 def load_rules(spec: list[dict] | str) -> tuple[RuleSpec, ...]:
-    """Load rules from a list of dicts or a TOML file path ([[rule]] array)."""
+    """Load rules from a list of dicts, a TOML file ([[rule]] array), or a
+    DIRECTORY of ``*.toml`` files (walked in sorted order, all rules
+    concatenated — ≙ the reference's script-dir discovery where every
+    ``*.lua`` in ``scriptdir`` is loaded and every event is offered to
+    every rule of every script, /root/reference/app.go:96-111).
+
+    Duplicate rule names across files are fatal (strict like the
+    reference's config merge, /root/reference/logtrics.go:100-101)."""
+    if isinstance(spec, str) and os.path.isdir(spec):
+        files = sorted(f for f in os.listdir(spec) if f.endswith(".toml"))
+        if not files:
+            raise ValueError(f"rules dir {spec!r} contains no *.toml files")
+        rules: list[RuleSpec] = []
+        seen: dict[str, str] = {}
+        for f in files:
+            for r in load_rules(os.path.join(spec, f)):
+                if r.name in seen:
+                    raise ValueError(
+                        f"duplicate rule name {r.name!r}: defined in "
+                        f"{seen[r.name]!r} and {f!r}")
+                seen[r.name] = f
+                rules.append(r)
+        return tuple(rules)
     if isinstance(spec, str):
         import tomllib
         with open(spec, "rb") as f:

@@ -33,10 +33,17 @@ def broadcast_enrich(ds, dim: dict[str, dict], key_col: str = "series_key",
 
     def fn(t: pa.Table) -> pa.Table:
         d = ray.get(dim_ref)
-        keys = t[key_col].to_pylist()
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # dictionary-encode + take: Python lookups only on the DISTINCT
+        # keys (cardinality-bounded), then one vectorized gather per attr.
+        enc = col if pa.types.is_dictionary(col.type) else col.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx = enc.indices
         for a in attrs:
-            vals = [d.get(k, {}).get(a) for k in keys]
-            t = t.append_column(prefix + a, pa.array(vals))
+            lut = pa.array([d.get(k, {}).get(a) for k in uniq])
+            t = t.append_column(prefix + a, pa.compute.take(lut, idx))
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -56,13 +63,17 @@ def apply_retention(ds, retention_ms: dict[str, int], horizon_end_ms: int,
 
     def fn(t: pa.Table) -> pa.Table:
         r = ray.get(ret_ref)
-        keys = t[key_col].to_pylist()
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col if pa.types.is_dictionary(col.type) else col.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        default_cut = (horizon_end_ms - default_ms if default_ms is not None
+                       else np.iinfo(np.int64).min)
+        lut = np.array([horizon_end_ms - r[k] if k in r else default_cut
+                        for k in uniq], dtype=np.int64)
+        cutoffs = lut[enc.indices.to_numpy(zero_copy_only=False)]
         w = t[window_col].to_numpy()
-        cutoffs = np.array(
-            [horizon_end_ms - r[k] if k in r
-             else (horizon_end_ms - default_ms if default_ms is not None
-                   else np.iinfo(np.int64).min)
-             for k in keys], dtype=np.int64)
         return t.filter(pa.array(w >= cutoffs))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

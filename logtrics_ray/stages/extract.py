@@ -203,6 +203,17 @@ class RuleExtractor:
         self.rows_in = 0
         self.points_out = 0
         self.row_errors = 0
+        # Per-rule error attribution + per-rule tagged logger for handler
+        # UDFs (≙ the reference's script:[name] log bindings,
+        # /root/reference/logtrics.go:162-173).
+        self.rule_errors: dict[str, int] = {r.name: 0 for r in rules}
+        from logtrics_ray.rules import RuleLogger
+        import inspect
+        self._loggers = {r.name: RuleLogger(r.name) for r in rules}
+        self._handler_wants_log = {
+            r.name: (r.handler is not None
+                     and len(inspect.signature(r.handler).parameters) >= 2)
+            for r in rules}
 
     def _text(self, batch: pa.Table) -> pa.Array:
         if self.text_column:
@@ -323,15 +334,21 @@ class RuleExtractor:
         cols = [fields[k].to_pylist() for k in names]
         ts_l, tb_l = ts.to_pylist(), tb.to_pylist()
         s_out, m_out, t_out, v_out, b_out, i_out = [], [], [], [], [], []
+        log = self._loggers[rule.name]
+        wants_log = self._handler_wants_log[rule.name]
         for i in range(nv):
             event = {k: c[i] for k, c in zip(names, cols)}
             try:
-                for mt, series, value in (rule.handler(event) or []):
+                emitted = (rule.handler(event, log) if wants_log
+                           else rule.handler(event)) or []
+                for mt, series, value in emitted:
                     s_out.append(series); m_out.append(mt)
                     t_out.append(ts_l[i]); v_out.append(float(value)); b_out.append(tb_l[i])
                     i_out.append(i)
             except Exception:
-                self.row_errors += 1  # swallow like script.go:58-61
+                # swallow like script.go:58-61, attributed per rule
+                self.row_errors += 1
+                self.rule_errors[rule.name] += 1
         t = pa.Table.from_arrays(
             [pa.array(s_out, pa.string()), pa.array(m_out, pa.string()),
              pa.array(t_out, pa.int64()), pa.array(v_out, pa.float64()),

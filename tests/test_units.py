@@ -201,6 +201,84 @@ def _docs_ds():
     return rd.from_arrow(t), docs
 
 
+def test_rules_dir_loading_and_duplicate_names(tmp_path):
+    """S4 closure: --rules as a DIRECTORY of *.toml files, walked sorted,
+    all rules concatenated (≙ /root/reference/app.go:96-111 scriptdir);
+    duplicate names across files are fatal."""
+    from logtrics_ray.rules import load_rules
+    d = tmp_path / "rules"
+    d.mkdir()
+    (d / "b_team.toml").write_text('''
+[[rule]]
+name = "b-rule"
+expression = 'bytes=(?P<b>\\\\d+)'
+[[rule.emit]]
+metric_type = "meter"
+series = "b.{b}"
+value = 1
+''')
+    (d / "a_team.toml").write_text('''
+[[rule]]
+name = "a-rule"
+expression = 'status=(?P<s>\\\\d+)'
+[[rule.emit]]
+metric_type = "counter"
+series = "a.{s}"
+value = 1
+''')
+    rules = load_rules(str(d))
+    assert [r.name for r in rules] == ["a-rule", "b-rule"]  # sorted file order
+    (d / "c_dup.toml").write_text('''
+[[rule]]
+name = "a-rule"
+expression = 'x=(?P<x>\\\\d+)'
+[[rule.emit]]
+metric_type = "counter"
+series = "c.{x}"
+value = 1
+''')
+    with pytest.raises(ValueError, match="duplicate rule name"):
+        load_rules(str(d))
+    with pytest.raises(ValueError, match="no \\*.toml"):
+        load_rules(str(tmp_path))
+
+
+def test_handler_rule_logger_and_error_attribution(caplog):
+    """Handler UDFs get a script:[name]-tagged logger (≙ the reference's
+    per-script log bindings, logtrics.go:162-173); handler errors are
+    counted PER RULE (log-and-continue, script.go:58-61)."""
+    import logging
+    import pyarrow as pa
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.rules import load_rules
+    from logtrics_ray.stages.extract import RuleExtractor
+
+    def ok_handler(event, log):
+        log.info("saw n=%s", event["n"])
+        return [("counter", "h.ok", 1.0)]
+
+    def bad_handler(event):
+        raise RuntimeError("boom")
+
+    def fatal_handler(event, log):
+        log.fatal("giving up on n=%s", event["n"])
+
+    rules = load_rules([
+        {"name": "ok-rule", "expression": r"n=(?P<n>\d+)", "handler": ok_handler},
+        {"name": "bad-rule", "expression": r"n=(?P<n>\d+)", "handler": bad_handler},
+        {"name": "fatal-rule", "expression": r"n=(?P<n>\d+)", "handler": fatal_handler},
+    ])
+    batch = pa.Table.from_arrays(
+        [pa.array(["d1", "d2"]), pa.array(["x n=1 y", "x n=2 y"])],
+        names=["doc_id", "text"])
+    ex = RuleExtractor(rules, EngineConfig(), text_column="text")
+    with caplog.at_level(logging.INFO, logger="logtrics.rule.ok-rule"):
+        out = ex(batch)
+    assert out.num_rows == 2                       # ok-rule emitted per row
+    assert ex.rule_errors == {"ok-rule": 0, "bad-rule": 2, "fatal-rule": 2}
+    assert any("script:[ok-rule] saw n=1" in r.message for r in caplog.records)
+
+
 def test_ngram_jaccard_dedup_matches_bruteforce():
     from logtrics_ray.functions.dedup import (ngram_jaccard_dedup_survivors,
                                               ngram_set)
