@@ -24,6 +24,11 @@ DAY_MS = 86_400_000
 _ORD = "epoch_ms(ts)::HUGEINT * 4294967296 + event_id"
 
 
+def _rp(*a, **kw):
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    return read_parquet_clean(*a, **kw)
+
+
 def _cfg():
     from logtrics_ray.config import EngineConfig
     return EngineConfig()
@@ -152,7 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.pipelines.table_rollup import (basic_rollup_frame,
                                                          points_from_table)
         from logtrics_ray.stages.rollup import rollup_base
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+        ds = _rp(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "event_type", "props"])
 
         def extract_k(t: pa.Table) -> pa.Table:
@@ -189,7 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.pipelines.table_rollup import (basic_rollup_frame,
                                                          points_from_table)
         from logtrics_ray.stages.rollup import rollup_base
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+        ds = _rp(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "user_id", "value"])
         pts = points_from_table(ds, "ts", "user_id", "value", "event_id")
         return basic_rollup_frame(rollup_base(pts, HOUR_MS, _cfg()))
@@ -201,7 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.stages.rollup import rollup_base
         import pyarrow as pa
         import pyarrow.compute as pc
-        ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        ds = _rp(f"{sf_dir}/lineitem.parquet",
                              columns=["l_orderkey", "l_linenumber", "l_shipdate",
                                       "l_returnflag", "l_extendedprice", "l_discount"])
 
@@ -222,7 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.pipelines.table_rollup import (basic_rollup_frame,
                                                          points_from_table)
         from logtrics_ray.stages.rollup import rollup_base
-        ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+        ds = _rp(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderdate", "o_orderstatus",
                                       "o_totalprice"])
         pts = points_from_table(ds, "o_orderdate", "o_orderstatus", "o_totalprice",
@@ -267,13 +272,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_exact(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.dedup import exact_dedup
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return exact_dedup(ds)
 
     def q_text_stats(sf_dir):
         import ray.data as rd
         import pyarrow as pa
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         from logtrics_ray.functions.textstats import TOKEN_RE, WORD_RE
 
         def fn(t: pa.Table) -> pa.Table:
@@ -293,7 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from logtrics_ray.functions.dedup import process_cached
         from logtrics_ray.functions.textstats import TextStats
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(lambda df: process_cached(TextStats)(df),
                               batch_format="pandas")
 
@@ -301,56 +306,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from logtrics_ray.functions.dedup import process_cached
         from logtrics_ray.functions.textstats import LangId
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(lambda df: process_cached(LangId)(df),
                               batch_format="pandas")
 
     def q_fingerprint(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.textstats import fingerprint_batch
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
     def q_minhash_dedup(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.dedup import minhash_dedup_survivors
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return minhash_dedup_survivors(ds)
 
     def q_ngram_jaccard_dedup(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.dedup import ngram_jaccard_dedup_survivors
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ngram_jaccard_dedup_survivors(ds, threshold=0.8)
 
     def q_simhash_dedup(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.dedup import simhash_dedup
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return simhash_dedup(ds, mask_bits=4)
 
     def q_knn(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.similarity import knn_bruteforce
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = _rp(f"{sf_dir}/embeddings.parquet")
         return knn_bruteforce(ds, query_ids=[0, 1, 2, 3, 4], k=5)
 
     def q_knn_ivf(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.similarity import knn_ivf
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = _rp(f"{sf_dir}/embeddings.parquet")
         return knn_ivf(ds, query_ids=[0, 1, 2, 3, 4], k=5)
 
     def q_embedding_dedup(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.similarity import embedding_dedup_survivors
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = _rp(f"{sf_dir}/embeddings.parquet")
         return embedding_dedup_survivors(ds, threshold=0.95)
 
     def q_embedding_dedup_lsh(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.similarity import embedding_dedup_lsh
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = _rp(f"{sf_dir}/embeddings.parquet")
         return embedding_dedup_lsh(ds, threshold=0.95)
 
     def q_multimodal(sf_dir):

@@ -43,7 +43,8 @@ BENCH_ROWS = {"0.001": 2_000, "0.01": 20_000, "0.1": 4_000_000}
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)   # keep the one-line JSON contract clean
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import logging
@@ -99,6 +100,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             res.count()
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    # Embed the most recent --scaling measurement (written by run_scaling
+    # to SCALING_LATEST.json, committed with the repo) so the driver's
+    # BENCH_r{N}.json carries the two-cluster-size evidence directly.
+    scaling = None
+    spath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "SCALING_LATEST.json")
+    if os.path.exists(spath):
+        try:
+            scaling = json.load(open(spath))
+        except (json.JSONDecodeError, OSError):
+            scaling = None
+
     result = {
         "metric": "e2e_rollup_sec",
         "value": round(e2e, 3),
@@ -110,6 +123,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "points": n_points,
         "points_per_sec": round(n_points / e2e, 1),
         "rows_per_sec": round(n_rows / e2e, 1),
+        "scaling": scaling,
     }
     ray.shutdown()
     return result
@@ -238,6 +252,12 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        res = run_scaling(sf_dir)
+        spath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SCALING_LATEST.json")
+        with open(spath + ".tmp", "w") as f:
+            json.dump(res, f, indent=1, sort_keys=True)
+        os.replace(spath + ".tmp", spath)
+        print(json.dumps(res))
     else:
         print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -58,7 +58,8 @@ def points_from_table(ds, ts_col: str, key_col: str, value_col: str, id_col: str
 
 
 def read_events_points(sf_dir: str, metric_type: str = "gauge"):
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "event_type", "value"])
     return points_from_table(ds, "ts", "event_type", "value", "event_id",
                              metric_type=metric_type)
