@@ -64,6 +64,7 @@ def cmd_run(args) -> int:
                        salt_buckets=args.salt_buckets,
                        series_buckets=args.series_buckets,
                        rollup_buckets=args.rollup_buckets,
+                       exchange=args.exchange,
                        tiers=tuple(args.tiers.split(",")))
     t0 = time.time()
     results = run(args.input, args.out, cfg=cfg, rules=_load_rules(args.rules),
@@ -161,6 +162,9 @@ def main(argv=None) -> int:
     r.add_argument("--salt-buckets", type=int, default=8)
     r.add_argument("--series-buckets", type=int, default=64)
     r.add_argument("--rollup-buckets", type=int, default=64)
+    r.add_argument("--exchange", default="salted", choices=["direct", "salted"],
+                   help="fused exchange shape: salted two-phase (skew-safe, "
+                        "default) or direct single all-to-all")
     r.add_argument("--no-resume", action="store_true")
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)

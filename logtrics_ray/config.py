@@ -72,6 +72,21 @@ class EngineConfig:
     # so results are bit-identical at any value).  Size ≈ 2-4 × CPUs.
     rollup_buckets: int = 64
 
+    # Fused-pipeline exchange shape:
+    #   "direct" — ONE all-to-all: points grouped straight by output
+    #     bucket; cheapest when no single series dominates.
+    #   "salted" — salted two-phase (the north star's skew defense at the
+    #     EXCHANGE level): points grouped by (bucket, salt) first — a hot
+    #     series' points spread over `salt_buckets` parallel partial
+    #     tasks — then only the per-(series, window, salt) partial rows
+    #     re-group by bucket for the salt-ordered merge.  Output bits are
+    #     identical (asserted in tests).  DEFAULT: the fixture workload
+    #     (like most log-derived metrics) has hot constant series — the
+    #     salted route keeps the largest single task bounded by
+    #     points/(buckets*salts) instead of the hot series' full size.
+    #     Use "direct" when series cardinality is high and balanced.
+    exchange: str = "salted"
+
     # Gorilla block cap: windows per encoded block.
     block_len: int = 4096
 
@@ -96,6 +111,8 @@ class EngineConfig:
             raise ValueError(f"gap_domain must be 'series' or 'global', got {self.gap_domain!r}")
         if self.salt_buckets < 1:
             raise ValueError("salt_buckets must be >= 1")
+        if self.exchange not in ("direct", "salted"):
+            raise ValueError(f"exchange must be 'direct' or 'salted', got {self.exchange!r}")
         for t in self.tiers:
             if t not in TIERS:
                 raise ValueError(f"unknown tier {t!r}; known: {sorted(TIERS)}")

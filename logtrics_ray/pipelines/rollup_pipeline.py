@@ -190,14 +190,23 @@ class _FusedBucketWorker:
             for tier in cfg.tiers
         }
 
+    from_partials: bool = False   # input = PARTIAL_CORE rows (salted exchange)
+
     def __call__(self, group: pa.Table) -> pa.Table:
         import numpy as np
         from logtrics_ray.stages.cascade import _cascade_bucket_fn
-        from logtrics_ray.stages.rollup import CORE_SCHEMA, _bucket_rollup_fn
+        from logtrics_ray.stages.rollup import (CORE_SCHEMA, _bucket_rollup_fn,
+                                                merge_bucket_partials_fn)
         from logtrics_ray.stages.storage import SUMMARY_SCHEMA
         group = group.combine_chunks()
         bucket = int(group["sbucket"][0].as_py())
         data = group.drop_columns(["sbucket"])
+        if self.from_partials:
+            assert not self.merge_stored, \
+                "incremental appends use the direct exchange"
+            core = merge_bucket_partials_fn(data)
+            return self._write_tiers(bucket, core,
+                                     {"input_files": self.input_files})
         meta = {"input_files": self.input_files}
         if self.merge_stored:
             from logtrics_ray.stages.incremental import merge_cores, stored_core
@@ -223,6 +232,12 @@ class _FusedBucketWorker:
             if "_shard" in data.column_names:
                 data = data.drop_columns(["_shard"])
             core = _bucket_rollup_fn(data)
+        return self._write_tiers(bucket, core, meta)
+
+    def _write_tiers(self, bucket: int, core: pa.Table, meta: dict) -> pa.Table:
+        import numpy as np
+        from logtrics_ray.stages.cascade import _cascade_bucket_fn
+        from logtrics_ray.stages.storage import SUMMARY_SCHEMA
         out = []
         for i, tier in enumerate(self.cfg.tiers):
             if i > 0 and core.num_rows:
@@ -312,8 +327,39 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     # upstream map chain inside RepartitionSplit (measured: total remote
     # CPU doubles, 118s -> 232s at sf0.1), so coalescing costs more than
     # the sort's per-block overhead it would save.
-    summaries = (pts.groupby("sbucket")
-                 .map_groups(fused_bucket, batch_format="pyarrow").materialize())
+    if cfg.exchange == "salted":
+        # Salted two-phase exchange (skew defense): exchange 1 groups by
+        # (bucket, salt) so a hot series' points spread across
+        # salt_buckets parallel partial tasks; exchange 2 moves only the
+        # per-(series, window, salt) PARTIAL rows to the bucket merge.
+        # Bits identical to the direct route (tests pin it).
+        from logtrics_ray.stages.rollup import bucket_partials_table
+        S = cfg.salt_buckets
+
+        def add_xkey(t: pa.Table) -> pa.Table:
+            x = pa.compute.add(pa.compute.multiply(t["sbucket"], S), t["salt"])
+            return t.append_column("xkey", pa.compute.cast(x, pa.int64()))
+
+        def stage1(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            bucket = int(g["xkey"][0].as_py()) // S
+            part = bucket_partials_table(g.drop_columns(["xkey", "sbucket"]))
+            import numpy as np
+            return part.append_column(
+                "sbucket", pa.array(np.full(part.num_rows, bucket,
+                                            dtype=np.int64)))
+
+        worker.from_partials = True
+        partials = (pts.map_batches(add_xkey, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                    .groupby("xkey")
+                    .map_groups(stage1, batch_format="pyarrow"))
+        summaries = (partials.groupby("sbucket")
+                     .map_groups(fused_bucket, batch_format="pyarrow")
+                     .materialize())
+    else:
+        summaries = (pts.groupby("sbucket")
+                     .map_groups(fused_bucket, batch_format="pyarrow").materialize())
     _fill_empty_buckets(summaries, done, out_dir, cfg, input_tag, cfg_hash,
                         input_files=_input_file_names(input_path))
     return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}

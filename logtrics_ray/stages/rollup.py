@@ -362,18 +362,11 @@ def _digests_vectorized(v: np.ndarray, bounds: np.ndarray,
     return out
 
 
-def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
-    """Vectorized rollup of ALL series in one hash bucket.
-
-    Same defining semantics as _fused_fn / the two-phase path — partials
-    per (series, window, salt) over points ordered (ts, tiebreak, value),
-    merged per (series, window) in salt-ascending order — but computed
-    with two lexsorts + segmented reduceat over the whole bucket instead
-    of one group call per series.  ``np.ufunc.reduceat`` per-segment
-    results are invariant to how segments are embedded in a larger array
-    (verified property), so the output is bit-identical to the other
-    modes; only scheduling granularity differs.
-    """
+def _bucket_partials(group: pa.Table):
+    """Phase 1 of the bucket-major rollup: per-(series, metric_type,
+    salt, window) partials over points ordered (ts, tiebreak, value).
+    Returns (u_sk, u_mt, partials dict) where partial digests are live
+    TDigest objects (serialized only if they cross an exchange)."""
     group = group.combine_chunks()
     # (series, metric_type) group codes WITHOUT per-row Python strings:
     # the fused exchange ships these columns dictionary-encoded, so the
@@ -389,7 +382,14 @@ def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
     mt_labels = np.asarray(mtc.dictionary.to_pylist(), dtype=object)
     comb = (skc.indices.to_numpy().astype(np.int64) * len(mt_labels)
             + mtc.indices.to_numpy())
-    uniq_comb, code = np.unique(comb, return_inverse=True)
+    # comb values are bounded by the (small) dictionary product — bincount
+    # remap beats np.unique(return_inverse)'s O(n log n) sort (measured
+    # 1.2s -> ms on a 1M-row hot bucket).
+    occ = np.bincount(comb, minlength=len(sk_labels) * len(mt_labels))
+    uniq_comb = np.flatnonzero(occ)
+    lookup = np.zeros(occ.size, dtype=np.int64)
+    lookup[uniq_comb] = np.arange(uniq_comb.size)
+    code = lookup[comb]
     u_sk = sk_labels[uniq_comb // len(mt_labels)]
     u_mt = mt_labels[uniq_comb % len(mt_labels)]
     w = _np(group, "window_start"); ts = _np(group, "ts_ms")
@@ -397,13 +397,27 @@ def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
     salt = _np(group, "salt")
 
     # ---- phase 1: partials per (code, salt, window), vectorized --------
-    o1 = np.lexsort((v, tb, ts, w, salt, code))
+    # Pack (code, salt, window) into ONE int64 sort key when ranges allow
+    # (codes*salts small, window span < 2^40 ms ~ 35 years): lexsort cost
+    # scales with the number of key arrays — 4 passes instead of 6.
+    smax = int(salt.max()) + 1 if salt.size else 1
+    wmin = np.int64(w.min()) if w.size else np.int64(0)
+    wspan = np.int64(w.max()) - wmin if w.size else np.int64(0)
+    ncs = uniq_comb.size * smax
+    if ncs < (1 << 22) and wspan < (np.int64(1) << 40):
+        cs_key = ((code * smax + salt) << np.int64(40)) | (w - wmin)
+        o1 = np.lexsort((v, tb, ts, cs_key))
+        k1 = cs_key[o1]
+        seg_change = np.flatnonzero(np.diff(k1, prepend=k1[0] - 1))
+    else:
+        o1 = np.lexsort((v, tb, ts, w, salt, code))
+        c1a, s1a, w1a = code[o1], salt[o1], w[o1]
+        seg_change = np.flatnonzero(
+            np.diff(c1a, prepend=c1a[0] - 1).astype(bool)
+            | np.diff(s1a, prepend=s1a[0] - 1).astype(bool)
+            | np.diff(w1a, prepend=w1a[0] - 1).astype(bool))
     c1, s1, w1 = code[o1], salt[o1], w[o1]
     ts1, tb1, v1 = ts[o1], tb[o1], v[o1]
-    seg_change = np.flatnonzero(
-        np.diff(c1, prepend=c1[0] - 1).astype(bool)
-        | np.diff(s1, prepend=s1[0] - 1).astype(bool)
-        | np.diff(w1, prepend=w1[0] - 1).astype(bool))
     bounds1 = np.append(seg_change, c1.size)
     ends1 = bounds1[1:] - 1
     p_code, p_salt, p_w = c1[seg_change], s1[seg_change], w1[seg_change]
@@ -419,8 +433,21 @@ def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
         idx = np.flatnonzero(timer_mask_series[p_code])
         for i, d in zip(idx, _digests_vectorized(v1, bounds1, idx)):
             p_digest[i] = d
+    return u_sk, u_mt, dict(
+        code=p_code, salt=p_salt, w=p_w, count=p_count, sum=p_sum,
+        vmin=p_min, vmax=p_max, last=p_last, lts=p_lts, ltb=p_ltb,
+        digest=p_digest)
 
-    # ---- phase 2: merge partials per (code, window) in salt order ------
+
+def _merge_partials_arrays(u_sk, u_mt, P: dict) -> pa.Table:
+    """Phase 2: merge per-(code, window) partials in salt-ascending order
+    (the defining float semantics) -> core rows."""
+    p_code, p_salt, p_w = P["code"], P["salt"], P["w"]
+    p_count, p_sum = P["count"], P["sum"]
+    p_min, p_max = P["vmin"], P["vmax"]
+    p_last, p_lts, p_ltb = P["last"], P["lts"], P["ltb"]
+    p_digest = P["digest"]
+    timer_mask_series = (u_mt == "timer")
     o2 = np.lexsort((p_salt, p_w, p_code))
     c2, w2, s2 = p_code[o2], p_w[o2], p_salt[o2]
     cnt2, sum2 = p_count[o2], p_sum[o2]
@@ -471,6 +498,102 @@ def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
         pa.array(merged, pa.binary()),
     ] + [pa.array(qs[:, j], pa.float64()) for j in range(len(PCTL_QS))]
     return pa.Table.from_arrays(cols, schema=CORE_SCHEMA)
+
+
+def _bucket_rollup_fn(group: pa.Table) -> pa.Table:
+    """Vectorized rollup of ALL series in one hash bucket.
+
+    Same defining semantics as _fused_fn / the two-phase path — partials
+    per (series, window, salt) over points ordered (ts, tiebreak, value),
+    merged per (series, window) in salt-ascending order — but computed
+    with two lexsorts + segmented reduceat over the whole bucket instead
+    of one group call per series.  ``np.ufunc.reduceat`` per-segment
+    results are invariant to how segments are embedded in a larger array
+    (verified property), so the output is bit-identical to the other
+    modes; only scheduling granularity differs.
+    """
+    u_sk, u_mt, P = _bucket_partials(group)
+    return _merge_partials_arrays(u_sk, u_mt, P)
+
+
+#: Partial rows crossing the salted exchange (PARTIAL_SCHEMA + order keys
+#: + digest bytes): one row per (series, metric_type, salt, window) cell.
+PARTIAL_CORE_SCHEMA = pa.schema([
+    ("series_key", pa.string()),
+    ("metric_type", pa.string()),
+    ("salt", pa.int64()),
+    ("window_start", pa.int64()),
+    ("count", pa.int64()),
+    ("sum", pa.float64()),
+    ("vmin", pa.float64()),
+    ("vmax", pa.float64()),
+    ("last", pa.float64()),
+    ("last_ts", pa.int64()),
+    ("last_tb", pa.uint64()),
+    ("tdigest", pa.binary()),
+])
+
+
+def bucket_partials_table(group: pa.Table) -> pa.Table:
+    """Phase-1 group fn of the SALTED two-phase exchange: one partial row
+    per (series, metric_type, salt, window) cell of this (bucket, salt)
+    slice.  Digests serialize for the wire; string keys ship
+    dictionary-encoded."""
+    u_sk, u_mt, P = _bucket_partials(group)
+    code = P["code"]
+    n = code.size
+    t = pa.Table.from_arrays([
+        pc.dictionary_encode(pa.array(u_sk[code], pa.string())),
+        pc.dictionary_encode(pa.array(u_mt[code], pa.string())),
+        pa.array(P["salt"], pa.int64()),
+        pa.array(P["w"], pa.int64()),
+        pa.array(P["count"], pa.int64()),
+        pa.array(P["sum"], pa.float64()),
+        pa.array(P["vmin"], pa.float64()),
+        pa.array(P["vmax"], pa.float64()),
+        pa.array(P["last"], pa.float64()),
+        pa.array(P["lts"], pa.int64()),
+        pa.array(P["ltb"], pa.uint64()),
+        pa.array([d.to_bytes() if d is not None else None
+                  for d in P["digest"]], pa.binary()),
+    ], names=[f.name for f in PARTIAL_CORE_SCHEMA])
+    return t
+
+
+def merge_bucket_partials_fn(t: pa.Table) -> pa.Table:
+    """Phase-2 group fn of the salted exchange: all partial rows of ONE
+    output bucket -> core rows (identical bits to _bucket_rollup_fn on
+    the same points — the salt decomposition defines the merge order,
+    not the physical route the partials took)."""
+    t = t.combine_chunks()
+    skc = t["series_key"].combine_chunks() if isinstance(
+        t["series_key"], pa.ChunkedArray) else t["series_key"]
+    mtc = t["metric_type"].combine_chunks() if isinstance(
+        t["metric_type"], pa.ChunkedArray) else t["metric_type"]
+    if not pa.types.is_dictionary(skc.type):
+        skc = skc.dictionary_encode()
+    if not pa.types.is_dictionary(mtc.type):
+        mtc = mtc.dictionary_encode()
+    sk_labels = np.asarray(skc.dictionary.to_pylist(), dtype=object)
+    mt_labels = np.asarray(mtc.dictionary.to_pylist(), dtype=object)
+    comb = (skc.indices.to_numpy().astype(np.int64) * len(mt_labels)
+            + mtc.indices.to_numpy())
+    occ = np.bincount(comb, minlength=len(sk_labels) * len(mt_labels))
+    uniq_comb = np.flatnonzero(occ)
+    lookup = np.zeros(occ.size, dtype=np.int64)
+    lookup[uniq_comb] = np.arange(uniq_comb.size)
+    code = lookup[comb]
+    u_sk = sk_labels[uniq_comb // len(mt_labels)]
+    u_mt = mt_labels[uniq_comb % len(mt_labels)]
+    dig = [TDigest.from_bytes(b) if b is not None else None
+           for b in t["tdigest"].to_pylist()]
+    P = dict(code=code,
+             salt=_np(t, "salt"), w=_np(t, "window_start"),
+             count=_np(t, "count"), sum=_np(t, "sum"),
+             vmin=_np(t, "vmin"), vmax=_np(t, "vmax"),
+             last=_np(t, "last"), lts=_np(t, "last_ts"),
+             ltb=_np(t, "last_tb"), digest=dig)
+    return _merge_partials_arrays(u_sk, u_mt, P)
 
 
 def rollup_base_bucketed(points_ds, width_ms: int, cfg: EngineConfig):

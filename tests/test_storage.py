@@ -84,6 +84,22 @@ def test_fused_run_equals_staged_run(t1_dir, tmp_path):
         assert sum(m["rows"] for m in ra[tier]) == sum(m["rows"] for m in rb[tier])
 
 
+def test_salted_exchange_equals_direct(t1_dir, tmp_path):
+    """cfg.exchange='salted' (two-phase skew exchange: (bucket, salt)
+    partials -> bucket merge) produces bit-identical tiers to the direct
+    single-exchange route."""
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    from logtrics_ray.stages.storage import read_tier
+    a_dir, b_dir = str(tmp_path / "direct"), str(tmp_path / "salted")
+    P.run(t1_dir, a_dir, resume=False)
+    P.run(t1_dir, b_dir, cfg=EngineConfig(exchange="salted"), resume=False)
+    key = ["series_key", "metric_type", "window_start"]
+    for tier in ("1m", "1h", "1d"):
+        a = read_tier(a_dir, tier).to_pandas().sort_values(key).reset_index(drop=True)
+        b = read_tier(b_dir, tier).to_pandas().sort_values(key).reset_index(drop=True)
+        assert a.equals(b), f"tier {tier}: salted != direct"
+
+
 def test_no_match_rules_produce_empty_tiers(t1_dir, tmp_path):
     """A rule set that never matches -> 0-row tiers, no crash (the drop
     path at scale, /root/reference/logtrics.go:184-188)."""
