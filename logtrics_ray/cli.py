@@ -30,7 +30,11 @@ import sys
 import time
 
 
+_RAY_OWNED = False   # did THIS process's CLI call ray.init()?
+
+
 def _ensure_ray(num_cpus: int | None):
+    global _RAY_OWNED
     import ray
     if not ray.is_initialized():
         kw = dict(include_dashboard=False, ignore_reinit_error=True,
@@ -39,6 +43,7 @@ def _ensure_ray(num_cpus: int | None):
             ray.init(address="local", num_cpus=num_cpus, **kw)
         else:
             ray.init(**kw)  # ray job submit / RAY_ADDRESS decides
+        _RAY_OWNED = True
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
@@ -97,6 +102,37 @@ def cmd_append(args) -> int:
                   for t, ms in results.items()},
     }))
     return 0
+
+
+def cmd_watch(args) -> int:
+    """Poll the input dir for new shards and incrementally merge them —
+    the batch-engine analog of the reference's live console/UDP/TCP
+    tailing (/root/reference/reader/readers.go:73-196): arriving data is
+    picked up continuously, but through durable parquet shards + lineage
+    manifests instead of ephemeral sockets.  Stops after --max-iter polls
+    (0 = forever) or when a file named STOP appears in the input dir."""
+    import os
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.pipelines.rollup_pipeline import run_incremental
+    _ensure_ray(args.num_cpus)
+    cfg = EngineConfig(tiers=tuple(args.tiers.split(",")))
+    rules = _load_rules(args.rules)
+    it = 0
+    while True:
+        it += 1
+        t0 = time.time()
+        results = run_incremental(args.input, args.out, cfg=cfg, rules=rules)
+        print(json.dumps({
+            "iter": it, "wall_s": round(time.time() - t0, 3),
+            "tiers": {t: {"buckets": len(ms),
+                          "rows": int(sum(m["rows"] for m in ms))}
+                      for t, ms in results.items()},
+        }), flush=True)
+        if args.max_iter and it >= args.max_iter:
+            return 0
+        if os.path.exists(os.path.join(args.input, "STOP")):
+            return 0
+        time.sleep(args.interval)
 
 
 def cmd_validate(args) -> int:
@@ -177,6 +213,18 @@ def main(argv=None) -> int:
     a.add_argument("--num-cpus", type=int, default=None)
     a.set_defaults(fn=cmd_append)
 
+    w = sub.add_parser("watch", help="poll for new shards, append incrementally")
+    w.add_argument("--input", required=True)
+    w.add_argument("--out", required=True)
+    w.add_argument("--rules", default=None)
+    w.add_argument("--tiers", default="1m,1h,1d")
+    w.add_argument("--interval", type=float, default=10.0,
+                   help="seconds between polls")
+    w.add_argument("--max-iter", type=int, default=0,
+                   help="stop after N polls (0 = run until STOP file)")
+    w.add_argument("--num-cpus", type=int, default=None)
+    w.set_defaults(fn=cmd_watch)
+
     v = sub.add_parser("validate", help="audit the input's per-row invariants")
     v.add_argument("--input", required=True)
     v.add_argument("--num-cpus", type=int, default=None)
@@ -198,8 +246,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     rc = args.fn(args)
     import ray
-    if ray.is_initialized():
-        ray.shutdown()
+    if _RAY_OWNED and ray.is_initialized():
+        ray.shutdown()   # only tear down a session this CLI created
     return rc
 
 

@@ -125,6 +125,36 @@ def test_incremental_retry_is_idempotent(split_input, tmp_path):
         assert want[tier].equals(got[tier]), f"{tier}: retry changed bits"
 
 
+def test_watch_cli_picks_up_arriving_shards(split_input, tmp_path, capsys):
+    """`watch` (the live-tailing analog): each poll merges newly-arrived
+    shards; a poll with nothing new is a no-op."""
+    import json
+    from logtrics_ray import cli
+    full, _grow, shards = split_input
+    grow = str(tmp_path / "watchgrow")
+    os.makedirs(grow, exist_ok=True)
+    for f in shards[:4]:
+        shutil.copy(os.path.join(full, f), os.path.join(grow, f))
+    out = str(tmp_path / "watchout")
+    from logtrics_ray.pipelines.rollup_pipeline import run
+    run(grow, out, resume=False, input_tag=grow)
+
+    for f in shards[4:6]:
+        shutil.copy(os.path.join(full, f), os.path.join(grow, f))
+    rc = cli.main(["watch", "--input", grow, "--out", out,
+                   "--interval", "0.1", "--max-iter", "2"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2 and lines[0]["iter"] == 1
+    # second poll saw nothing new -> fast no-op
+    assert lines[1]["wall_s"] < 2.0
+    # the merged output covers shards[:6]
+    import json as _j
+    from logtrics_ray.state import manifest as M
+    m = M.load_manifests(out, "1m")[0]
+    assert set(m["input_files"]) == set(shards[:6])
+
+
 def test_merge_cores_exact_semantics():
     """merge_cores == full recompute for int aggregates and order keys."""
     import pyarrow as pa
