@@ -267,6 +267,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sequential/sketch columns SQL can't express — pytest-checked)."""
         return _token_final(sf_dir, "1m")
 
+    def q_loglines_counts(sf_dir):
+        """Text-file source path (≙ the reference's console/line readers,
+        S1): *.log files -> per-file line split -> the SAME extraction
+        rules via text_column -> per-series count/sum.  Windowless on
+        purpose so the DuckDB oracle needs no event-time column."""
+        import pyarrow as pa
+        import numpy as np
+        from logtrics_ray.pipelines.table_rollup import _round6
+        from logtrics_ray.rules import default_rules
+        from logtrics_ray.sources.text import (read_log_lines,
+                                               write_log_lines_fixture)
+        from logtrics_ray.stages.extract import extract_points
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+        logs = write_log_lines_fixture(os.path.join(_token_dir(sf_dir), "text"),
+                                       f"/tmp/lt_lines_{tag}")
+        pts = extract_points(read_log_lines(logs), default_rules(), _cfg(),
+                             text_column="text")
+
+        def agg(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            v = g["value"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays([
+                pa.array([g["series_key"][0].as_py()], pa.string()),
+                pa.array([g["metric_type"][0].as_py()], pa.string()),
+                pa.array([g.num_rows], pa.int64()),
+                pa.array(_round6(np.array([v.sum()])), pa.float64()),
+            ], names=["series_key", "metric_type", "n", "sum_value"])
+
+        return pts.groupby(["series_key", "metric_type"]).map_groups(
+            agg, batch_format="pyarrow")
+
     # --- training-data ops over documents / embeddings ---
 
     def q_dedup_exact(sf_dir):
@@ -298,9 +329,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from logtrics_ray.functions.dedup import process_cached
         from logtrics_ray.functions.textstats import TextStats
+        from logtrics_ray.pipelines.table_rollup import _round6
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(lambda df: process_cached(TextStats)(df),
-                              batch_format="pandas")
+
+        def fn(df):
+            out = process_cached(TextStats)(df)
+            # 6dp rounding on BOTH sides (the SQL oracle mirrors this) so
+            # libm-vs-DuckDB ULP noise in exp/ln can't flip a value hash
+            for c in ("stopword_ratio", "punct_ratio", "mean_word_len",
+                      "quality"):
+                out[c] = _round6(out[c].to_numpy())
+            return out
+
+        return ds.map_batches(fn, batch_format="pandas")
 
     def q_lang_id(sf_dir):
         import ray.data as rd
@@ -410,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rollup_1h": q_token_tier("1h"),
         "token_rollup_1d": q_token_tier("1d"),
         "token_rollup_full_1m": q_token_full,
+        "loglines_series_counts": q_loglines_counts,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -428,6 +470,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _extract_arms_sql(extra_cols: str) -> str:
+    """The six default-rule extraction arms as SQL over a ``docs`` CTE
+    with (text, source[, ...]) columns — shared by the token-tier oracle
+    and the log-lines source oracle.  ``extra_cols`` (e.g.
+    ``"ts_ms, tiebreak, "``) is spliced into every arm's SELECT."""
+    e = extra_cols
+    return rf"""
+      SELECT 'lt.hello.' || regexp_extract(text, 'hello "([a-zA-Z0-9]+)"', 1)
+               AS series_key, 'gauge' AS metric_type, {e}
+             CAST(length(regexp_extract(text, 'hello "([a-zA-Z0-9]+)"', 1))
+                  AS DOUBLE) AS value
+      FROM docs WHERE regexp_matches(text, 'hello "[a-zA-Z0-9]+"')
+      UNION ALL
+      SELECT 'lt.latency.' || source, 'timer', {e}
+             CAST(regexp_extract(text, 'latency_ms=(\d+)', 1) AS DOUBLE)
+      FROM docs WHERE regexp_matches(text, 'latency_ms=\d+')
+      UNION ALL
+      SELECT 'lt.req.' || regexp_extract(text, 'GET /api/([a-z]+)', 1),
+             'counter', {e} 1.0
+      FROM docs WHERE regexp_matches(text, 'GET /api/[a-z]+')
+      UNION ALL
+      SELECT 'lt.bytes.total', 'meter', {e}
+             CAST(regexp_extract(text, 'bytes=(\d+)', 1) AS DOUBLE)
+      FROM docs WHERE regexp_matches(text, 'bytes=\d+')
+      UNION ALL
+      SELECT 'lt.status.' || regexp_extract(text, 'status=(\d{{3}})', 1),
+             'counter', {e} 1.0
+      FROM docs WHERE regexp_matches(text, 'status=\d{{3}}')
+      UNION ALL
+      SELECT 'lt.status.all', 'meter', {e} 1.0
+      FROM docs WHERE regexp_matches(text, 'status=\d{{3}}')
+    """
+
+
 def _token_tier_sql(width: int, token_dir: str) -> str:
     """DuckDB recompute of the flagship token pipeline at one tier width:
     regex extraction over the detokenized side table (synth writes it next
@@ -439,32 +515,7 @@ def _token_tier_sql(width: int, token_dir: str) -> str:
     cfg = _cfg()
     w = int(width)
     width_s = w / 1000.0
-    ext = r"""
-      SELECT 'lt.hello.' || regexp_extract(text, 'hello "([a-zA-Z0-9]+)"', 1)
-               AS series_key, 'gauge' AS metric_type, ts_ms, tiebreak,
-             CAST(length(regexp_extract(text, 'hello "([a-zA-Z0-9]+)"', 1))
-                  AS DOUBLE) AS value
-      FROM docs WHERE regexp_matches(text, 'hello "[a-zA-Z0-9]+"')
-      UNION ALL
-      SELECT 'lt.latency.' || source, 'timer', ts_ms, tiebreak,
-             CAST(regexp_extract(text, 'latency_ms=(\d+)', 1) AS DOUBLE)
-      FROM docs WHERE regexp_matches(text, 'latency_ms=\d+')
-      UNION ALL
-      SELECT 'lt.req.' || regexp_extract(text, 'GET /api/([a-z]+)', 1),
-             'counter', ts_ms, tiebreak, 1.0
-      FROM docs WHERE regexp_matches(text, 'GET /api/[a-z]+')
-      UNION ALL
-      SELECT 'lt.bytes.total', 'meter', ts_ms, tiebreak,
-             CAST(regexp_extract(text, 'bytes=(\d+)', 1) AS DOUBLE)
-      FROM docs WHERE regexp_matches(text, 'bytes=\d+')
-      UNION ALL
-      SELECT 'lt.status.' || regexp_extract(text, 'status=(\d{3})', 1),
-             'counter', ts_ms, tiebreak, 1.0
-      FROM docs WHERE regexp_matches(text, 'status=\d{3}')
-      UNION ALL
-      SELECT 'lt.status.all', 'meter', ts_ms, tiebreak, 1.0
-      FROM docs WHERE regexp_matches(text, 'status=\d{3}')
-    """
+    ext = _extract_arms_sql("ts_ms, tiebreak,")
     return f"""
     WITH docs AS (
       SELECT text, source, tiebreak,
@@ -511,9 +562,13 @@ def _token_tier_sql(width: int, token_dir: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     # The driver runs correctness at sf=0.01; make sure the token input
-    # (and its detokenized oracle side table) exists regardless of whether
-    # it runs the Ray queries or the SQL first.
+    # (its detokenized oracle side table, and the derived log-lines
+    # fixture) exists regardless of whether it runs the Ray queries or
+    # the SQL first.
     token_dir = _token_dir("/root/testdata/sf0.01")
+    from logtrics_ray.sources.text import write_log_lines_fixture
+    write_log_lines_fixture(os.path.join(token_dir, "text"),
+                            "/tmp/lt_lines_0.01")
 
     def rollup(width):
         return f"""
@@ -715,6 +770,18 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s DESC, neighbor_id ASC) AS rank,
                    round(s, 6) AS score
             FROM scored QUALIFY rank <= 5""",
+        "loglines_series_counts": f"""
+            WITH files AS (
+              SELECT filename, content
+              FROM read_text('/tmp/lt_lines_0.01/*.log')),
+            docs AS (
+              SELECT regexp_extract(filename, '[^/]+$') AS source,
+                     unnest(string_split(content, chr(10))) AS text
+              FROM files),
+            pts AS ({_extract_arms_sql("")})
+            SELECT series_key, metric_type, count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM pts GROUP BY 1, 2""",
         "token_rollup_1m": _token_tier_sql(MIN_MS, token_dir),
         "token_rollup_1h": _token_tier_sql(HOUR_MS, token_dir),
         "token_rollup_1d": _token_tier_sql(DAY_MS, token_dir),
@@ -726,6 +793,78 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                        AS n_tokens
             FROM documents""",
+        "text_quality": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '\S+')) AS n_words,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+                     len(list_filter(regexp_extract_all(text, '\S+'),
+                         w -> list_contains(['the','a','an','and','or','of',
+                           'to','in','is','are','was','were','be','been','it',
+                           'this','that','for','on','with','as','by','at',
+                           'from','not','but','have','has','had','they','you',
+                           'we','he','she','i'], lower(w)))) AS n_stop,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '\s')) AS n_ws
+              FROM documents),
+            d AS (
+              SELECT doc_id, n_chars, n_words, n_tokens,
+                     CASE WHEN n_words > 0
+                          THEN n_stop / CAST(n_words AS DOUBLE) ELSE 0.0
+                     END AS stopword_ratio,
+                     CASE WHEN n_chars > 0
+                          THEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_words > 0
+                          THEN (n_chars - n_ws)
+                               / CAST(greatest(n_words, 1) AS DOUBLE)
+                          ELSE 0.0 END AS mean_word_len
+              FROM s),
+            q AS (
+              SELECT *,
+                     least(greatest(ln(1.0 + n_words) / ln(201.0), 0.0), 1.0)
+                       AS len_score,
+                     exp(-0.5 * ((mean_word_len - 5.0) / 3.0)
+                               * ((mean_word_len - 5.0) / 3.0)) AS wl_score
+              FROM d)
+            SELECT doc_id, n_chars, n_words, n_tokens,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(least(greatest(
+                       0.35 * len_score
+                       + 0.25 * least(stopword_ratio / 0.4, 1.0)
+                       + 0.25 * wl_score
+                       + 0.15 * (1.0 - least(punct_ratio / 0.3, 1.0)),
+                       0.0), 1.0), 6) AS quality
+            FROM q""",
+        "lang_id": """
+            WITH padded AS (
+              SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+            sc AS (
+              SELECT doc_id,
+                len(regexp_extract_all(t, ' the '))  + len(regexp_extract_all(t, ' and '))
+              + len(regexp_extract_all(t, ' of '))   + len(regexp_extract_all(t, ' is '))
+              + len(regexp_extract_all(t, ' to '))   + len(regexp_extract_all(t, ' in ')) AS en,
+                len(regexp_extract_all(t, ' der '))  + len(regexp_extract_all(t, ' und '))
+              + len(regexp_extract_all(t, ' die '))  + len(regexp_extract_all(t, ' ist '))
+              + len(regexp_extract_all(t, ' das '))  + len(regexp_extract_all(t, ' nicht ')) AS de,
+                len(regexp_extract_all(t, ' le '))   + len(regexp_extract_all(t, ' la '))
+              + len(regexp_extract_all(t, ' et '))   + len(regexp_extract_all(t, ' les '))
+              + len(regexp_extract_all(t, ' des '))  + len(regexp_extract_all(t, ' est ')) AS fr,
+                len(regexp_extract_all(t, ' el '))   + len(regexp_extract_all(t, ' de '))
+              + len(regexp_extract_all(t, ' la '))   + len(regexp_extract_all(t, ' que '))
+              + len(regexp_extract_all(t, ' los '))  + len(regexp_extract_all(t, ' una ')) AS es
+              FROM padded)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM sc""",
         "embedding_dedup": """
             SELECT a.vec_id FROM embeddings a
             WHERE NOT EXISTS (
