@@ -124,6 +124,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.pipelines.table_rollup import ewma_frame
         return ewma_frame(_events_points(sf_dir, "meter"), MIN_MS, _cfg())
 
+    def q_ewma_1d(sf_dir):
+        """EWMA at the 1d tier: few dense windows per series, so the
+        DuckDB oracle can replay the recurrence with a recursive CTE —
+        the one tier where the sequential scan IS SQL-checkable."""
+        from logtrics_ray.pipelines.table_rollup import ewma_oracle_frame
+        return ewma_oracle_frame(_events_points(sf_dir, "meter"), DAY_MS, _cfg())
+
     # Fixed dimension table for the broadcast-join + retention operators
     # (mirrored literally in the SQL oracles).
     DIM = {
@@ -438,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pctl_exact_1h": q_pctl_exact,
         "events_timer_digest_1h": q_timer_digest,
         "events_meter_ewma_1m": q_ewma,
+        "events_meter_ewma_1d": q_ewma_1d,
         "events_topk_series": q_topk,
         "events_props_rollup_1h": q_props_rollup,
         "events_rollup_15m": q_rollup_15m,
@@ -661,6 +669,37 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS p5,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY 1, 2""",
+"events_meter_ewma_1d": """
+            WITH RECURSIVE agg AS (
+              SELECT event_type AS sk,
+                     (epoch_ms(ts) // 86400000) * 86400000 AS w,
+                     sum(value) AS s
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT sk, min(w) AS wmin, max(w) AS wmax FROM agg GROUP BY 1),
+            dense AS (
+              SELECT b.sk, unnest(generate_series(b.wmin, b.wmax, 86400000)) AS w
+              FROM bounds b),
+            d AS (
+              SELECT d.sk, d.w,
+                     round(round(coalesce(a.s, 0.0), 6) / 86400.0, 6) AS rate,
+                     row_number() OVER (PARTITION BY d.sk ORDER BY d.w) AS rn
+              FROM dense d LEFT JOIN agg a ON a.sk = d.sk AND a.w = d.w),
+            rec AS (
+              SELECT sk, w, rn, rate,
+                     rate AS e60, rate AS e300, rate AS e900
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.sk, d.w, d.rn, d.rate,
+                     rec.e60  + 1.0  * (d.rate - rec.e60),
+                     rec.e300 + 1.0 * (d.rate - rec.e300),
+                     rec.e900 + 1.0 * (d.rate - rec.e900)
+              FROM rec JOIN d ON d.sk = rec.sk AND d.rn = rec.rn + 1)
+            SELECT sk AS series_key, w AS window_start,
+                   round(rate, 6) AS rate,
+                   round(e60, 6) AS ewma_60s,
+                   round(e300, 6) AS ewma_300s,
+                   round(e900, 6) AS ewma_900s
+            FROM rec""",
         "events_topk_series": """
             SELECT event_type AS series_key, count(*) AS n
             FROM events GROUP BY 1

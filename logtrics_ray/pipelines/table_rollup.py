@@ -242,6 +242,45 @@ def ewma_frame(points_ds, width_ms: int, cfg: EngineConfig):
     return fin.map_batches(fn, batch_format="pyarrow")
 
 
+def ewma_oracle_frame(points_ds, width_ms: int, cfg: EngineConfig):
+    """SQL-comparable EWMA frame: per-series dense windows, rate computed
+    from the ROUNDED window sum (round6(round6(sum)/width_s) — the house
+    boundary-safe pattern), then the EWMA recurrence over those identical
+    doubles.  The DuckDB oracle replays the recurrence with a recursive
+    CTE over the same rounded rates, so every step is bit-identical.
+    Output: (series_key, window_start, rate, ewma_60s, ewma_300s,
+    ewma_900s), all 6dp."""
+    import math
+    from logtrics_ray.stages.rollup import rollup_base
+    from logtrics_ray.stages.seriesscan import _ewma
+    core = rollup_base(points_ds, width_ms, cfg)
+    width_s = width_ms / 1000.0
+    alphas = [(tau, 1.0 - math.exp(-width_s / tau)) for tau in cfg.ewma_taus_s]
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()
+        order = np.argsort(w, kind="stable")
+        w = w[order]
+        s = g["sum"].to_numpy(zero_copy_only=False)[order]
+        W = np.int64(width_ms)
+        dense = np.arange(w[0], w[-1] + W, W, dtype=np.int64)
+        d_sum = np.zeros(dense.size)
+        d_sum[((w - w[0]) // W).astype(np.int64)] = s
+        rate = _round6(_round6(d_sum) / width_s)
+        cols = [pa.array([g["series_key"][0].as_py()] * dense.size, pa.string()),
+                pa.array(dense, pa.int64()),
+                pa.array(rate, pa.float64())]
+        names = ["series_key", "window_start", "rate"]
+        for tau, alpha in alphas:
+            cols.append(pa.array(_round6(_ewma(rate, alpha)), pa.float64()))
+            names.append(f"ewma_{tau}s")
+        return pa.Table.from_arrays(cols, names=names)
+
+    return core.groupby(["series_key", "metric_type"]).map_groups(
+        scan, batch_format="pyarrow")
+
+
 def exact_percentile_frame(points_ds, width_ms: int, cfg: EngineConfig,
                            qs=(0.5, 0.99)):
     """EXACT per-window percentiles (numpy linear interpolation — the same
