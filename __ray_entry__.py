@@ -359,10 +359,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               batch_format="pandas")
 
     def q_fingerprint(sf_dir):
-        import ray.data as rd
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from logtrics_ray.functions.textstats import fingerprint_batch
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+        def fn(t: pa.Table) -> pa.Table:
+            out = fingerprint_batch(t)
+            # STRING fingerprint: exact uint64 comparison vs the oracle
+            # (float64 would silently drop the low 11 bits)
+            return out.set_column(1, "fingerprint",
+                                  pc.cast(out["fingerprint"], pa.string()))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
 
     def q_minhash_dedup(sf_dir):
         import ray.data as rd
@@ -904,6 +913,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr >= es THEN 'fr'
                         ELSE 'es' END AS lang_pred
             FROM sc""",
+"doc_fingerprint": """
+            WITH RECURSIVE r AS (
+              SELECT doc_id, text, 1 AS i, CAST(0 AS HUGEINT) AS h,
+                     length(text) AS n
+              FROM documents
+              UNION ALL
+              SELECT doc_id, text, i + 1,
+                     (h * 1099511628211 + ascii(substr(text, i, 1)))
+                       % 18446744073709551616,
+                     n
+              FROM r WHERE i <= n)
+            SELECT doc_id, CAST(h AS VARCHAR) AS fingerprint
+            FROM r WHERE i = n + 1""",
         "embedding_dedup": """
             SELECT a.vec_id FROM embeddings a
             WHERE NOT EXISTS (
