@@ -68,6 +68,60 @@ def test_engine_equals_oracle_on_random_points(pts):
         msg="random-points 1h cascade")
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=50),
+       st.integers(min_value=0, max_value=30))
+def test_id_hash_batch_invariance_property(strings, split):
+    """id_hash64_array is invariant to batching: hashing any slice /
+    permutation / padding-width context yields the scalar value."""
+    from logtrics_ray.hashing import id_hash64, id_hash64_array
+    batch = id_hash64_array(strings)
+    assert [int(x) for x in batch] == [id_hash64(s) for s in strings]
+    k = split % len(strings)
+    left, right = strings[:k], strings[k:]
+    parts = list(id_hash64_array(left)) + list(id_hash64_array(right))
+    assert parts == list(batch)
+    rev = id_hash64_array(list(reversed(strings)))
+    assert list(rev) == list(reversed(batch))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(point_st, min_size=1, max_size=150))
+def test_salted_partial_route_equals_direct_property(pts):
+    """The salted two-phase exchange kernels (per-(bucket, salt) partials
+    -> salt-ordered bucket merge) are bit-identical to the direct bucket
+    kernel on arbitrary point sets — the invariant the fused pipeline's
+    exchange modes rely on."""
+    import pyarrow.compute as pc
+    from logtrics_ray.stages.rollup import (_bucket_rollup_fn, assign_windows,
+                                            bucket_partials_table,
+                                            merge_bucket_partials_fn)
+    cfg = EngineConfig()
+    t = _points_table(pts)
+    w = t["ts_ms"].to_numpy() // TIERS["1m"] * TIERS["1m"]
+    salt = (t["tiebreak"].to_numpy() % np.uint64(cfg.salt_buckets)).astype(np.int64)
+    t = (t.append_column("window_start", pa.array(w, pa.int64()))
+          .append_column("salt", pa.array(salt, pa.int64())))
+    direct = _bucket_rollup_fn(t).to_pandas()
+    slices = [bucket_partials_table(t.filter(pc.equal(t["salt"], s)))
+              for s in range(cfg.salt_buckets)
+              if t.filter(pc.equal(t["salt"], s)).num_rows]
+    merged = merge_bucket_partials_fn(pa.concat_tables(slices)).to_pandas()
+    key = ["series_key", "metric_type", "window_start"]
+    a = direct.sort_values(key).reset_index(drop=True)
+    b = merged.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype == object:
+            assert all((x is None and y is None) or x == y
+                       for x, y in zip(av, bv)), c
+        else:
+            same = (av == bv) | (av != av) & (bv != bv)   # NaN-aware
+            assert same.all(), c
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.one_of(
     st.floats(allow_nan=True, allow_infinity=True, width=64),
