@@ -3,18 +3,22 @@
 A from-scratch reimagination of smitajit/logtrics (regex -> metric
 extraction, Graphite-style counter/gauge/timer/meter rollups) as a
 columnar, distributed, windowed rollup + downsample + retention engine
-built on ``ray.data.Dataset`` pipelines.  Default (fused) spine — ONE
-all-to-all exchange end to end:
+built on ``ray.data.Dataset`` pipelines.  Default (fused, salted) spine:
 
     read_parquet(token table, column-pruned)
       -> map_batches(rule extraction)               # regex -> narrow points
       -> +window/salt/output-bucket, dict-encoded
-      -> groupby(bucket)                            # the single shuffle
+      -> groupby(bucket, salt)                      # exchange 1: skew-spread
+           salted vectorized partials               # per (series, window, salt)
+      -> groupby(bucket)                            # exchange 2: partial rows only
       -> per bucket, in one group call:
-           salted vectorized 1m rollup              # count/sum/min/max/last/t-digest
+           salt-ordered merge -> 1m core            # count/sum/min/max/last/t-digest
            cascade 1m -> 1h -> 1d                   # continuous aggregates
            per-series ordered scan                  # cumulative, EWMA, rate, gap-fill
            Gorilla blocks -> partitioned Parquet    # + lineage manifests
+
+(`EngineConfig.exchange="direct"` collapses this to ONE all-to-all for
+balanced series; all routes are bit-identical.)
 
 Also: incremental appends (`run_incremental` merges new shards into the
 persisted per-bucket core partials), broadcast dim enrichment +
