@@ -74,14 +74,28 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
             names=["query_id", "neighbor_id", "score"])
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
-    df = cand.to_pandas()  # tiny: nq * (k+1) per batch
-    df = df[df.query_id != df.neighbor_id]
-    df = df.sort_values(["query_id", "score", "neighbor_id"],
-                        ascending=[True, False, True])
-    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df["score"] = df["score"].round(6)
-    return df[["query_id", "neighbor_id", "rank", "score"]]
+
+    def merge_query(g: pa.Table) -> pa.Table:
+        # distributed per-query merge: only nq*k winner rows ever reach
+        # the driver (candidates grow with batch count at scale)
+        g = g.combine_chunks()
+        qid = int(g["query_id"][0].as_py())
+        ids = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        sc = g["score"].to_numpy(zero_copy_only=False)
+        keep = ids != qid
+        ids, sc = ids[keep], sc[keep]
+        order = np.lexsort((ids, -sc))[:k]
+        n = order.size
+        return pa.Table.from_arrays([
+            pa.array(np.full(n, qid, dtype=np.int64), pa.int64()),
+            pa.array(ids[order], pa.int64()),
+            pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+            pa.array(np.round(sc[order], 6), pa.float64()),
+        ], names=["query_id", "neighbor_id", "rank", "score"])
+
+    df = (cand.groupby("query_id")
+          .map_groups(merge_query, batch_format="pyarrow").to_pandas())
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 class IVFIndexer:

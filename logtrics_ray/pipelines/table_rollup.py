@@ -361,8 +361,12 @@ def tier_oracle_frame(final_ds) -> "rd.Dataset":
 
 def topk_series_frame(points_ds, k: int = 10):
     """Hottest series by point count (diagnostic top-k, SURVEY §2.6):
-    (series_key, n) — deterministic tiebreak by series_key."""
+    (series_key, n) — deterministic tiebreak by series_key.
+
+    Distributed sort + limit: only the k winners reach the driver (the
+    per-series count table itself can be corpus-sized at scale)."""
     agg = points_ds.groupby("series_key").count()
-    df = agg.to_pandas().rename(columns={"count()": "n"})
-    df = df.sort_values(["n", "series_key"], ascending=[False, True]).head(k)
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    top = (agg.sort(["count()", "series_key"], descending=[True, False])
+              .limit(k))
+    df = top.to_pandas().rename(columns={"count()": "n"})
+    return pa.Table.from_pandas(df[["series_key", "n"]], preserve_index=False)
