@@ -202,11 +202,26 @@ class _FusedBucketWorker:
         bucket = int(group["sbucket"][0].as_py())
         data = group.drop_columns(["sbucket"])
         if self.from_partials:
-            assert not self.merge_stored, \
-                "incremental appends use the direct exchange"
-            core = merge_bucket_partials_fn(data)
-            return self._write_tiers(bucket, core,
-                                     {"input_files": self.input_files})
+            from logtrics_ray.stages.rollup import CORE_SCHEMA as _CS
+            new_core = (merge_bucket_partials_fn(data) if data.num_rows
+                        else _CS.empty_table())
+            meta = {"input_files": self.input_files}
+            if self.merge_stored:
+                # Incremental via the salted exchange: shard filtering
+                # already happened per (bucket, salt) in stage 1; here we
+                # only merge the stored core with the new core rows.
+                from logtrics_ray.stages.incremental import (merge_cores,
+                                                             stored_core)
+                prev, prev_files = stored_core(
+                    self.out_dir, self.cfg.tiers[0], bucket,
+                    self.input_tag, self.cfg_hash)
+                core = (merge_cores(prev, new_core) if new_core.num_rows
+                        else (prev if prev is not None else new_core))
+                meta = {"input_files": sorted(set(prev_files)
+                                              | set(self.input_files))}
+            else:
+                core = new_core
+            return self._write_tiers(bucket, core, meta)
         meta = {"input_files": self.input_files}
         if self.merge_stored:
             from logtrics_ray.stages.incremental import merge_cores, stored_core
@@ -444,7 +459,59 @@ def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = No
     def inc_bucket(group: pa.Table) -> pa.Table:
         return worker(group)
 
-    pts.groupby("sbucket").map_groups(inc_bucket, batch_format="pyarrow").materialize()
+    if cfg.exchange == "salted":
+        # Salted incremental: the per-bucket consumed-shard filter moves
+        # into stage 1 (each (bucket, salt) group reads its bucket's
+        # manifest lineage from the shared output store — the same
+        # assumption merge_stored already makes), so the hot-series skew
+        # defense applies to appends too.
+        import json as _json
+        import numpy as np
+        from logtrics_ray.stages.rollup import (bucket_partials_table,
+                                                empty_partials_table)
+        S = cfg.salt_buckets
+        first = cfg.tiers[0]
+
+        def add_xkey(t: pa.Table) -> pa.Table:
+            x = pa.compute.add(pa.compute.multiply(t["sbucket"], S), t["salt"])
+            return t.append_column("xkey", pa.compute.cast(x, pa.int64()))
+
+        def stage1(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            bucket = int(g["xkey"][0].as_py()) // S
+            mpath = os.path.join(M.partition_dir(out_dir, first, bucket),
+                                 M.MANIFEST_NAME)
+            prev_files: list = []
+            if os.path.isfile(mpath):
+                m = _json.load(open(mpath))
+                if (m.get("input_tag") == input_tag
+                        and m.get("cfg_hash") == cfg_hash):
+                    prev_files = m.get("input_files", [])
+            consumed = {i for i, f in enumerate(new_files)
+                        if f in set(prev_files)}
+            data = g.drop_columns(["xkey", "sbucket"])
+            if consumed:
+                keep = pa.array([i for i in range(len(new_files))
+                                 if i not in consumed], pa.int32())
+                data = data.filter(
+                    pa.compute.is_in(data["_shard"], value_set=keep))
+            data = data.drop_columns(["_shard"])
+            part = (bucket_partials_table(data) if data.num_rows
+                    else empty_partials_table())
+            return part.append_column(
+                "sbucket", pa.array(np.full(part.num_rows, bucket,
+                                            dtype=np.int64)))
+
+        worker.from_partials = True
+        partials = (pts.map_batches(add_xkey, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                    .groupby("xkey")
+                    .map_groups(stage1, batch_format="pyarrow"))
+        partials.groupby("sbucket").map_groups(
+            inc_bucket, batch_format="pyarrow").materialize()
+    else:
+        pts.groupby("sbucket").map_groups(
+            inc_bucket, batch_format="pyarrow").materialize()
 
     # Buckets untouched by the new shards: their data is already complete —
     # fast-forward the lineage so the next append sees a consistent set.

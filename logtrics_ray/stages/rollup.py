@@ -560,6 +560,20 @@ def bucket_partials_table(group: pa.Table) -> pa.Table:
     return t
 
 
+def empty_partials_table() -> pa.Table:
+    """Zero-row partials table with the SAME physical schema as
+    bucket_partials_table output (dictionary-encoded key columns), so
+    empty and non-empty stage-1 outputs unify."""
+    t = bucket_partials_table(pa.Table.from_arrays([
+        pa.array(["x"], pa.string()), pa.array(["gauge"], pa.string()),
+        pa.array([0], pa.int64()), pa.array([0.0], pa.float64()),
+        pa.array([np.uint64(0)], pa.uint64()),
+        pa.array([0], pa.int64()), pa.array([0], pa.int64()),
+    ], names=["series_key", "metric_type", "ts_ms", "value", "tiebreak",
+              "window_start", "salt"]))
+    return t.slice(0, 0)
+
+
 def merge_bucket_partials_fn(t: pa.Table) -> pa.Table:
     """Phase-2 group fn of the salted exchange: all partial rows of ONE
     output bucket -> core rows (identical bits to _bucket_rollup_fn on

@@ -125,6 +125,29 @@ def test_incremental_retry_is_idempotent(split_input, tmp_path):
         assert want[tier].equals(got[tier]), f"{tier}: retry changed bits"
 
 
+def test_incremental_salted_equals_direct(split_input, tmp_path):
+    """run_incremental under exchange='salted' (stage-1 per-bucket shard
+    filtering + partial exchange) == exchange='direct', bit-for-bit."""
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    full, _grow, shards = split_input
+    outs = {}
+    for mode in ("direct", "salted"):
+        cfg = EngineConfig(exchange=mode)
+        grow = str(tmp_path / f"g_{mode}")
+        os.makedirs(grow, exist_ok=True)
+        for f in shards[:4]:
+            shutil.copy(os.path.join(full, f), os.path.join(grow, f))
+        out = str(tmp_path / f"o_{mode}")
+        P.run(grow, out, cfg=cfg, resume=False, input_tag="tok")
+        for f in shards[4:]:
+            shutil.copy(os.path.join(full, f), os.path.join(grow, f))
+        P.run_incremental(grow, out, cfg=cfg, input_tag="tok")
+        outs[mode] = _tier_frames(out)
+    for tier in ("1m", "1h", "1d"):
+        assert outs["direct"][tier].equals(outs["salted"][tier]), tier
+
+
 def test_watch_cli_picks_up_arriving_shards(split_input, tmp_path, capsys):
     """`watch` (the live-tailing analog): each poll merges newly-arrived
     shards; a poll with nothing new is a no-op."""
