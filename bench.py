@@ -87,8 +87,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         dt = time.perf_counter() - t0
         e2e = dt if e2e is None else min(e2e, dt)
 
+    # one single-shot run of the direct (single-exchange) route for
+    # comparison visibility; the headline uses the default salted route
+    out_dir_d = f"/tmp/lt_bench_out_{tag}_{num_cpus}_direct"
+    shutil.rmtree(out_dir_d, ignore_errors=True)
+    t0 = time.perf_counter()
+    P.run(token_dir, out_dir_d, cfg=cfg.with_(exchange="direct"), resume=False)
+    e2e_direct = time.perf_counter() - t0
+
     # events-table operator timings (each consumed via count/to_pandas)
-    queries = {"token_pipeline_e2e": round(e2e, 3)}
+    queries = {"token_pipeline_e2e": round(e2e, 3),
+               "token_pipeline_e2e_direct": round(e2e_direct, 3)}
     import __ray_entry__ as E
     qs = E.queries()
     for name in ("events_rollup_1m", "events_rollup_1h_cascade",
