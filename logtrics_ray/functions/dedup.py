@@ -94,42 +94,79 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ------------------------------------------------------------ minhash-LSH --
 
 class MinHasher:
-    """Actor-pool callable: text -> k-permutation minhash signature.
+    """Stateful batch callable: text -> k-permutation minhash signature,
+    vectorized across the WHOLE batch.
 
-    State built once per actor: the (a, b) hash-permutation parameters.
-    Signature: for each of ``num_perm`` permutations, min over word
-    ``shingle_n``-gram hashes of (a*h + b) mod 2^61-1.
+    State built once per actor/process: the (a, b) hash-permutation
+    parameters.  Pipeline per batch (no per-doc Python beyond the C-level
+    ``str.split``):
+      1. word hashes: one ``id_hash64_array`` call over the flat word
+         list of every doc in the batch,
+      2. ``shingle_n``-gram hashes: ``hash64_words`` over the stacked
+         consecutive word-hash columns (numeric — no string joins; docs
+         shorter than n collapse to one gram over their padded hashes),
+      3. signatures: (a*h + b) mod 2^64 with ODD a — a bijection of the
+         64-bit space (multiply-shift permutation family), so the uint64
+         wraparound IS the hash: no per-element modulo (uint64 ``%`` was
+         the measured hot spot).  Per-doc minima via
+         ``np.minimum.reduceat``; permutations processed in chunks to
+         bound the (chunk x grams) working set.
     """
 
-    MERSENNE = np.uint64((1 << 61) - 1)
+    PERM_CHUNK = 16
 
     def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, int(self.MERSENNE), size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, int(self.MERSENNE), size=num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.n = shingle_n
 
-    def shingle_hashes(self, text: str) -> np.ndarray:
-        words = _WS.split(text.strip().lower())
-        if len(words) < self.n:
-            grams = [" ".join(words)] if words and words[0] else []
-        else:
-            grams = [" ".join(words[i:i + self.n]) for i in range(len(words) - self.n + 1)]
-        if not grams:
-            return np.zeros(1, dtype=np.uint64)
-        return hash64_array(grams)
+    def _gram_hashes(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Flat gram-hash array + per-doc gram counts."""
+        from logtrics_ray.hashing import id_hash64_array
+        words_per_doc = [[w for w in _WS.split(t.strip().lower()) if w]
+                         for t in texts]
+        wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+        flat_words = [w for ws in words_per_doc for w in ws]
+        W = id_hash64_array(flat_words) if flat_words else np.empty(0, np.uint64)
+        n = self.n
+        # every doc gets >= 1 gram (empty docs hash their zero padding)
+        g_cnt = np.maximum(wc - n + 1, 1)
+        total_g = int(g_cnt.sum())
+        doc_off = np.concatenate([[0], np.cumsum(wc)[:-1]])
+        g_off = np.concatenate([[0], np.cumsum(g_cnt)[:-1]])
+        # gram row g of doc d covers words [start, start + n) clipped to
+        # the doc -> build an (total_g, n) matrix of word hashes, 0-padded
+        g_doc = np.repeat(np.arange(len(texts)), g_cnt)
+        g_local = np.arange(total_g) - np.repeat(g_off, g_cnt)
+        mat = np.zeros((total_g, n), dtype=np.uint64)
+        for j in range(n):
+            widx = g_local + j
+            valid = widx < wc[g_doc]
+            src = doc_off[g_doc] + widx
+            mat[valid, j] = W[src[valid]]
+        return hash64_words(mat), g_cnt
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), num_perm) uint64 signature matrix."""
+        if not texts:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        G, g_cnt = self._gram_hashes(texts)
+        g_off = np.concatenate([[0], np.cumsum(g_cnt)[:-1]])
+        out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for lo in range(0, self.num_perm, self.PERM_CHUNK):
+                hi = min(lo + self.PERM_CHUNK, self.num_perm)
+                vals = G[None, :] * self.a[lo:hi, None] + self.b[lo:hi, None]
+                out[:, lo:hi] = np.minimum.reduceat(vals, g_off, axis=1).T
+        return out
 
     def signature(self, text: str) -> np.ndarray:
-        h = self.shingle_hashes(text)
-        with np.errstate(over="ignore"):
-            vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % self.MERSENNE
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else \
-            np.empty((0, self.num_perm), dtype=np.uint64)
+        sigs = self.signatures(batch["text"].to_pylist())
         return pa.Table.from_arrays(
             [batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray)
              else batch["doc_id"],
