@@ -299,28 +299,43 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
 # ---------------------------------------------------------------- simhash --
 
 class SimHasher:
-    """Actor-pool callable: 64-bit simhash over word unigram hashes."""
+    """Stateful batch callable: 64-bit simhash over word unigram hashes,
+    vectorized across the whole batch (flat word hashes -> per-bit +/-1
+    sums via ``np.add.reduceat`` per doc -> sign-packed)."""
+
+    _BITPOS = np.arange(64, dtype=np.uint64)
 
     def __init__(self, mask_bits: int = 0):
         # mask_bits low bits zeroed -> coarser buckets (near-dup radius)
         self.mask = np.uint64(~((1 << mask_bits) - 1) & 0xFFFFFFFFFFFFFFFF)
 
+    def simhashes(self, texts: list[str]) -> np.ndarray:
+        from logtrics_ray.hashing import id_hash64_array
+        words_per_doc = [[w for w in _WS.split(t.strip().lower()) if w]
+                         for t in texts]
+        wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+        flat = [w for ws in words_per_doc for w in ws]
+        if not flat:
+            return np.zeros(len(texts), dtype=np.uint64)
+        W = id_hash64_array(flat)
+        bits = ((W[:, None] >> self._BITPOS[None, :]) & np.uint64(1)).astype(np.int32)
+        pm = 2 * bits - 1                          # (total_words, 64) of +/-1
+        off = np.concatenate([[0], np.cumsum(wc)[:-1]])
+        # reduceat needs strictly valid segment starts: empty docs would
+        # alias the next doc's row — compute on non-empty docs, scatter
+        nz = wc > 0
+        sums = np.add.reduceat(pm, off[nz].astype(np.int64), axis=0)
+        sh_nz = ((sums > 0).astype(np.uint64)
+                 << self._BITPOS[None, :]).sum(axis=1, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        out[nz] = sh_nz
+        return out & self.mask
+
     def simhash(self, text: str) -> int:
-        words = [w for w in _WS.split(text.strip().lower()) if w]
-        if not words:
-            return 0
-        h = hash64_array(words)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for i in range(64):
-            if v[i] > 0:
-                sh |= np.uint64(1) << np.uint64(i)
-        return int(sh & self.mask)
+        return int(self.simhashes([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        out = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        out = self.simhashes(batch["text"].to_pylist())
         return pa.Table.from_arrays(
             [batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray)
              else batch["doc_id"],
