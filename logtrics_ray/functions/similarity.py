@@ -112,9 +112,31 @@ class IVFIndexer:
 
 
 def fit_centroids(ds, n_centroids: int, vec_col: str = "embedding",
-                  sample: int = 2048, iters: int = 5, seed: int = 13) -> np.ndarray:
-    """Deterministic k-means-lite on a driver-side sample (spherical)."""
-    rows = ds.limit(sample).take_all()
+                  sample: int = 2048, iters: int = 5, seed: int = 13,
+                  id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic k-means-lite on a driver-side sample (spherical).
+
+    The sample is HASH-SPREAD over the whole corpus (keep rows whose
+    id-hash falls under count-scaled threshold), not the first rows —
+    a head sample is arbitrarily biased when the input is ordered or
+    partitioned by content.  Deterministic regardless of block layout."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n_total = max(ds.count(), 1)          # parquet metadata — no scan
+    frac = min(1.0, (2.0 * sample) / n_total)
+    # float(2**64) rounds up; clamp so the threshold stays a valid uint64
+    thresh = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
+    K = np.uint64(0x9E3779B97F4A7C15)     # golden-ratio multiplier spread
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            keep = (ids * K) < thresh
+        return t.filter(pa.array(keep))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").limit(sample).take_all()
+    if not rows:                           # tiny inputs: fall back to head
+        rows = ds.limit(sample).take_all()
     m = _norm_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
     c = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
