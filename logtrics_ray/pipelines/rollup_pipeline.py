@@ -465,6 +465,11 @@ def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = No
         # manifest lineage from the shared output store — the same
         # assumption merge_stored already makes), so the hot-series skew
         # defense applies to appends too.
+        # ORDERING SAFETY: stage 2 rewrites those manifests, but Ray's
+        # sort-based groupby is a BARRIER — every stage-1 group task
+        # completes (manifest reads done) before any stage-2 reduce task
+        # starts, so stage 1 can never observe a manifest updated by the
+        # same run.
         import json as _json
         import numpy as np
         from logtrics_ray.stages.rollup import (bucket_partials_table,
