@@ -65,6 +65,37 @@ def test_token_tier_matches_duckdb(token_dir_with_text, tiers, tier):
         assert got["gap_filled"].any()
 
 
+def test_log_lines_source_matches_token_extraction(token_dir_with_text, tmp_path):
+    """The *.log file source (console-reader analog) yields line rows that
+    extract to the SAME per-series point counts as the token pipeline on
+    the same corpus (text_column path == detokenize path)."""
+    from collections import Counter
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.pipelines.rollup_pipeline import read_token_table
+    from logtrics_ray.rules import default_rules
+    from logtrics_ray.sources.text import (read_log_lines,
+                                           write_log_lines_fixture)
+    from logtrics_ray.stages.extract import extract_points
+    logs = write_log_lines_fixture(os.path.join(token_dir_with_text, "text"),
+                                   str(tmp_path / "logs"))
+    lines = read_log_lines(logs)
+    assert lines.count() == read_token_table(token_dir_with_text).count()
+    cfg = EngineConfig()
+    from_lines = extract_points(lines, default_rules(), cfg,
+                                text_column="text").to_pandas()
+    from_tokens = extract_points(read_token_table(token_dir_with_text),
+                                 default_rules(), cfg).to_pandas()
+    # counts match per (series, metric_type) except the _source-templated
+    # timer series (source differs: shard file vs corpus source column)
+    def keyed(df):
+        c = Counter()
+        for sk, mt in zip(df["series_key"], df["metric_type"]):
+            c[(sk if not sk.startswith("lt.latency.") else "lt.latency.*",
+               mt)] += 1
+        return c
+    assert keyed(from_lines) == keyed(from_tokens)
+
+
 def test_detok_text_matches_engine_detokenize(token_dir_with_text):
     """The side table's independently-assembled text == the engine's
     vectorized Arrow detokenize of the same shard."""
