@@ -542,9 +542,12 @@ def bucket_partials_table(group: pa.Table) -> pa.Table:
     u_sk, u_mt, P = _bucket_partials(group)
     code = P["code"]
     n = code.size
+    # dictionary arrays built straight from the code indices — the labels
+    # never materialize per row (codes ARE the dictionary indices)
+    idx = pa.array(code.astype(np.int32), pa.int32())
     t = pa.Table.from_arrays([
-        pc.dictionary_encode(pa.array(u_sk[code], pa.string())),
-        pc.dictionary_encode(pa.array(u_mt[code], pa.string())),
+        pa.DictionaryArray.from_arrays(idx, pa.array(list(u_sk), pa.string())),
+        pa.DictionaryArray.from_arrays(idx, pa.array(list(u_mt), pa.string())),
         pa.array(P["salt"], pa.int64()),
         pa.array(P["w"], pa.int64()),
         pa.array(P["count"], pa.int64()),
