@@ -602,8 +602,12 @@ def merge_bucket_partials_fn(t: pa.Table) -> pa.Table:
     code = lookup[comb]
     u_sk = sk_labels[uniq_comb // len(mt_labels)]
     u_mt = mt_labels[uniq_comb % len(mt_labels)]
-    dig = [TDigest.from_bytes(b) if b is not None else None
-           for b in t["tdigest"].to_pylist()]
+    tcol = t["tdigest"]
+    if pc.count(tcol, mode="only_valid").as_py() == 0:
+        dig: list = [None] * t.num_rows   # no timers: skip the pylist pass
+    else:
+        dig = [TDigest.from_bytes(b) if b is not None else None
+               for b in tcol.to_pylist()]
     P = dict(code=code,
              salt=_np(t, "salt"), w=_np(t, "window_start"),
              count=_np(t, "count"), sum=_np(t, "sum"),
