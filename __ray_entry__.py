@@ -274,6 +274,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sequential/sketch columns SQL can't express — pytest-checked)."""
         return _token_final(sf_dir, "1m")
 
+    def q_user_distinct(sf_dir):
+        """Windowed COUNT DISTINCT (exact): distinct users per event type
+        per hour — two built-in vectorized aggregations, no driver state."""
+        from logtrics_ray.pipelines.table_rollup import distinct_count_frame
+        ds = _rp(f"{sf_dir}/events.parquet",
+                 columns=["ts", "event_type", "user_id"])
+        return distinct_count_frame(ds, "ts", "event_type", "user_id", HOUR_MS)
+
+    def q_user_distinct_hll(sf_dir):
+        """Approximate variant: HyperLogLog partial sketches per batch
+        merge per (series, window) — the 100 TB path where shuffling every
+        distinct member is too wide.  Accuracy pinned vs exact in tests."""
+        from logtrics_ray.pipelines.table_rollup import hll_distinct_frame
+        ds = _rp(f"{sf_dir}/events.parquet",
+                 columns=["ts", "event_type", "user_id"])
+        return hll_distinct_frame(ds, "ts", "event_type", "user_id", HOUR_MS)
+
     def q_loglines_counts(sf_dir):
         """Text-file source path (≙ the reference's console/line readers,
         S1): *.log files -> per-file line split -> the SAME extraction
@@ -469,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rollup_1d": q_token_tier("1d"),
         "token_rollup_full_1m": q_token_full,
         "loglines_series_counts": q_loglines_counts,
+        "events_user_distinct_1h": q_user_distinct,
+        "events_user_distinct_hll_1h": q_user_distinct_hll,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -818,6 +837,11 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s DESC, neighbor_id ASC) AS rank,
                    round(s, 6) AS score
             FROM scored QUALIFY rank <= 5""",
+        "events_user_distinct_1h": f"""
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1, 2""",
         "loglines_series_counts": f"""
             WITH files AS (
               SELECT filename, content

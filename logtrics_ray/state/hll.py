@@ -1,0 +1,85 @@
+"""Deterministic HyperLogLog sketch (dense, numpy) for approximate
+distinct counting at scale.
+
+Public algorithm: Flajolet et al., "HyperLogLog: the analysis of a
+near-optimal cardinality estimation algorithm" (AofA 2007), with the
+standard small-range (linear counting) and bias corrections.  Mergeable
+by register-wise max — the partial/merge shape every engine aggregate
+follows (rollup partials, t-digest), so per-batch partial sketches
+combine per (series, window) in any grouping without changing the
+estimate.
+
+Registers are uint8; ``p`` index bits -> m = 2^p registers, standard
+error ~= 1.04/sqrt(m) (p=12 -> ~1.6%).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+class HLL:
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    @classmethod
+    def from_hashes(cls, hashes: np.ndarray, p: int = 12) -> "HLL":
+        """Build from pre-hashed uint64 values, fully vectorized."""
+        h = np.ascontiguousarray(hashes, dtype=np.uint64)
+        sk = cls(p)
+        if h.size == 0:
+            return sk
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)          # remaining 64-p bits, left-aligned
+        # rank = clz(rest) + 1 capped at 64-p+1 (rest == 0): vectorized
+        # binary count-leading-zeros, 6 passes
+        cur = rest.copy()
+        n = np.zeros(h.size, dtype=np.uint8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            top_set = cur >= (np.uint64(1) << np.uint64(64 - shift))
+            n = np.where(top_set, n, n + np.uint8(shift))
+            cur = np.where(top_set, cur, cur << np.uint64(shift))
+        rank = (np.minimum(n, np.uint8(64 - p)) + 1).astype(np.uint8)
+        np.maximum.at(sk.registers, idx, rank)
+        return sk
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        return HLL(self.p, np.maximum(self.registers, other.registers))
+
+    @classmethod
+    def merge_all(cls, sketches: list["HLL"]) -> "HLL":
+        if not sketches:
+            return cls()
+        regs = np.maximum.reduce([s.registers for s in sketches])
+        return cls(sketches[0].p, regs)
+
+    def estimate(self) -> float:
+        m = self.m
+        regs = self.registers.astype(np.float64)
+        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)          # linear counting
+        if raw <= (1 << 32) / 30.0:
+            return raw
+        return -(2.0**32) * np.log1p(-raw / 2.0**32)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HLL":
+        p = b[0]
+        return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())

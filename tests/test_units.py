@@ -201,6 +201,56 @@ def _docs_ds():
     return rd.from_arrow(t), docs
 
 
+def test_hll_sketch_accuracy_and_merge():
+    """HyperLogLog: estimate within 3x the theoretical standard error at
+    several cardinalities; register-wise-max merge == single-pass build;
+    byte round-trip exact."""
+    import numpy as np
+    from logtrics_ray.hashing import id_hash64_array
+    from logtrics_ray.state.hll import HLL
+    p = 12
+    se = 1.04 / np.sqrt(1 << p)
+    for n in (50, 1_000, 20_000, 200_000):
+        h = id_hash64_array([f"user-{i}" for i in range(n)])
+        est = HLL.from_hashes(h, p=p).estimate()
+        assert abs(est - n) / n <= 3 * se + 0.01, (n, est)
+    h = id_hash64_array([f"user-{i}" for i in range(30_000)])
+    whole = HLL.from_hashes(h, p=p)
+    parts = [HLL.from_hashes(h[i::7], p=p) for i in range(7)]
+    merged = HLL.merge_all(parts)
+    assert (merged.registers == whole.registers).all()   # merge == single pass
+    rt = HLL.from_bytes(whole.to_bytes())
+    assert rt.p == p and (rt.registers == whole.registers).all()
+    # duplicates don't inflate the estimate
+    dup = HLL.from_hashes(np.tile(h, 3), p=p)
+    assert (dup.registers == whole.registers).all()
+
+
+def test_hll_distinct_frame_matches_exact(t1_dir):
+    """Windowed HLL distinct counts within the sketch tolerance of the
+    exact two-stage distinct count on the events-like shape."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from logtrics_ray.pipelines.table_rollup import (distinct_count_frame,
+                                                     hll_distinct_frame)
+    rng = np.random.default_rng(17)
+    n = 60_000
+    t = pa.Table.from_arrays([
+        pa.array(rng.integers(0, 6 * 3_600_000, size=n), pa.int64()),
+        pa.array(rng.choice(["a", "b"], size=n), pa.string()),
+        pa.array(rng.zipf(1.3, size=n).clip(0, 50_000).astype(np.int64), pa.int64()),
+    ], names=["ts", "key", "member"])
+    ds = rd.from_arrow(t)
+    exact = distinct_count_frame(ds, "ts", "key", "member", 3_600_000) \
+        .to_pandas().set_index(["series_key", "window_start"])["n_distinct"]
+    approx = hll_distinct_frame(ds, "ts", "key", "member", 3_600_000) \
+        .to_pandas().set_index(["series_key", "window_start"])["n_distinct_approx"]
+    assert set(exact.index) == set(approx.index)
+    rel = (approx.loc[exact.index] - exact).abs() / exact.clip(lower=1)
+    assert rel.max() <= 0.08, rel.sort_values().tail()
+
+
 def test_rules_dir_loading_and_duplicate_names(tmp_path):
     """S4 closure: --rules as a DIRECTORY of *.toml files, walked sorted,
     all rules concatenated (≙ /root/reference/app.go:96-111 scriptdir);
