@@ -291,6 +291,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  columns=["ts", "event_type", "user_id"])
         return hll_distinct_frame(ds, "ts", "event_type", "user_id", HOUR_MS)
 
+    def q_sessions(sf_dir):
+        """Gap-based session windows per user (30-min inactivity gap) —
+        the streaming windowing family tumbling/hopping can't express."""
+        from logtrics_ray.pipelines.table_rollup import session_frame
+        ds = _rp(f"{sf_dir}/events.parquet",
+                 columns=["ts", "user_id", "event_id"])
+        return session_frame(ds, "ts", "user_id", "event_id",
+                             gap_ms=30 * MIN_MS)
+
+    def q_window_topk(sf_dir):
+        """Windowed heavy hitters: top-3 users per (event_type, hour)."""
+        from logtrics_ray.pipelines.table_rollup import window_topk_members_frame
+        ds = _rp(f"{sf_dir}/events.parquet",
+                 columns=["ts", "event_type", "user_id"])
+        return window_topk_members_frame(ds, "ts", "event_type", "user_id",
+                                         HOUR_MS, k=3)
+
     def q_loglines_counts(sf_dir):
         """Text-file source path (≙ the reference's console/line readers,
         S1): *.log files -> per-file line split -> the SAME extraction
@@ -487,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rollup_full_1m": q_token_full,
         "loglines_series_counts": q_loglines_counts,
         "events_user_distinct_1h": q_user_distinct,
+        "events_user_sessions": q_sessions,
+        "events_window_top3_users": q_window_topk,
         "events_user_distinct_hll_1h": q_user_distinct_hll,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -837,6 +856,43 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s DESC, neighbor_id ASC) AS rank,
                    round(s, 6) AS score
             FROM scored QUALIFY rank <= 5""",
+        "events_window_top3_users": f"""
+            WITH c AS (
+              SELECT event_type AS series_key,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                     user_id AS member, count(*) AS n_events
+              FROM events GROUP BY 1, 2, 3)
+            SELECT series_key, window_start,
+                   row_number() OVER (PARTITION BY series_key, window_start
+                                      ORDER BY n_events DESC, member ASC)
+                     AS rank,
+                   member, n_events
+            FROM c
+            QUALIFY rank <= 3""",
+        "events_user_sessions": f"""
+            WITH e AS (
+              SELECT CAST(user_id AS VARCHAR) AS series_key,
+                     epoch_ms(ts) AS ts_ms, event_id
+              FROM events),
+            marked AS (
+              SELECT series_key, ts_ms,
+                     CASE WHEN ts_ms - lag(ts_ms) OVER w > {30 * MIN_MS}
+                          OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0
+                     END AS is_new
+              FROM e WINDOW w AS (PARTITION BY series_key
+                                  ORDER BY ts_ms, event_id)),
+            sess AS (
+              SELECT series_key, ts_ms,
+                     sum(is_new) OVER (PARTITION BY series_key
+                                       ORDER BY ts_ms
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT series_key,
+                   min(ts_ms) AS session_start,
+                   max(ts_ms) AS session_end,
+                   count(*) AS n_events,
+                   max(ts_ms) - min(ts_ms) AS duration_ms
+            FROM sess GROUP BY series_key, sid""",
         "events_user_distinct_1h": f"""
             SELECT event_type AS series_key,
                    (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,

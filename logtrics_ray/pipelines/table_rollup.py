@@ -450,6 +450,96 @@ def hll_distinct_frame(ds, ts_col: str, key_col: str, member_col: str,
         merge, batch_format="pyarrow")
 
 
+def session_frame(ds, ts_col: str, key_col: str, id_col: str,
+                  gap_ms: int = 30 * 60_000):
+    """Gap-based SESSION WINDOWS — the classic streaming windowing the
+    tumbling/hopping family can't express: per key, consecutive events
+    closer than ``gap_ms`` belong to one session.
+
+    Per-key ordered scan (``groupby(key).map_groups``; sessions of one
+    key must see each other, keys are independent — the engine's
+    standard sequential-recurrence confinement, like EWMA/LOCF).
+    Deterministic order: (ts, id).  Output one row per session:
+    (series_key, session_start, session_end, n_events, duration_ms)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        ts_ms = (pc.cast(pc.divide(pc.cast(ts, pa.int64()), 1000), pa.int64())
+                 if pa.types.is_timestamp(ts.type) and ts.type.unit == "us"
+                 else pc.cast(ts, pa.int64()))
+        return pa.Table.from_arrays(
+            [pc.cast(t[key_col], pa.string()), ts_ms,
+             pc.cast(t[id_col], pa.int64())],
+            names=["series_key", "ts_ms", "row_id"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        ts = g["ts_ms"].to_numpy()
+        rid = g["row_id"].to_numpy()
+        order = np.lexsort((rid, ts))
+        ts = ts[order]
+        new_session = np.concatenate([[True], np.diff(ts) > gap_ms])
+        starts = np.flatnonzero(new_session)
+        bounds = np.append(starts, ts.size)
+        s_start = ts[starts]
+        s_end = ts[bounds[1:] - 1]
+        n = np.diff(bounds).astype(np.int64)
+        m = starts.size
+        return pa.Table.from_arrays([
+            pa.array([g["series_key"][0].as_py()] * m, pa.string()),
+            pa.array(s_start, pa.int64()),
+            pa.array(s_end, pa.int64()),
+            pa.array(n, pa.int64()),
+            pa.array(s_end - s_start, pa.int64()),
+        ], names=["series_key", "session_start", "session_end", "n_events",
+                  "duration_ms"])
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("series_key").map_groups(sessions, batch_format="pyarrow"))
+
+
+def window_topk_members_frame(ds, ts_col: str, key_col: str, member_col: str,
+                              width_ms: int, k: int = 3):
+    """Windowed HEAVY HITTERS: top-k members (e.g. users) by event count
+    per (series, window), deterministic tiebreak by member asc.
+
+    Counts reduce with one built-in vectorized aggregation; the top-k
+    selection is a vectorized per-window slice inside map_groups over the
+    (already tiny) count rows.  Output: (series_key, window_start, rank,
+    member, n_events)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        ts_ms = (pc.cast(pc.divide(pc.cast(ts, pa.int64()), 1000), pa.int64())
+                 if pa.types.is_timestamp(ts.type) and ts.type.unit == "us"
+                 else pc.cast(ts, pa.int64()))
+        w = pc.multiply(pc.divide(ts_ms, width_ms), width_ms)
+        return pa.Table.from_arrays([
+            pc.cast(t[key_col], pa.string()), pc.cast(w, pa.int64()),
+            pc.cast(t[member_col], pa.int64())],
+            names=["series_key", "window_start", "member"])
+
+    counts = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby(["series_key", "window_start", "member"]).count())
+
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        c = g["count()"].to_numpy(zero_copy_only=False)
+        m = g["member"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, -c))[:k]
+        n = order.size
+        return pa.Table.from_arrays([
+            pa.array([g["series_key"][0].as_py()] * n, pa.string()),
+            pa.array([int(g["window_start"][0].as_py())] * n, pa.int64()),
+            pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+            pa.array(m[order], pa.int64()),
+            pa.array(c[order], pa.int64()),
+        ], names=["series_key", "window_start", "rank", "member", "n_events"])
+
+    return counts.groupby(["series_key", "window_start"]).map_groups(
+        topk, batch_format="pyarrow")
+
+
 def topk_series_frame(points_ds, k: int = 10):
     """Hottest series by point count (diagnostic top-k, SURVEY §2.6):
     (series_key, n) — deterministic tiebreak by series_key.
