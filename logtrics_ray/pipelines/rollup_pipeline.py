@@ -152,15 +152,19 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
 
 
 class _FusedBucketWorker:
-    """Per-output-bucket fused stage: 1m rollup -> cascade 1h/1d ->
-    finalize -> Gorilla write, all inside ONE group call.
+    """Per-output-bucket fused stage: 1m rollup (or salt-ordered partial
+    merge when fed by the salted exchange) -> cascade 1h/1d -> finalize
+    -> Gorilla write, all inside ONE group call.
 
-    The whole engine then needs exactly ONE all-to-all exchange (the
-    narrow points table, hash-partitioned by output series bucket); every
-    later step is bucket-local.  At 100 TB this is the difference between
-    one shuffle and five — and semantics are unchanged: every
-    per-(series, window) computation is bucket-local by construction, so
-    output bits match the staged path (asserted in tests)."""
+    With ``exchange="direct"`` the engine needs exactly ONE all-to-all
+    (the narrow points table, hash-partitioned by output bucket); with
+    the salted default it is two — the points by (bucket, salt), then
+    only the per-(series, window, salt) PARTIAL rows by bucket
+    (``from_partials=True``).  Either way every later step is
+    bucket-local and output bits match the staged path (asserted in
+    tests)."""
+
+    from_partials: bool = False   # input = PARTIAL_CORE rows (salted exchange)
 
     def __init__(self, out_dir: str, cfg: EngineConfig, input_tag: str,
                  cfg_hash: str, done: dict[str, set],
@@ -189,8 +193,6 @@ class _FusedBucketWorker:
                                        write_core=(tier == first))
             for tier in cfg.tiers
         }
-
-    from_partials: bool = False   # input = PARTIAL_CORE rows (salted exchange)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import numpy as np
