@@ -291,6 +291,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  columns=["ts", "event_type", "user_id"])
         return hll_distinct_frame(ds, "ts", "event_type", "user_id", HOUR_MS)
 
+    def q_gauge_delta(sf_dir):
+        """Window-over-window gauge delta (the Graphite derivative
+        family): per series, last - previous last over present windows."""
+        from logtrics_ray.pipelines.table_rollup import delta_frame
+        return delta_frame(_events_core(sf_dir, HOUR_MS))
+
     def q_sessions(sf_dir):
         """Gap-based session windows per user (30-min inactivity gap) —
         the streaming windowing family tumbling/hopping can't express."""
@@ -505,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loglines_series_counts": q_loglines_counts,
         "events_user_distinct_1h": q_user_distinct,
         "events_user_sessions": q_sessions,
+        "events_gauge_delta_1h": q_gauge_delta,
         "events_window_top3_users": q_window_topk,
         "events_user_distinct_hll_1h": q_user_distinct_hll,
         "dedup_exact": q_dedup_exact,
@@ -869,6 +876,17 @@ def oracle_sql() -> dict[str, str]:
                    member, n_events
             FROM c
             QUALIFY rank <= 3""",
+        "events_gauge_delta_1h": f"""
+            WITH agg AS (
+              SELECT event_type AS series_key,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                     round(arg_max(value, {_ORD}), 6) AS last_value
+              FROM events GROUP BY 1, 2)
+            SELECT series_key, window_start, last_value,
+                   round(last_value - lag(last_value)
+                         OVER (PARTITION BY series_key ORDER BY window_start),
+                         6) AS delta
+            FROM agg""",
         "events_user_sessions": f"""
             WITH e AS (
               SELECT CAST(user_id AS VARCHAR) AS series_key,

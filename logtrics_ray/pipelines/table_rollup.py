@@ -450,6 +450,34 @@ def hll_distinct_frame(ds, ts_col: str, key_col: str, member_col: str,
         merge, batch_format="pyarrow")
 
 
+def delta_frame(core_ds):
+    """Window-over-window DELTA of the gauge last value (≙ Graphite's
+    ``derivative`` function family): per series over PRESENT windows
+    sorted ascending, delta = last - previous last (null for the first
+    window).  Output: (series_key, window_start, last_value, delta)."""
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()
+        order = np.argsort(w, kind="stable")
+        w = w[order]
+        last = g["last"].to_numpy(zero_copy_only=False)[order]
+        last6 = _round6(last)
+        delta = np.empty_like(last6)
+        delta[0] = np.nan
+        delta[1:] = _round6(last6[1:] - last6[:-1])
+        n = w.size
+        return pa.Table.from_arrays([
+            pa.array([g["series_key"][0].as_py()] * n, pa.string()),
+            pa.array(w, pa.int64()),
+            pa.array(last6, pa.float64()),
+            pa.array(delta, pa.float64()),
+        ], names=["series_key", "window_start", "last_value", "delta"])
+
+    return core_ds.groupby(["series_key", "metric_type"]).map_groups(
+        scan, batch_format="pyarrow")
+
+
 def session_frame(ds, ts_col: str, key_col: str, id_col: str,
                   gap_ms: int = 30 * 60_000):
     """Gap-based SESSION WINDOWS — the classic streaming windowing the
