@@ -20,10 +20,14 @@ All are Dataset->Dataset transforms designed for the 100 TB shape:
     materialized on the driver.
   * simhash_dedup: 64-bit simhash per batch; near-dups = identical
     simhash after masking k noise bits (bucketed groupby, no pair blowup).
-  * ngram_jaccard dedup: LSH candidate pairs stay a Dataset; exact
-    Jaccard verification runs in map_batches against a broadcast of the
-    candidate docs' n-gram hash sets (bounded by the near-dup count —
-    documented), and the final drop filter is a vectorized ``pc.is_in``.
+  * ngram_jaccard dedup: LSH candidate pairs stay a Dataset; the
+    candidate docs' n-gram hash sets stay a Dataset too (semi-join of
+    documents against the candidate ids); two distributed hash joins
+    attach the gram lists to each pair's ``a`` and ``b`` sides; exact
+    Jaccard is a fully-vectorized merged-sort duplicate count inside
+    map_batches; survivors come from a distributed anti-join.  NOTHING
+    is materialized on the driver — no take_all, no ray.put broadcast —
+    so the path holds even when the near-dup count is corpus-scale.
 
 Drop rule (shared, SQL-expressible): a doc is dropped iff some doc with
 a SMALLER doc_id is its duplicate under the operator's predicate —
@@ -368,90 +372,152 @@ def ngram_set(text: str, n: int = 3) -> set:
     return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
 
 
-def _gram_hash_map(ds, ids, n: int, text_col: str, id_col: str) -> dict:
-    """{candidate id: sorted uint64 n-gram hash array}, computed inside
-    map_batches over a vectorized ``pc.is_in`` filtered pass.  Bounded by
-    the CANDIDATE count (near-dup pairs), not the corpus — the documented
-    broadcast side of the verification stage."""
-    wanted = pa.array(sorted(ids))
+def gram_hash_lists(ds, n: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """documents -> (id, grams) Dataset where ``grams`` is the SORTED,
+    de-duplicated uint64 n-gram hash set of the doc (list<uint64>).  A
+    per-batch transform — the gram sets never touch the driver."""
 
-    def pick(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.is_in(t[id_col], value_set=wanted))
-        gids = sub[id_col].combine_chunks() if isinstance(sub[id_col], pa.ChunkedArray) \
-            else sub[id_col]
+    def fn(t: pa.Table) -> pa.Table:
+        gids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) \
+            else t[id_col]
         grams = [np.unique(hash64_array(sorted(ngram_set(s, n))))
                  if s else np.empty(0, np.uint64)
-                 for s in sub[text_col].to_pylist()]
+                 for s in t[text_col].to_pylist()]
+        # packed as BINARY (native-endian uint64 bytes), not list<uint64>:
+        # Ray's hash join rejects list-typed payload columns, binary flows
+        # through — and unpacks zero-copy via a buffer view.
         return pa.Table.from_arrays(
-            [gids, pa.array([g.tolist() for g in grams], pa.list_(pa.uint64()))],
+            [gids, pa.array([g.tobytes() for g in grams], pa.binary())],
             names=[id_col, "grams"])
 
-    out = {}
-    for row in ds.map_batches(pick, batch_format="pyarrow").take_all():
-        out[row[id_col]] = np.asarray(row["grams"], dtype=np.uint64)
-    return out
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _packed_u64_values(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary column of packed uint64 runs -> (per-row counts, flat values).
+    Zero-copy: the value plane is VIEWED as uint64 (every row length is a
+    multiple of 8, so 8-alignment is preserved under slicing)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    flat = data[off[0]:off[-1]]
+    try:
+        vals = flat.view(np.uint64)
+    except ValueError:               # misaligned slice: pay one copy
+        vals = flat.copy().view(np.uint64)
+    return np.diff(off) // 8, vals
+
+
+def _jaccard_batch(t: pa.Table) -> pa.Table:
+    """(a, b, grams_a, grams_b) rows -> + jaccard, fully vectorized.
+
+    Each gram list is sorted and unique, so |A ∩ B| for a pair is the
+    number of values appearing twice in the merged multiset — counted
+    with ONE global lexsort over (row, value) and an adjacent-equality
+    scan.  No per-pair Python."""
+    nrows = t.num_rows
+    la, va = _packed_u64_values(t["grams_a"])
+    lb, vb = _packed_u64_values(t["grams_b"])
+    rows = np.concatenate([np.repeat(np.arange(nrows), la),
+                           np.repeat(np.arange(nrows), lb)])
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, rows))
+    r, v = rows[order], vals[order]
+    dup = np.zeros(0, dtype=bool) if r.size == 0 else \
+        (r[1:] == r[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(r[1:][dup], minlength=nrows).astype(np.int64) \
+        if r.size else np.zeros(nrows, dtype=np.int64)
+    denom = la + lb - inter
+    with np.errstate(invalid="ignore"):
+        jac = np.where(denom > 0, inter / np.maximum(denom, 1), 0.0)
+    return (t.select(["a", "b"])
+             .append_column("jaccard", pa.array(jac, pa.float64())))
+
+
+def _pairs_with_grams(pairs_ds, grams_ds, id_col: str, num_partitions: int):
+    """Attach each pair's gram lists via two distributed hash joins."""
+    def ren(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([name, f"grams_{name}"])
+        return fn
+
+    ga = grams_ds.map_batches(ren("a"), batch_format="pyarrow")
+    gb = grams_ds.map_batches(ren("b"), batch_format="pyarrow")
+    j = pairs_ds.join(ga, join_type="inner", num_partitions=num_partitions,
+                      on=("a",))
+    return j.join(gb, join_type="inner", num_partitions=num_partitions,
+                  on=("b",))
 
 
 def ngram_jaccard_pairs(ds, candidate_pairs, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id"):
-    """Exact Jaccard for a candidate pair list (64-bit gram hashes: set
-    sizes via np.intersect1d — collision probability ~2^-64/pair).
-    Returns a pandas frame (a, b, jaccard)."""
+    """Exact Jaccard for an explicit candidate pair list (64-bit gram
+    hashes; collision probability ~2^-64/pair).  Runs the same join-based
+    distributed verify as the survivors path.  Returns a pandas frame
+    (a, b, jaccard)."""
+    import ray.data as rd
     pairs = list(candidate_pairs)
-    ids = {a for a, _ in pairs} | {b for _, b in pairs}
-    grams = _gram_hash_map(ds, ids, n, text_col, id_col) if ids else {}
-    empty = np.empty(0, np.uint64)
-    rows = []
-    for a, b in pairs:
-        sa, sb = grams.get(a, empty), grams.get(b, empty)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        denom = sa.size + sb.size - inter
-        rows.append({"a": a, "b": b, "jaccard": (inter / denom) if denom else 0.0})
-    return pd.DataFrame(rows)
+    if not pairs:
+        return pd.DataFrame(columns=["a", "b", "jaccard"])
+    pt = pa.Table.from_arrays(
+        [pa.array([a for a, _ in pairs], pa.int64()),
+         pa.array([b for _, b in pairs], pa.int64())], names=["a", "b"])
+    np_part = _default_join_partitions()
+    grams = gram_hash_lists(ds, n, text_col, id_col)
+    verified = _pairs_with_grams(rd.from_arrow(pt), grams, id_col, np_part) \
+        .map_batches(_jaccard_batch, batch_format="pyarrow")
+    return (verified.to_pandas().sort_values(["a", "b"])
+            .reset_index(drop=True))
 
 
 def ngram_jaccard_dedup_survivors(ds, threshold: float = 0.8, n: int = 3,
                                   id_col: str = "doc_id", text_col: str = "text",
-                                  **lsh_kw):
-    """Near-dedup with exact verification: LSH candidates (recall stage,
-    a Dataset end to end) -> exact n-gram Jaccard >= threshold verified
-    INSIDE map_batches against a broadcast of the candidate docs' gram
-    hashes (precision stage) -> vectorized ``pc.is_in`` drop filter.
+                                  num_partitions: int | None = None, **lsh_kw):
+    """Near-dedup with exact verification, distributed END TO END:
 
-    Driver/broadcast state is bounded by the candidate-pair count (the
-    near-dup rate), never the corpus; texts shuffle nowhere."""
-    import ray
-    # candidates are bounded by the near-dup rate: materialize once so the
-    # id-collection and verify passes don't re-execute the LSH chain.
-    pairs_ds = minhash_lsh_candidates(ds, shingle_n=n, **lsh_kw).materialize()
-    cand_ids = set(pairs_ds.unique("a")) | set(pairs_ds.unique("b"))
-    if cand_ids:
-        grams_ref = ray.put(_gram_hash_map(ds, cand_ids, n, text_col, id_col))
-        empty = np.empty(0, np.uint64)
+      1. recall stage: banded-LSH candidate pairs (a Dataset),
+      2. gram sets for candidate docs only (semi-join documents against
+         the candidate ids — texts never shuffle, only gram hashes),
+      3. two hash joins attach grams to each pair's sides; exact n-gram
+         Jaccard >= threshold via the vectorized merged-sort count,
+      4. survivors = documents anti-joined against the dropped ids.
 
-        def verify(t: pa.Table) -> pa.Table:
-            grams = ray.get(grams_ref)
-            a_l, b_l = t["a"].to_pylist(), t["b"].to_pylist()
-            jac = np.empty(len(a_l))
-            for i, (a, b) in enumerate(zip(a_l, b_l)):
-                sa, sb = grams.get(a, empty), grams.get(b, empty)
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                denom = sa.size + sb.size - inter
-                jac[i] = (inter / denom) if denom else 0.0
-            return t.append_column("jaccard", pa.array(jac, pa.float64()))
+    No driver-side materialization anywhere: state per task is bounded
+    by its partition, not by the global near-dup count."""
+    np_part = num_partitions or _default_join_partitions()
+    pairs_ds = minhash_lsh_candidates(ds, shingle_n=n,
+                                      num_partitions=np_part, **lsh_kw)
 
-        verified = pairs_ds.map_batches(verify, batch_format="pyarrow")
-        dropped = verified.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
-                       .select(["b"]),
-            batch_format="pyarrow").unique("b")
-    else:
-        dropped = []
-    drop_arr = pa.array(sorted(dropped))
+    # candidate ids (distinct) as a 1-column Dataset for the semi-join
+    def a_side(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([t["a"].combine_chunks()
+                                     if isinstance(t["a"], pa.ChunkedArray)
+                                     else t["a"]], names=[id_col])
 
-    def keep(t: pa.Table) -> pa.Table:
-        if len(drop_arr) == 0:
-            return t
-        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=drop_arr)))
+    def b_side(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([t["b"].combine_chunks()
+                                     if isinstance(t["b"], pa.ChunkedArray)
+                                     else t["b"]], names=[id_col])
 
-    return ds.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")
+    cand_ids = (pairs_ds.map_batches(a_side, batch_format="pyarrow")
+                .union(pairs_ds.map_batches(b_side, batch_format="pyarrow"))
+                .groupby(id_col).count()
+                .map_batches(lambda t: t.select([id_col]),
+                             batch_format="pyarrow"))
+    cand_docs = ds.select_columns([id_col, text_col]).join(
+        cand_ids, join_type="left_semi", num_partitions=np_part, on=(id_col,))
+    grams = gram_hash_lists(cand_docs, n, text_col, id_col)
+
+    verified = _pairs_with_grams(pairs_ds, grams, id_col, np_part) \
+        .map_batches(_jaccard_batch, batch_format="pyarrow")
+    dropped = verified.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.filter(pc.greater_equal(t["jaccard"], threshold))["b"]
+             .combine_chunks()], names=[id_col]),
+        batch_format="pyarrow")
+    return ds.select_columns([id_col]).join(
+        dropped, join_type="left_anti", num_partitions=np_part, on=(id_col,))
