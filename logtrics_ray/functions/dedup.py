@@ -58,10 +58,19 @@ _WS = re.compile(r"\s+")
 _PROCESS_INSTANCES: dict = {}
 
 
-def process_cached(cls, **kwargs):
-    key = (cls.__qualname__, tuple(sorted(kwargs.items())))
+def process_cached(cls, _cache_key=None, **kwargs):
+    """One live instance PER CLASS per worker process.  On a key change
+    the previous instance is evicted — long-lived Ray workers otherwise
+    accumulate stale instances (and pin their captured ObjectRefs in the
+    object store) across jobs.  ``_cache_key`` overrides the kwargs-tuple
+    key for callers whose kwargs embed per-job ObjectRefs of identical
+    content (e.g. IVF centroids keyed by a content digest)."""
+    key = (cls.__qualname__,
+           _cache_key if _cache_key is not None else tuple(sorted(kwargs.items())))
     inst = _PROCESS_INSTANCES.get(key)
     if inst is None:
+        for k in [k for k in _PROCESS_INSTANCES if k[0] == cls.__qualname__]:
+            del _PROCESS_INSTANCES[k]
         inst = _PROCESS_INSTANCES[key] = cls(**kwargs)
     return inst
 

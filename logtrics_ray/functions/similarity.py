@@ -25,6 +25,20 @@ import pyarrow as pa
 import ray
 
 
+# Per-process hyperplane cache: the LSH planes are a pure function of
+# (dim, n_planes, seed) — regenerate once per worker process, not per batch.
+_PLANES_CACHE: dict = {}
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    key = (dim, n_planes, seed)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        p = _PLANES_CACHE[key] = np.random.default_rng(seed).normal(
+            size=(dim, n_planes))
+    return p
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -156,11 +170,17 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
     from logtrics_ray.functions.dedup import process_cached
     cents = fit_centroids(ds, n_centroids, vec_col)
     cref = ray.put(cents)
+    # content digest, not the ObjectRef, keys the per-process cache —
+    # a re-run with identical centroids reuses the built indexer, and a
+    # new fit evicts the old one instead of pinning its ref forever
+    import hashlib
+    ckey = (hashlib.blake2b(cents.tobytes(), digest_size=16).hexdigest(),
+            vec_col, id_col)
 
     def assign(t):
         # task mode + per-process instance cache: centroids fetched once
         # per worker process (local object-store read), no pinned pool
-        return process_cached(IVFIndexer, centroids_ref=cref,
+        return process_cached(IVFIndexer, _cache_key=ckey, centroids_ref=cref,
                               vec_col=vec_col, id_col=id_col)(t)
 
     indexed = ds.map_batches(assign, batch_format="pyarrow")
@@ -259,22 +279,45 @@ def embedding_dedup_survivors(ds, threshold: float = 0.98,
     return ds.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")
 
 
+def _pairwise_dropped(ids: np.ndarray, m: np.ndarray, threshold: float,
+                      block: int = 4096) -> np.ndarray:
+    """Boolean dropped mask for the keep-earliest rule over ONE bucket,
+    computed block-pair-wise: peak score-matrix memory is O(block²), not
+    O(n²) — a hot bucket (many near-identical vectors) stays bounded.
+    One chunk pair == the dense path, so small buckets pay no overhead."""
+    n = ids.size
+    dropped = np.zeros(n, dtype=bool)
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        for j0 in range(i0, n, block):
+            j1 = min(j0 + block, n)
+            s = m[i0:i1] @ m[j0:j1].T
+            hit = s >= threshold
+            dropped[j0:j1] |= (hit & np.less.outer(ids[i0:i1], ids[j0:j1])).any(axis=0)
+            dropped[i0:i1] |= (hit & np.greater.outer(ids[i0:i1], ids[j0:j1])).any(axis=1)
+    return dropped
+
+
 def embedding_dedup_lsh(ds, threshold: float = 0.98, n_planes: int = 12,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        seed: int = 29):
+                        seed: int = 29, verify_block: int = 4096):
     """Scale path for embedding near-dedup: random-hyperplane LSH buckets
     (identical sign pattern over ``n_planes`` hyperplanes) -> EXACT
     cosine verification within each bucket (vectorized map_groups) ->
     keep-earliest.  Near-linear: only bucket-mates are compared; recall
     vs the exact kernel is measured in tests (high-cosine pairs agree on
-    most hyperplane signs: P[same bucket] = (1 - theta/pi)^n_planes)."""
+    most hyperplane signs: P[same bucket] = (1 - theta/pi)^n_planes).
+
+    Hot-bucket defense: the in-bucket verify is block-pair-wise
+    (``_pairwise_dropped``) so a degenerate bucket of B near-identical
+    vectors costs O(B²/block²) small matmuls under O(block²) memory
+    instead of one dense B×B score matrix; hyperplanes come from a
+    per-process cache, not per-batch regeneration."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def bucketize(t: pa.Table) -> pa.Table:
         m = _norm_rows(_batch_matrix(t, vec_col))
-        rng = np.random.default_rng(seed)           # same planes every batch
-        planes = rng.normal(size=(m.shape[1], n_planes))
+        planes = _hyperplanes(m.shape[1], n_planes, seed)
         bits = (m @ planes) >= 0
         bucket = (bits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int64)
         flat = pa.array(m.reshape(-1), pa.float64())
@@ -290,9 +333,7 @@ def embedding_dedup_lsh(ds, threshold: float = 0.98, n_planes: int = 12,
 
     def verify(g: pa.Table) -> pa.Table:
         ids, m = _block_arrays(g.combine_chunks(), id_col)
-        s = m @ m.T
-        hit = (s >= threshold) & np.less.outer(ids, ids)   # u < v dup pairs
-        keep = ids[~hit.any(axis=0)]
+        keep = ids[~_pairwise_dropped(ids, m, threshold, verify_block)]
         return pa.Table.from_arrays([pa.array(keep, pa.int64())], names=[id_col])
 
     kept_in_bucket = buck.groupby("bucket").map_groups(verify, batch_format="pyarrow")

@@ -179,6 +179,44 @@ def test_embedding_dedup_lsh_recall():
     assert recall >= 0.9
 
 
+def test_pairwise_dropped_chunked_matches_dense():
+    """The block-pair in-bucket verify (hot-bucket defense) is bit-equal
+    to the dense score-matrix rule at every block size."""
+    from logtrics_ray.functions.similarity import _norm_rows, _pairwise_dropped
+    rng = np.random.default_rng(3)
+    n, dim, thr = 500, 6, 0.9
+    m = rng.normal(size=(n, dim))
+    m[250:] = m[rng.integers(0, 250, size=250)] + 0.02 * rng.normal(size=(250, dim))
+    m = _norm_rows(m)
+    ids = rng.permutation(n).astype(np.int64)
+    s = m @ m.T
+    dense = ((s >= thr) & np.less.outer(ids, ids)).any(axis=0)
+    for block in (7, 64, 500, 4096):
+        got = _pairwise_dropped(ids, m, thr, block=block)
+        assert (got == dense).all(), block
+
+
+def test_embedding_dedup_lsh_hot_bucket_bounded():
+    """Degenerate corpus: 30k near-identical vectors all landing in ONE
+    LSH bucket.  A dense in-bucket verify would allocate a 30k x 30k
+    score matrix (7.2 GB); the block-pair path completes under a bounded
+    heap and keeps (essentially) only the earliest id."""
+    from logtrics_ray.functions.similarity import embedding_dedup_lsh
+    rng = np.random.default_rng(11)
+    n, dim = 30_000, 8
+    base = rng.normal(size=dim)
+    m = base + 1e-4 * rng.normal(size=(n, dim))
+    t = pa.Table.from_arrays(
+        [pa.array(np.arange(n), pa.int64()),
+         pa.array(list(m.astype(np.float32)), pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    kept = embedding_dedup_lsh(rd.from_arrow(t), threshold=0.98,
+                               n_planes=10, verify_block=1024).take_all()
+    kept_ids = sorted(r["vec_id"] for r in kept)
+    assert kept_ids[0] == 0            # earliest always survives
+    assert len(kept_ids) < 50          # hot bucket actually deduped
+
+
 def test_multimodal_real_codecs_roundtrip_and_features():
     """PPM and WAV codec paths are REAL: byte-exact round-trip and
     features recomputed independently from the raw planes."""
