@@ -120,17 +120,31 @@ class LangId:
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Polynomial rolling-hash document fingerprint:
-    h(doc) = Σ byte_i · P^(n-1-i)  mod 2^64 — fully vectorized per doc
-    (one uint64 dot product over the byte array); stable across runs."""
-    texts = batch["text"].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if b.size == 0:
-                out[i] = 0
-                continue
-            out[i] = np.multiply(b, _poly_powers(b.size)[::-1]).sum(dtype=np.uint64)
+    h(doc) = Σ byte_i · P^(n-1-i)  mod 2^64, vectorized across the WHOLE
+    batch: the Arrow string column's value buffer is viewed flat (the
+    UTF-8 bytes, zero-copy), per-byte exponents come from the offsets
+    (exp = doc_end-1 - flat_pos), and per-doc sums are one
+    ``np.add.reduceat`` — mod-2^64 addition is associative, so the result
+    is bit-identical to the per-doc dot product.  No per-doc Python loop;
+    transient cost is 8 bytes per text byte (the uint64 upcast)."""
+    col = batch["text"]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    flat = data[off[0]:off[-1]].astype(np.uint64)
+    lens = np.diff(off)
+    out = np.zeros(len(col), dtype=np.uint64)
+    if flat.size:
+        rel = off - off[0]
+        with np.errstate(over="ignore"):
+            exps = np.repeat(rel[:-1] + lens - 1, lens) - np.arange(flat.size)
+            prod = flat * _poly_powers(int(lens.max()))[exps]
+            nz = np.flatnonzero(lens)
+            out[nz] = np.add.reduceat(prod, rel[:-1][nz])
     return pa.Table.from_arrays(
         [batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray)
          else batch["doc_id"],

@@ -85,22 +85,13 @@ def _gap_fill_values(dense_w, present_w, present_v, present_mask, mode: str) -> 
     raise AssertionError(mode)
 
 
-def scan_group(group: pa.Table, width_ms: int, cfg: EngineConfig,
-               global_max_w: int | None = None) -> pa.Table:
-    group = group.combine_chunks()
-    series = group["series_key"][0].as_py()
-    mtype = group["metric_type"][0].as_py()
-    w = group["window_start"].to_numpy()
-    order = np.argsort(w, kind="stable")
-    w = w[order]
-
-    def col(name):
-        return group[name].to_numpy(zero_copy_only=False)[order]
-
-    count, vsum, vmin, vmax = col("count"), col("sum"), col("vmin"), col("vmax")
-    mean, last = col("mean"), col("last")
-    pctls = {p: col(p) for p in PCTL_NAMES}
-
+def _scan_core(mtype: str, w: np.ndarray, count, vsum, vmin, vmax, mean, last,
+               pctls: dict, width_ms: int, cfg: EngineConfig,
+               global_max_w: int | None) -> dict:
+    """Pure-numpy scan of ONE series (rows already window-sorted).
+    Shared by the per-series map_groups path (scan_group) and the
+    bucket-major fused path (scan_bucket) — one code path, so the two
+    are bit-identical by construction."""
     W = np.int64(width_ms)
     first = w[0]
     last_w = w[-1] if global_max_w is None else np.int64(global_max_w)
@@ -117,47 +108,129 @@ def scan_group(group: pa.Table, width_ms: int, cfg: EngineConfig,
 
     d_count = np.zeros(n, dtype=np.int64); d_count[pos] = count
     d_sum = dense_f(vsum, 0.0)
-    d_min, d_max, d_mean = dense_f(vmin), dense_f(vmax), dense_f(mean)
-    d_last = _gap_fill_values(dense, w, last, present, cfg.gap_fill)
-    d_p = {p: dense_f(v) for p, v in pctls.items()}
+    out = {"window_start": dense, "count": d_count, "sum": d_sum,
+           "vmin": dense_f(vmin), "vmax": dense_f(vmax), "mean": dense_f(mean),
+           "last": _gap_fill_values(dense, w, last, present, cfg.gap_fill)}
+    for p, v in pctls.items():
+        out[p] = dense_f(v)
 
     width_s = width_ms / 1000.0
     nan = np.full(n, np.nan)
     if mtype in ("counter", "meter"):
-        cumulative = np.cumsum(d_sum)
+        out["cumulative"] = np.cumsum(d_sum)
     elif mtype == "timer":
-        cumulative = np.cumsum(d_count).astype(np.float64)
+        out["cumulative"] = np.cumsum(d_count).astype(np.float64)
     else:
-        cumulative = nan
+        out["cumulative"] = nan
     if mtype == "meter":
         rate = d_sum / width_s
     elif mtype == "timer":
         rate = d_count / width_s
     else:
         rate = nan
+    out["rate"] = rate
     if mtype in ("meter", "timer"):
-        ew = {tau: _ewma(rate, 1.0 - math.exp(-width_s / tau)) for tau in cfg.ewma_taus_s}
+        for tau in cfg.ewma_taus_s:
+            out[f"ewma_{tau}s"] = _ewma(rate, 1.0 - math.exp(-width_s / tau))
     else:
-        ew = {tau: nan for tau in cfg.ewma_taus_s}
+        for tau in cfg.ewma_taus_s:
+            out[f"ewma_{tau}s"] = nan
+    out["gap_filled"] = ~present
+    return out
 
-    cols = [
-        pa.array([series] * n, pa.string()),
-        pa.array([mtype] * n, pa.string()),
-        pa.array(dense, pa.int64()),
-        pa.array(d_count, pa.int64()),
-        pa.array(d_sum, pa.float64()),
-        pa.array(d_min, pa.float64()),
-        pa.array(d_max, pa.float64()),
-        pa.array(d_mean, pa.float64()),
-        pa.array(d_last, pa.float64()),
-    ] + [pa.array(d_p[p], pa.float64()) for p in PCTL_NAMES] + [
-        pa.array(cumulative, pa.float64()),
-        pa.array(rate, pa.float64()),
-        pa.array(ew[60], pa.float64()),
-        pa.array(ew[300], pa.float64()),
-        pa.array(ew[900], pa.float64()),
-        pa.array(~present, pa.bool_()),
-    ]
+
+_SCAN_COLS = ["count", "sum", "vmin", "vmax", "mean", "last", *PCTL_NAMES]
+
+
+def scan_group(group: pa.Table, width_ms: int, cfg: EngineConfig,
+               global_max_w: int | None = None) -> pa.Table:
+    group = group.combine_chunks()
+    series = group["series_key"][0].as_py()
+    mtype = group["metric_type"][0].as_py()
+    w = group["window_start"].to_numpy()
+    order = np.argsort(w, kind="stable")
+    w = w[order]
+
+    def col(name):
+        return group[name].to_numpy(zero_copy_only=False)[order]
+
+    d = _scan_core(mtype, w, col("count"), col("sum"), col("vmin"), col("vmax"),
+                   col("mean"), col("last"), {p: col(p) for p in PCTL_NAMES},
+                   width_ms, cfg, global_max_w)
+    n = d["window_start"].size
+    cols = [pa.array([series] * n, pa.string()),
+            pa.array([mtype] * n, pa.string())]
+    for f in FINAL_SCHEMA:
+        if f.name in ("series_key", "metric_type"):
+            continue
+        cols.append(pa.array(d[f.name], f.type))
+    return pa.Table.from_arrays(cols, schema=FINAL_SCHEMA)
+
+
+def dict_codes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 indices, object label array) of a string column via Arrow
+    dictionary encoding — group codes without per-row Python strings."""
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not pa.types.is_dictionary(c.type):
+        c = c.dictionary_encode()
+    labels = np.asarray(c.dictionary.to_pylist(), dtype=object)
+    return c.indices.to_numpy().astype(np.int64), labels
+
+
+def _label_ranks(labels: np.ndarray) -> np.ndarray:
+    """rank[i] = position of labels[i] in the SORTED label order — makes
+    integer-key sorts reproduce exact string sort order."""
+    rank = np.empty(labels.size, dtype=np.int64)
+    rank[np.argsort(labels)] = np.arange(labels.size)
+    return rank
+
+
+def scan_bucket(group: pa.Table, width_ms: int, cfg: EngineConfig,
+                global_max_w: int | None = None) -> pa.Table:
+    """Every series of one BUCKET in a single call: dictionary-index
+    segment codes + one packed integer lexsort replace the per-row
+    ``f"{series}\\x00{mtype}"`` Python keys, and all columns convert to
+    numpy ONCE per bucket instead of once per series.  Per-segment math
+    delegates to ``_scan_core`` — bit-identical to the per-series path
+    (tests pin fused vs staged output equality)."""
+    if group.num_rows == 0:
+        return FINAL_SCHEMA.empty_table()
+    group = group.combine_chunks()
+    sk_idx, sk_labels = dict_codes(group["series_key"])
+    mt_idx, mt_labels = dict_codes(group["metric_type"])
+    nmt = max(len(mt_labels), 1)
+    # rank-remapped composite key: integer sort == the old string sort
+    key = _label_ranks(sk_labels)[sk_idx] * nmt + _label_ranks(mt_labels)[mt_idx]
+    w = group["window_start"].to_numpy()
+    order = np.lexsort((w, key))
+    key_s, w_s = key[order], w[order]
+    sk_s, mt_s = sk_idx[order], mt_idx[order]
+    vals = {c: group[c].to_numpy(zero_copy_only=False)[order] for c in _SCAN_COLS}
+    starts = np.flatnonzero(np.diff(key_s, prepend=key_s[0] - 1))
+    bounds = np.append(starts, key_s.size)
+
+    per_seg: list[dict] = []
+    seg_sk, seg_mt, seg_len = [], [], []
+    for i in range(starts.size):
+        lo, hi = bounds[i], bounds[i + 1]
+        mtype = mt_labels[mt_s[lo]]
+        sl = slice(lo, hi)
+        d = _scan_core(mtype, w_s[sl], vals["count"][sl], vals["sum"][sl],
+                       vals["vmin"][sl], vals["vmax"][sl], vals["mean"][sl],
+                       vals["last"][sl], {p: vals[p][sl] for p in PCTL_NAMES},
+                       width_ms, cfg, global_max_w)
+        per_seg.append(d)
+        seg_sk.append(sk_labels[sk_s[lo]])
+        seg_mt.append(mtype)
+        seg_len.append(d["window_start"].size)
+
+    lens = np.asarray(seg_len, dtype=np.int64)
+    cols = [pa.array(np.repeat(np.asarray(seg_sk, dtype=object), lens), pa.string()),
+            pa.array(np.repeat(np.asarray(seg_mt, dtype=object), lens), pa.string())]
+    for f in FINAL_SCHEMA:
+        if f.name in ("series_key", "metric_type"):
+            continue
+        cols.append(pa.array(np.concatenate([d[f.name] for d in per_seg]), f.type))
     return pa.Table.from_arrays(cols, schema=FINAL_SCHEMA)
 
 

@@ -67,15 +67,25 @@ def add_bucket_column(final_ds, cfg: EngineConfig):
 
 
 def _encode_blocks(group: pa.Table, block_len: int) -> pa.Table:
-    """Final rows of ONE bucket -> Gorilla block rows."""
+    """Final rows of ONE bucket -> Gorilla block rows.
+
+    Grouping keys come from dictionary indices rank-remapped to string
+    sort order (seriesscan.dict_codes) — one integer lexsort, no per-row
+    Python key strings; block order is identical to the old
+    ``f"{series}\\x00{mtype}"`` object sort."""
+    from logtrics_ray.stages.seriesscan import _label_ranks, dict_codes
+    if group.num_rows == 0:
+        return BLOCK_SCHEMA.empty_table()
     group = group.combine_chunks()
-    sk = np.asarray(group["series_key"].to_pylist(), dtype=object)
-    mt = np.asarray(group["metric_type"].to_pylist(), dtype=object)
+    sk_idx, sk_labels = dict_codes(group["series_key"])
+    mt_idx, mt_labels = dict_codes(group["metric_type"])
+    nmt = max(len(mt_labels), 1)
+    key = _label_ranks(sk_labels)[sk_idx] * nmt + _label_ranks(mt_labels)[mt_idx]
     w = group["window_start"].to_numpy()
-    order = np.lexsort((w, mt, sk))
-    sk, mt, w = sk[order], mt[order], w[order]
-    key = np.array([f"{a}\x00{b}" for a, b in zip(sk, mt)], dtype=object)
-    starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    order = np.lexsort((w, key))
+    key, w = key[order], w[order]
+    sk_i, mt_i = sk_idx[order], mt_idx[order]
+    starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1))
     bounds = np.append(starts, key.size)
 
     vals = {c: group[c].to_numpy(zero_copy_only=False)[order] for c in VALUE_COLS}
@@ -86,8 +96,8 @@ def _encode_blocks(group: pa.Table, block_len: int) -> pa.Table:
         lo, hi = bounds[gi], bounds[gi + 1]
         for blo in range(lo, hi, block_len):
             bhi = min(blo + block_len, hi)
-            rows["series_key"].append(sk[blo])
-            rows["metric_type"].append(mt[blo])
+            rows["series_key"].append(sk_labels[sk_i[blo]])
+            rows["metric_type"].append(mt_labels[mt_i[blo]])
             rows["window_lo"].append(int(w[blo]))
             rows["window_hi"].append(int(w[bhi - 1]))
             rows["n"].append(bhi - blo)
@@ -269,22 +279,11 @@ class BucketFinalizeWriter:
         self.write_core = write_core
 
     def __call__(self, group: pa.Table, extra_meta: dict | None = None) -> pa.Table:
-        from logtrics_ray.stages.seriesscan import scan_group
+        from logtrics_ray.stages.seriesscan import scan_bucket
         group = group.combine_chunks()
         bucket = int(group["bucket"][0].as_py())
         data = group.drop_columns(["bucket"])
-        sk = np.asarray(data["series_key"].to_pylist(), dtype=object)
-        mt = np.asarray(data["metric_type"].to_pylist(), dtype=object)
-        key = np.array([f"{a}\x00{b}" for a, b in zip(sk, mt)], dtype=object)
-        order = np.argsort(key, kind="stable")
-        data = data.take(pa.array(order, pa.int64()))
-        key = key[order]
-        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
-        bounds = np.append(starts, key.size)
-        finals = [scan_group(data.slice(bounds[i], bounds[i + 1] - bounds[i]),
-                             self.width_ms, self.cfg, self.global_max_w)
-                  for i in range(starts.size)]
-        finalized = pa.concat_tables(finals)
+        finalized = scan_bucket(data, self.width_ms, self.cfg, self.global_max_w)
         finalized = finalized.append_column(
             "bucket", pa.array(np.full(finalized.num_rows, bucket, dtype=np.int64)))
         return self.inner(finalized,
