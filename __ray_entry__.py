@@ -631,6 +631,12 @@ def oracle_sql() -> dict[str, str]:
     from logtrics_ray.sources.text import write_log_lines_fixture
     write_log_lines_fixture(os.path.join(token_dir, "text"),
                             "/tmp/lt_lines_0.01")
+    # deterministic signature side tables (minhash bands / simhash /
+    # gram hashes) for the dedup replay oracles below — same kernels the
+    # Ray operators run; the DROP RULES are replayed independently in SQL
+    from logtrics_ray.functions.dedup import write_signature_side_tables
+    sig_dir = write_signature_side_tables(
+        "/root/testdata/sf0.01/documents.parquet", "/tmp/lt_sig_0.01")
 
     def rollup(width):
         return f"""
@@ -1030,9 +1036,55 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM embeddings b
               WHERE b.vec_id < a.vec_id
                 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95)""",
-        # token_* / quality / lang / fingerprint / minhash / simhash /
-        # ngram_jaccard / ivf / timer_digest / ewma / multimodal:
-        # non-SQL-expressible or approximate -> rows-only check (documented;
-        # each has a pytest oracle instead — sequential-recurrence and sketch
-        # ops are validated bit-for-bit or within stated error in tests/).
+        # keep-earliest replay over the deterministic signature side
+        # tables (the doc_fingerprint pattern): a doc survives minhash
+        # dedup iff it IS the minimum of every band bucket it hashes into
+        "minhash_dedup": f"""
+            WITH bands AS (
+              SELECT * FROM read_parquet('{sig_dir}/minhash_bands.parquet')),
+            mins AS (SELECT band_id, band_hash, min(doc_id) AS bm
+                     FROM bands GROUP BY 1, 2),
+            pd AS (SELECT b.doc_id, min(m.bm) AS mn
+                   FROM bands b JOIN mins m USING (band_id, band_hash)
+                   GROUP BY 1)
+            SELECT doc_id FROM pd WHERE doc_id = mn""",
+        "simhash_dedup": f"""
+            SELECT min(doc_id) AS doc_id
+            FROM read_parquet('{sig_dir}/simhash.parquet')
+            GROUP BY simhash""",
+        # LSH candidates (member vs bucket minimum) + exact n-gram
+        # Jaccard >= 0.8 over the distinct gram-hash side table — the
+        # full recall+precision chain replayed in SQL
+        "ngram_jaccard_dedup": f"""
+            WITH bands AS (
+              SELECT * FROM read_parquet('{sig_dir}/minhash_bands.parquet')),
+            mins AS (SELECT band_id, band_hash, min(doc_id) AS bm
+                     FROM bands GROUP BY 1, 2),
+            pairs AS (SELECT DISTINCT m.bm AS a, b.doc_id AS b
+                      FROM bands b JOIN mins m USING (band_id, band_hash)
+                      WHERE b.doc_id <> m.bm),
+            grams AS (SELECT * FROM read_parquet('{sig_dir}/grams.parquet')),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            inter AS (SELECT p.a, p.b, count(*) AS i
+                      FROM pairs p
+                      JOIN grams ga ON ga.doc_id = p.a
+                      JOIN grams gb ON gb.doc_id = p.b
+                                   AND gb.gram_hash = ga.gram_hash
+                      GROUP BY 1, 2),
+            dropped AS (
+              SELECT DISTINCT p.b
+              FROM pairs p
+              LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+              LEFT JOIN sizes sa ON sa.doc_id = p.a
+              LEFT JOIN sizes sb ON sb.doc_id = p.b
+              WHERE coalesce(i.i, 0)::DOUBLE
+                    / nullif(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                             - coalesce(i.i, 0), 0) >= 0.8)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b FROM dropped)""",
+        # token_rollup_full / quality-EWMA-1m / timer_digest / ivf /
+        # embedding_dedup_lsh / multimodal: non-SQL-expressible or
+        # approximate -> rows-only check (documented; each has a pytest
+        # oracle — sequential-recurrence and sketch ops are validated
+        # bit-for-bit or within stated error in tests/).
     }

@@ -498,8 +498,11 @@ def ngram_jaccard_dedup_survivors(ds, threshold: float = 0.8, n: int = 3,
     No driver-side materialization anywhere: state per task is bounded
     by its partition, not by the global near-dup count."""
     np_part = num_partitions or _default_join_partitions()
+    # materialize (OBJECT STORE, not driver): three consumers below —
+    # without it the whole signature+LSH chain re-executes per consumer
     pairs_ds = minhash_lsh_candidates(ds, shingle_n=n,
-                                      num_partitions=np_part, **lsh_kw)
+                                      num_partitions=np_part,
+                                      **lsh_kw).materialize()
 
     # candidate ids (distinct) as a 1-column Dataset for the semi-join
     def a_side(t: pa.Table) -> pa.Table:
@@ -530,3 +533,59 @@ def ngram_jaccard_dedup_survivors(ds, threshold: float = 0.8, n: int = 3,
         batch_format="pyarrow")
     return ds.select_columns([id_col]).join(
         dropped, join_type="left_anti", num_partitions=np_part, on=(id_col,))
+
+
+# ------------------------------------------------ oracle side tables ------
+
+def write_signature_side_tables(documents_path: str, out_dir: str,
+                                num_perm: int = 64, bands: int = 16,
+                                shingle_n: int = 3, mask_bits: int = 4,
+                                gram_n: int = 3) -> str:
+    """Deterministic signature side tables for the DuckDB replay oracles
+    (the doc_fingerprint pattern: the SIGNATURES come from this module's
+    own vectorized kernels, the DROP RULE is replayed independently in
+    SQL over them):
+
+        minhash_bands.parquet  (doc_id, band_id, band_hash)
+        simhash.parquet        (doc_id, simhash)
+        grams.parquet          (doc_id, gram_hash)  -- distinct n-gram hashes
+
+    Driver-side and loop-free where it matters (MinHasher/SimHasher are
+    the batch kernels); sized for the correctness gate (sf0.01), not for
+    production — the operators themselves never touch these files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    bp = os.path.join(out_dir, "minhash_bands.parquet")
+    sp = os.path.join(out_dir, "simhash.parquet")
+    gp = os.path.join(out_dir, "grams.parquet")
+    if all(os.path.isfile(p) for p in (bp, sp, gp)):
+        return out_dir
+    t = pq.read_table(documents_path, columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+
+    sig = MinHasher(num_perm=num_perm, shingle_n=shingle_n).signatures(texts)
+    rpb = num_perm // bands
+    n = len(texts)
+    band_id = np.repeat(np.arange(bands, dtype=np.int64), n)
+    band_hash = np.concatenate([
+        hash64_words(sig[:, b * rpb:(b + 1) * rpb], seed=b).astype(np.int64)
+        for b in range(bands)]) if n else np.empty(0, np.int64)
+    pq.write_table(pa.table({"doc_id": np.tile(ids, bands),
+                             "band_id": band_id, "band_hash": band_hash}), bp)
+
+    sh = SimHasher(mask_bits=mask_bits).simhashes(texts).astype(np.int64)
+    pq.write_table(pa.table({"doc_id": ids, "simhash": sh}), sp)
+
+    g_doc, g_hash = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+    for i, s in zip(ids, texts):
+        g = (np.unique(hash64_array(sorted(ngram_set(s, gram_n))))
+             if s else np.empty(0, np.uint64))
+        g_doc.append(np.full(g.size, i, dtype=np.int64))
+        g_hash.append(g.astype(np.int64))
+    pq.write_table(pa.table({"doc_id": np.concatenate(g_doc),
+                             "gram_hash": np.concatenate(g_hash)}), gp)
+    return out_dir
