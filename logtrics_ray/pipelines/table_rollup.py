@@ -65,6 +65,81 @@ def read_events_points(sf_dir: str, metric_type: str = "gauge"):
                              metric_type=metric_type)
 
 
+# Scan-bucket count for the bucket-major per-series frames: one map_groups
+# call per BUCKET (each handling many series via segmented numpy), not one
+# per series — at millions of series the per-group Python call is the
+# bottleneck, exactly as in the core rollup's bucket-major path.
+SCAN_BUCKETS = 64
+
+
+def _with_scan_bucket(ds, nb: int = SCAN_BUCKETS, key_col: str = "series_key"):
+    from logtrics_ray.hashing import series_bucket_array
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_scan_bucket", pa.array([], pa.int64()))
+        b = series_bucket_array(t[key_col], nb)
+        return t.append_column("_scan_bucket", pa.array(b, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _segments(g: pa.Table, sort_cols: list[str],
+              key_cols=("series_key",)):
+    """One bucket's rows -> per-(key_cols) segments, sorted by sort_cols
+    inside each segment, with NO per-row Python keys (dictionary-index
+    codes rank-remapped to exact string order).
+
+    Returns (g_sorted_numpy: dict col->array incl. sort cols,
+             seg_starts, seg_bounds, seg_labels: dict key_col->object
+             array of per-segment labels, order)."""
+    from logtrics_ray.stages.seriesscan import _label_ranks, dict_codes
+    g = g.combine_chunks()
+    key = np.zeros(g.num_rows, dtype=np.int64)
+    per_col = []
+    for kc in key_cols:
+        codes, labels = dict_codes(g[kc])
+        key = key * max(len(labels), 1) + _label_ranks(labels)[codes]
+        per_col.append((kc, codes, labels))
+    sort_arrays = tuple(g[c].to_numpy(zero_copy_only=False)
+                        for c in reversed(sort_cols))
+    order = np.lexsort(sort_arrays + (key,))
+    key_s = key[order]
+    starts = np.flatnonzero(np.diff(key_s, prepend=key_s[0] - 1)) \
+        if key_s.size else np.array([], dtype=np.int64)
+    bounds = np.append(starts, key_s.size)
+    seg_labels = {kc: labels[codes[order][starts]]
+                  for kc, codes, labels in per_col}
+    return order, starts, bounds, seg_labels
+
+
+def _seg_change(*arrays: np.ndarray) -> np.ndarray:
+    """Segment-start indices where ANY of the (sorted) key arrays changes."""
+    if not arrays or arrays[0].size == 0:
+        return np.array([], dtype=np.int64)
+    m = np.zeros(arrays[0].size, dtype=bool)
+    for a in arrays:
+        m |= np.diff(a, prepend=a[0] - 1).astype(bool)
+    return np.flatnonzero(m)
+
+
+def window_floor(ts_ms: np.ndarray, width_ms: int) -> np.ndarray:
+    """Shared tumbling-window assignment: FLOOR semantics (ts - ts % W),
+    identical to stages/rollup.assign_windows — every windowed frame uses
+    this one helper so pre-epoch timestamps can't land in different
+    windows between the exact/approximate variants of an operator."""
+    W = np.int64(width_ms)
+    return ts_ms - ts_ms % W
+
+
+def _ts_ms_numpy(ts_col) -> np.ndarray:
+    ts = ts_col
+    ts_ms = (pc.cast(pc.divide(pc.cast(ts, pa.int64()), 1000), pa.int64())
+             if pa.types.is_timestamp(ts.type) and ts.type.unit == "us"
+             else pc.cast(ts, pa.int64()))
+    return ts_ms.to_numpy()
+
+
 def _round6(arr: np.ndarray) -> np.ndarray:
     """Round half-AWAY-from-zero at 6dp — DuckDB's round() semantics
     (numpy's np.round is half-to-even and flips the last digit on exact
@@ -119,23 +194,31 @@ def gauge_last_frame(core_ds) -> pa.Table:
 
 def cumulative_frame(core_ds):
     """Per-series running sum over PRESENT windows (no gap-fill), rounded:
-    (series_key, window_start, window_sum, cumulative)."""
+    (series_key, window_start, window_sum, cumulative).
+
+    Bucket-major: one map_groups call per scan bucket, all series of the
+    bucket handled with segmented numpy (per-series np.cumsum keeps the
+    reduction order — and therefore the bits — of the per-series path)."""
 
     def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
         g = g.combine_chunks()
-        w = g["window_start"].to_numpy()
-        order = np.argsort(w, kind="stable")
+        w = g["window_start"].to_numpy()[order]
         s = g["sum"].to_numpy(zero_copy_only=False)[order]
-        cum = np.cumsum(s)
-        n = w.size
+        cum = np.empty_like(s)
+        for i in range(starts.size):
+            lo, hi = bounds[i], bounds[i + 1]
+            cum[lo:hi] = np.cumsum(s[lo:hi])
+        series = np.repeat(labels["series_key"], np.diff(bounds))
         return pa.Table.from_arrays([
-            pa.array([g["series_key"][0].as_py()] * n, pa.string()),
-            pa.array(w[order], pa.int64()),
+            pa.array(series, pa.string()),
+            pa.array(w, pa.int64()),
             pa.array(_round6(s), pa.float64()),
             pa.array(_round6(cum), pa.float64()),
         ], names=["series_key", "window_start", "window_sum", "cumulative"])
 
-    return core_ds.groupby(["series_key", "metric_type"]).map_groups(
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
         scan, batch_format="pyarrow")
 
 
@@ -371,13 +454,12 @@ def distinct_count_frame(ds, ts_col: str, key_col: str, member_col: str,
     Output: (series_key, window_start, n_distinct)."""
 
     def prep(t: pa.Table) -> pa.Table:
-        ts = t[ts_col]
-        ts_ms = (pc.cast(pc.divide(pc.cast(ts, pa.int64()), 1000), pa.int64())
-                 if pa.types.is_timestamp(ts.type) and ts.type.unit == "us"
-                 else pc.cast(ts, pa.int64()))
-        w = pc.multiply(pc.divide(ts_ms, width_ms), width_ms)
+        # window_floor: floor semantics shared with assign_windows and
+        # the HLL variant, so exact and approximate distinct counts agree
+        # on window assignment even for pre-epoch timestamps
+        w = window_floor(_ts_ms_numpy(t[ts_col]), width_ms)
         return pa.Table.from_arrays([
-            pc.cast(t[key_col], pa.string()), pc.cast(w, pa.int64()),
+            pc.cast(t[key_col], pa.string()), pa.array(w, pa.int64()),
             pc.cast(t[member_col], pa.int64())],
             names=["series_key", "window_start", "member"])
 
@@ -403,11 +485,7 @@ def hll_distinct_frame(ds, ts_col: str, key_col: str, member_col: str,
     from logtrics_ray.state.hll import HLL
 
     def partial(t: pa.Table) -> pa.Table:
-        ts = t[ts_col]
-        ts_ms = (pc.cast(pc.divide(pc.cast(ts, pa.int64()), 1000), pa.int64())
-                 if pa.types.is_timestamp(ts.type) and ts.type.unit == "us"
-                 else pc.cast(ts, pa.int64())).to_numpy()
-        w = ts_ms // width_ms * width_ms
+        w = window_floor(_ts_ms_numpy(t[ts_col]), width_ms)
         key = pc.cast(t[key_col], pa.string())
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
@@ -437,16 +515,30 @@ def hll_distinct_frame(ds, ts_col: str, key_col: str, member_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(g: pa.Table) -> pa.Table:
-        g = g.combine_chunks()
+        # bucket-major merge: ALL (series, window) cells of the bucket in
+        # one call — registers stacked via a flat buffer view, merged with
+        # one np.maximum.reduceat per segment, estimates vectorized
+        # (HLL.estimate_rows is bit-equal to the scalar path).
         from logtrics_ray.state.hll import HLL as _H
-        sk = _H.merge_all([_H.from_bytes(b) for b in g["sketch"].to_pylist()])
+        from logtrics_ray.stages.seriesscan import _label_ranks, dict_codes
+        g = g.combine_chunks()
+        codes, labels = dict_codes(g["series_key"])
+        key = _label_ranks(labels)[codes]
+        w = g["window_start"].to_numpy()
+        regs, p_ = _H.registers_matrix(g["sketch"])
+        order = np.lexsort((w, key))
+        key_s, w_s = key[order], w[order]
+        starts = _seg_change(key_s, w_s)
+        merged = np.maximum.reduceat(regs[order], starts, axis=0) \
+            if starts.size else np.empty((0, regs.shape[1]), np.uint8)
+        est = np.round(_H.estimate_rows(merged, p_)).astype(np.int64)
         return pa.Table.from_arrays([
-            pa.array([g["series_key"][0].as_py()], pa.string()),
-            pa.array([int(g["window_start"][0].as_py())], pa.int64()),
-            pa.array([int(round(sk.estimate()))], pa.int64()),
+            pa.array(labels[codes[order][starts]], pa.string()),
+            pa.array(w_s[starts], pa.int64()),
+            pa.array(est, pa.int64()),
         ], names=["series_key", "window_start", "n_distinct_approx"])
 
-    return partials.groupby(["series_key", "window_start"]).map_groups(
+    return _with_scan_bucket(partials).groupby("_scan_bucket").map_groups(
         merge, batch_format="pyarrow")
 
 
@@ -457,24 +549,26 @@ def delta_frame(core_ds):
     window).  Output: (series_key, window_start, last_value, delta)."""
 
     def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
         g = g.combine_chunks()
-        w = g["window_start"].to_numpy()
-        order = np.argsort(w, kind="stable")
-        w = w[order]
-        last = g["last"].to_numpy(zero_copy_only=False)[order]
-        last6 = _round6(last)
+        w = g["window_start"].to_numpy()[order]
+        last6 = _round6(g["last"].to_numpy(zero_copy_only=False)[order])
+        # fully vectorized across the bucket: shifted difference, then
+        # NaN at every segment start (no per-series loop at all)
         delta = np.empty_like(last6)
-        delta[0] = np.nan
-        delta[1:] = _round6(last6[1:] - last6[:-1])
-        n = w.size
+        if last6.size:
+            delta[1:] = _round6(last6[1:] - last6[:-1])
+        delta[starts] = np.nan
+        series = np.repeat(labels["series_key"], np.diff(bounds))
         return pa.Table.from_arrays([
-            pa.array([g["series_key"][0].as_py()] * n, pa.string()),
+            pa.array(series, pa.string()),
             pa.array(w, pa.int64()),
             pa.array(last6, pa.float64()),
             pa.array(delta, pa.float64()),
         ], names=["series_key", "window_start", "last_value", "delta"])
 
-    return core_ds.groupby(["series_key", "metric_type"]).map_groups(
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
         scan, batch_format="pyarrow")
 
 
@@ -501,29 +595,33 @@ def session_frame(ds, ts_col: str, key_col: str, id_col: str,
             names=["series_key", "ts_ms", "row_id"])
 
     def sessions(g: pa.Table) -> pa.Table:
+        # bucket-major and loop-free: session breaks = inactivity gap OR
+        # key change; per-session stats via segment bounds; each session's
+        # key label looked up with one searchsorted against the key
+        # segment starts.
+        order, kstarts, _, labels = _segments(g, ["ts_ms", "row_id"])
         g = g.combine_chunks()
-        ts = g["ts_ms"].to_numpy()
-        rid = g["row_id"].to_numpy()
-        order = np.lexsort((rid, ts))
-        ts = ts[order]
-        new_session = np.concatenate([[True], np.diff(ts) > gap_ms])
+        ts = g["ts_ms"].to_numpy()[order]
+        new_session = np.empty(ts.size, dtype=bool)
+        if ts.size:
+            new_session[1:] = np.diff(ts) > gap_ms
+        new_session[kstarts] = True
         starts = np.flatnonzero(new_session)
         bounds = np.append(starts, ts.size)
         s_start = ts[starts]
         s_end = ts[bounds[1:] - 1]
-        n = np.diff(bounds).astype(np.int64)
-        m = starts.size
+        seg_of = np.searchsorted(kstarts, starts, side="right") - 1
         return pa.Table.from_arrays([
-            pa.array([g["series_key"][0].as_py()] * m, pa.string()),
+            pa.array(labels["series_key"][seg_of], pa.string()),
             pa.array(s_start, pa.int64()),
             pa.array(s_end, pa.int64()),
-            pa.array(n, pa.int64()),
+            pa.array(np.diff(bounds).astype(np.int64), pa.int64()),
             pa.array(s_end - s_start, pa.int64()),
         ], names=["series_key", "session_start", "session_end", "n_events",
                   "duration_ms"])
 
-    return (ds.map_batches(prep, batch_format="pyarrow")
-            .groupby("series_key").map_groups(sessions, batch_format="pyarrow"))
+    return (_with_scan_bucket(ds.map_batches(prep, batch_format="pyarrow"))
+            .groupby("_scan_bucket").map_groups(sessions, batch_format="pyarrow"))
 
 
 def window_topk_members_frame(ds, ts_col: str, key_col: str, member_col: str,
@@ -537,13 +635,9 @@ def window_topk_members_frame(ds, ts_col: str, key_col: str, member_col: str,
     member, n_events)."""
 
     def prep(t: pa.Table) -> pa.Table:
-        ts = t[ts_col]
-        ts_ms = (pc.cast(pc.divide(pc.cast(ts, pa.int64()), 1000), pa.int64())
-                 if pa.types.is_timestamp(ts.type) and ts.type.unit == "us"
-                 else pc.cast(ts, pa.int64()))
-        w = pc.multiply(pc.divide(ts_ms, width_ms), width_ms)
+        w = window_floor(_ts_ms_numpy(t[ts_col]), width_ms)
         return pa.Table.from_arrays([
-            pc.cast(t[key_col], pa.string()), pc.cast(w, pa.int64()),
+            pc.cast(t[key_col], pa.string()), pa.array(w, pa.int64()),
             pc.cast(t[member_col], pa.int64())],
             names=["series_key", "window_start", "member"])
 
@@ -551,20 +645,31 @@ def window_topk_members_frame(ds, ts_col: str, key_col: str, member_col: str,
               .groupby(["series_key", "window_start", "member"]).count())
 
     def topk(g: pa.Table) -> pa.Table:
+        # bucket-major and loop-free: one lexsort orders every
+        # (series, window) cell by (-count, member); rank-within-cell is
+        # position minus the cell's start; keep rank <= k.
+        from logtrics_ray.stages.seriesscan import _label_ranks, dict_codes
         g = g.combine_chunks()
+        codes, labels = dict_codes(g["series_key"])
+        key = _label_ranks(labels)[codes]
+        w = g["window_start"].to_numpy()
         c = g["count()"].to_numpy(zero_copy_only=False)
         m = g["member"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((m, -c))[:k]
-        n = order.size
+        order = np.lexsort((m, -c, w, key))
+        key_s, w_s = key[order], w[order]
+        starts = _seg_change(key_s, w_s)
+        rank = np.arange(key_s.size) - np.repeat(starts, np.diff(
+            np.append(starts, key_s.size))) + 1
+        keep = rank <= k
         return pa.Table.from_arrays([
-            pa.array([g["series_key"][0].as_py()] * n, pa.string()),
-            pa.array([int(g["window_start"][0].as_py())] * n, pa.int64()),
-            pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
-            pa.array(m[order], pa.int64()),
-            pa.array(c[order], pa.int64()),
+            pa.array(labels[codes[order][keep]], pa.string()),
+            pa.array(w_s[keep], pa.int64()),
+            pa.array(rank[keep], pa.int64()),
+            pa.array(m[order][keep], pa.int64()),
+            pa.array(c[order][keep], pa.int64()),
         ], names=["series_key", "window_start", "rank", "member", "n_events"])
 
-    return counts.groupby(["series_key", "window_start"]).map_groups(
+    return _with_scan_bucket(counts).groupby("_scan_bucket").map_groups(
         topk, batch_format="pyarrow")
 
 

@@ -83,3 +83,36 @@ class HLL:
     def from_bytes(cls, b: bytes) -> "HLL":
         p = b[0]
         return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+    @staticmethod
+    def estimate_rows(regs: np.ndarray, p: int) -> np.ndarray:
+        """Vectorized ``estimate()`` over a (ncells, m) register matrix —
+        identical formula and branch structure to the scalar path (the
+        per-row axis-1 sum uses numpy's same pairwise reduction, so the
+        raw estimates are bit-equal; asserted in tests)."""
+        m = 1 << p
+        r = regs.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            raw = _alpha(m) * m * m / np.sum(np.exp2(-r), axis=1)
+            zeros = np.count_nonzero(regs == 0, axis=1)
+            lin = m * np.log(m / np.maximum(zeros, 1))
+        out = np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
+        big = raw > (1 << 32) / 30.0
+        if big.any():
+            out = np.where(big, -(2.0**32) * np.log1p(-raw / 2.0**32), out)
+        return out
+
+    @staticmethod
+    def registers_matrix(sketch_col) -> tuple[np.ndarray, int]:
+        """Binary sketch column (to_bytes layout) -> (n, m) uint8 register
+        matrix + p, via one flat buffer view (no per-row from_bytes)."""
+        import pyarrow as pa
+        arr = sketch_col.combine_chunks() if isinstance(sketch_col, pa.ChunkedArray) \
+            else sketch_col
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        row_len = int(off[1] - off[0]) if len(arr) else 1
+        mat = data[off[0]:off[-1]].reshape(len(arr), row_len)
+        p = int(mat[0, 0]) if len(arr) else 12
+        return mat[:, 1:], p

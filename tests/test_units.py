@@ -226,6 +226,24 @@ def test_hll_sketch_accuracy_and_merge():
     assert (dup.registers == whole.registers).all()
 
 
+def test_hll_estimate_rows_bit_equal_and_matrix_parse():
+    """The vectorized bucket-major merge path (registers_matrix +
+    estimate_rows) is bit-equal to the scalar estimate across the
+    linear-counting / raw branches, including an empty sketch."""
+    import numpy as np
+    import pyarrow as pa
+    from logtrics_ray.state.hll import HLL
+    rng = np.random.default_rng(5)
+    sks = [HLL.from_hashes(rng.integers(0, 2**64, size=n, dtype=np.uint64))
+           for n in (0, 3, 500, 40_000)]
+    regs = np.stack([s.registers for s in sks])
+    est = HLL.estimate_rows(regs, 12)
+    assert (est == np.array([s.estimate() for s in sks])).all()
+    col = pa.chunked_array([pa.array([s.to_bytes() for s in sks], pa.binary())])
+    mat, p = HLL.registers_matrix(col)
+    assert p == 12 and (mat == regs).all()
+
+
 def test_hll_distinct_frame_matches_exact(t1_dir):
     """Windowed HLL distinct counts within the sketch tolerance of the
     exact two-stage distinct count on the events-like shape."""
