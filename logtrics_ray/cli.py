@@ -61,16 +61,36 @@ def _load_rules(path: str | None):
     return load_rules(path)  # TOML [[rule]] array
 
 
-def cmd_run(args) -> int:
+def _cfg_from_args(args):
     from logtrics_ray.config import EngineConfig
+    return EngineConfig(gap_fill=args.gap_fill,
+                        salt_buckets=args.salt_buckets,
+                        series_buckets=args.series_buckets,
+                        rollup_buckets=args.rollup_buckets,
+                        exchange=args.exchange,
+                        tiers=tuple(args.tiers.split(",")))
+
+
+def _warn_cfg_mismatch(out_dir: str, cfg, rules) -> None:
+    """append/watch must use the SAME engine config the tiers were built
+    with, or every poll silently recomputes under a new lineage instead of
+    appending.  Compare against the stored manifests' cfg_hash and warn."""
+    from logtrics_ray.state import manifest as M
+    stored = {m.get("cfg_hash") for t in cfg.tiers
+              for m in M.load_manifests(out_dir, t)}
+    stored.discard(None)
+    if stored and M.config_hash(cfg, rules) not in stored:
+        print(f"WARNING: engine config hash {M.config_hash(cfg, rules)} does "
+              f"not match the stored tiers' lineage ({sorted(stored)}); "
+              "incremental append will fall back to a full recompute. "
+              "Pass the same --salt-buckets/--series-buckets/--exchange/... "
+              "flags the tiers were built with.", file=sys.stderr)
+
+
+def cmd_run(args) -> int:
     from logtrics_ray.pipelines.rollup_pipeline import run
     _ensure_ray(args.num_cpus)
-    cfg = EngineConfig(gap_fill=args.gap_fill,
-                       salt_buckets=args.salt_buckets,
-                       series_buckets=args.series_buckets,
-                       rollup_buckets=args.rollup_buckets,
-                       exchange=args.exchange,
-                       tiers=tuple(args.tiers.split(",")))
+    cfg = _cfg_from_args(args)
     t0 = time.time()
     results = run(args.input, args.out, cfg=cfg, rules=_load_rules(args.rules),
                   resume=not args.no_resume)
@@ -89,13 +109,12 @@ def cmd_run(args) -> int:
 
 def cmd_append(args) -> int:
     """Incremental append: merge shards not yet in the tier lineage."""
-    from logtrics_ray.config import EngineConfig
     from logtrics_ray.pipelines.rollup_pipeline import run_incremental
     _ensure_ray(args.num_cpus)
+    cfg, rules = _cfg_from_args(args), _load_rules(args.rules)
+    _warn_cfg_mismatch(args.out, cfg, rules)
     t0 = time.time()
-    results = run_incremental(args.input, args.out,
-                              cfg=EngineConfig(tiers=tuple(args.tiers.split(","))),
-                              rules=_load_rules(args.rules))
+    results = run_incremental(args.input, args.out, cfg=cfg, rules=rules)
     print(json.dumps({
         "wall_s": round(time.time() - t0, 3),
         "tiers": {t: {"buckets": len(ms), "rows": int(sum(m["rows"] for m in ms))}
@@ -112,11 +131,10 @@ def cmd_watch(args) -> int:
     manifests instead of ephemeral sockets.  Stops after --max-iter polls
     (0 = forever) or when a file named STOP appears in the input dir."""
     import os
-    from logtrics_ray.config import EngineConfig
     from logtrics_ray.pipelines.rollup_pipeline import run_incremental
     _ensure_ray(args.num_cpus)
-    cfg = EngineConfig(tiers=tuple(args.tiers.split(",")))
-    rules = _load_rules(args.rules)
+    cfg, rules = _cfg_from_args(args), _load_rules(args.rules)
+    _warn_cfg_mismatch(args.out, cfg, rules)
     it = 0
     while True:
         it += 1
@@ -188,41 +206,42 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="logtrics_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def engine_flags(sp):
+        # run/append/watch share the full engine-config surface: an append
+        # or watch with different bucket/exchange settings than the stored
+        # tiers would hash to a new lineage and full-recompute every poll.
+        sp.add_argument("--input", required=True, help="token-table parquet dir")
+        sp.add_argument("--out", required=True, help="tier output root")
+        sp.add_argument("--rules", default=None,
+                        help="rule spec: TOML/JSON file OR a directory of "
+                             "*.toml files")
+        sp.add_argument("--tiers", default="1m,1h,1d")
+        sp.add_argument("--gap-fill", default="locf",
+                        choices=["null", "locf", "linear"])
+        sp.add_argument("--salt-buckets", type=int, default=8)
+        sp.add_argument("--series-buckets", type=int, default=64)
+        sp.add_argument("--rollup-buckets", type=int, default=64)
+        sp.add_argument("--exchange", default="salted",
+                        choices=["direct", "salted"],
+                        help="fused exchange shape: salted two-phase "
+                             "(skew-safe, default) or direct single all-to-all")
+        sp.add_argument("--num-cpus", type=int, default=None)
+
     r = sub.add_parser("run", help="extract -> rollup -> tiers -> write")
-    r.add_argument("--input", required=True, help="token-table parquet dir")
-    r.add_argument("--out", required=True, help="tier output root")
-    r.add_argument("--rules", default=None,
-                   help="rule spec: TOML/JSON file OR a directory of *.toml files")
-    r.add_argument("--tiers", default="1m,1h,1d")
-    r.add_argument("--gap-fill", default="locf", choices=["null", "locf", "linear"])
-    r.add_argument("--salt-buckets", type=int, default=8)
-    r.add_argument("--series-buckets", type=int, default=64)
-    r.add_argument("--rollup-buckets", type=int, default=64)
-    r.add_argument("--exchange", default="salted", choices=["direct", "salted"],
-                   help="fused exchange shape: salted two-phase (skew-safe, "
-                        "default) or direct single all-to-all")
+    engine_flags(r)
     r.add_argument("--no-resume", action="store_true")
-    r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
 
     a = sub.add_parser("append", help="incremental append of new input shards")
-    a.add_argument("--input", required=True)
-    a.add_argument("--out", required=True)
-    a.add_argument("--rules", default=None)
-    a.add_argument("--tiers", default="1m,1h,1d")
-    a.add_argument("--num-cpus", type=int, default=None)
+    engine_flags(a)
     a.set_defaults(fn=cmd_append)
 
     w = sub.add_parser("watch", help="poll for new shards, append incrementally")
-    w.add_argument("--input", required=True)
-    w.add_argument("--out", required=True)
-    w.add_argument("--rules", default=None)
-    w.add_argument("--tiers", default="1m,1h,1d")
+    engine_flags(w)
     w.add_argument("--interval", type=float, default=10.0,
                    help="seconds between polls")
     w.add_argument("--max-iter", type=int, default=0,
                    help="stop after N polls (0 = run until STOP file)")
-    w.add_argument("--num-cpus", type=int, default=None)
     w.set_defaults(fn=cmd_watch)
 
     v = sub.add_parser("validate", help="audit the input's per-row invariants")

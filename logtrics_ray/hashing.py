@@ -147,6 +147,13 @@ def id_hash64_array(strings) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     if pa.types.is_dictionary(strings.type):
         strings = strings.dictionary_decode()
+    if strings.null_count:
+        # _word_matrix reads raw buffers and would silently hash a null as
+        # the empty string, giving null ids identical ts/bucket/tiebreak
+        # values; fail loudly like the pre-vectorized path did on None.
+        raise ValueError(
+            f"id_hash64_array: {strings.null_count} null value(s) in input; "
+            "ids and series keys must be non-null")
     words, lens = _word_matrix(strings)
     return _mix_words(words, -(-lens // 8), lens)
 
@@ -206,6 +213,10 @@ def series_bucket_array(series_keys, n_buckets: int) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     if not pa.types.is_dictionary(series_keys.type):
         series_keys = series_keys.dictionary_encode()
+    if series_keys.null_count:
+        raise ValueError(
+            f"series_bucket_array: {series_keys.null_count} null series "
+            "key(s); keys must be non-null")
     uniq = (id_hash64_array(series_keys.dictionary)
             % np.uint64(n_buckets)).astype(np.int64)
     return uniq[series_keys.indices.to_numpy(zero_copy_only=False)]

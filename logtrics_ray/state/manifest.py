@@ -89,7 +89,17 @@ def completed_buckets(out_dir: str, tier: str, input_tag: str, cfg_hash: str) ->
         if name.endswith(".old"):
             base = name[:-len(".old")]
             try:
-                recover_partition(out_dir, tier, int(base.split("=")[1]))
+                bucket = int(base.split("=")[1])
+                if not recover_partition(out_dir, tier, bucket):
+                    # No restore needed. If the final sibling is already
+                    # committed (has a manifest), this .old is the stale
+                    # pre-swap copy left by a crash between the manifest
+                    # os.replace and the cleanup rmtree — sweep it, or it
+                    # lingers (a full duplicate of the partition) forever.
+                    final = partition_dir(out_dir, tier, bucket)
+                    if os.path.isfile(os.path.join(final, MANIFEST_NAME)):
+                        shutil.rmtree(os.path.join(tier_dir, name),
+                                      ignore_errors=True)
             except (ValueError, IndexError, OSError):
                 pass
     for name in os.listdir(tier_dir):

@@ -174,3 +174,42 @@ def test_empty_input_pipeline(tmp_path):
     pq.write_table(empty, str(d / "part-0.parquet"))
     res = P.run(str(d), str(tmp_path / "empty_out"), resume=False)
     assert all(all(m["rows"] == 0 for m in ms) for ms in res.values())
+
+
+def test_stale_old_dir_swept_when_final_committed(tmp_path):
+    """A crash AFTER the manifest os.replace but BEFORE the old-copy
+    cleanup leaves '<bucket>.old' beside a fully-committed partition.
+    The lister must sweep it — it is a full stale duplicate of the
+    partition that would otherwise linger forever."""
+    import os
+    out = str(tmp_path / "o")
+
+    def write_v(tmp_dir, v):
+        with open(os.path.join(tmp_dir, "data.txt"), "w") as f:
+            f.write(v)
+
+    M.write_partition(out, "1m", 3, lambda d: write_v(d, "v2"),
+                      meta={"input_tag": "t", "cfg_hash": "h", "rows": 5})
+    final = M.partition_dir(out, "1m", 3)
+    shutil.copytree(final, final + ".old")    # the stale pre-swap copy
+    done = M.completed_buckets(out, "1m", "t", "h")
+    assert done == {3}
+    assert not os.path.exists(final + ".old")           # swept
+    assert open(os.path.join(final, "data.txt")).read() == "v2"
+
+
+def test_append_watch_cfg_mismatch_warns(tmp_path, capsys):
+    """append/watch built with different engine flags than the stored
+    tiers hash to a new lineage and silently full-recompute every poll;
+    the CLI must warn on the mismatch (and stay silent on a match)."""
+    from logtrics_ray import cli
+    out = str(tmp_path / "o")
+    rules = default_rules()
+    cfg_built = EngineConfig(salt_buckets=4)
+    M.write_partition(out, "1m", 0, lambda d: None, meta={
+        "input_tag": "t", "rows": 0,
+        "cfg_hash": M.config_hash(cfg_built, rules)})
+    cli._warn_cfg_mismatch(out, cfg_built, rules)
+    assert "WARNING" not in capsys.readouterr().err     # match -> silent
+    cli._warn_cfg_mismatch(out, EngineConfig(salt_buckets=16), rules)
+    assert "does not match" in capsys.readouterr().err  # mismatch -> warn

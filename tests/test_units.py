@@ -531,3 +531,17 @@ def test_malformed_token_ids_dropped_and_counted():
     out_good = ex(good)
     assert errs == 1                      # the malformed row was counted
     assert out_both.equals(out_good)      # ...and contributed nothing
+
+
+def test_hashing_rejects_nulls():
+    """id_hash64_array reads raw Arrow buffers, so a null would silently
+    hash as the empty string — every null id/series key would then share
+    identical ts/bucket/tiebreak values. It must fail loudly instead,
+    like the pre-vectorized blake2b path did on None."""
+    from logtrics_ray.hashing import id_hash64_array, series_bucket_array
+    with pytest.raises(ValueError, match="null"):
+        id_hash64_array(pa.array(["a", None, "b"]))
+    with pytest.raises(ValueError, match="null"):
+        series_bucket_array(pa.array(["x", None]), 8)
+    # non-null (including a REAL empty string) still hashes fine
+    assert id_hash64_array(pa.array(["a", "", "b"])).shape == (3,)
