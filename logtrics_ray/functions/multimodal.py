@@ -1,17 +1,20 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with
-REAL dependency-free codecs for two formats and declared stubs beyond.
+REAL dependency-free codecs for three formats and declared stubs beyond.
 
 Image/audio/video payloads are treated as opaque ``binary`` columns with
-typed metadata columns alongside (media_type, width/height).  Two codec
+typed metadata columns alongside (media_type, width/height).  Three codec
 paths are fully real (stdlib/numpy only, no external image/audio libs):
 
   * ``image/x-portable-pixmap`` (PPM P6): header parse + zero-copy
     ``np.frombuffer`` decode, nearest-neighbor resize, channel-stat
     features — a genuine decode->transform->featurize pipeline.
+  * ``image/png`` (non-interlaced 8-bit RGB): stdlib ``zlib``
+    inflate/deflate + numpy scanline (un)filtering, all five PNG filters,
+    CRC-verified chunks.
   * ``audio/wav`` (PCM16): stdlib ``wave`` decode, duration/RMS/
     zero-crossing features.
 
-Formats that need external libraries (JPEG/PNG/...) remain clearly
+Formats that need external libraries (JPEG/...) remain clearly
 marked stubs: NotImplementedError unless ``fake=True`` selects the
 deterministic fake used by plumbing tests.  The Ray-side shape is the
 same either way and is what matters at 100 TB:
@@ -124,11 +127,139 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
 
 PPM_TYPE = "image/x-portable-pixmap"
 WAV_TYPE = "audio/wav"
+PNG_TYPE = "image/png"
+
+# ------------------------------------------ real PNG codec (stdlib zlib) --
+# Non-interlaced 8-bit RGB (color type 2) only — the common training-data
+# shape.  Pure stdlib: zlib inflate/deflate + numpy (un)filtering; no image
+# library.  All five scanline filters (None/Sub/Up/Average/Paeth) are
+# implemented on both sides so foreign encoders' output decodes too.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (int16 inputs, uint8-range values)."""
+    p = a.astype(np.int16) + b - c
+    pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a,
+                    np.where(pb <= pc_, b, c)).astype(np.uint8)
+
+
+def encode_png(rgb: np.ndarray, filter_type: int = 4) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (color type 2, bit depth 8,
+    non-interlaced).  ``filter_type`` 0-4 is applied to every scanline
+    (filtering references ORIGINAL bytes, so it vectorizes row-wise)."""
+    import struct
+    import zlib
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8 and 0 <= filter_type <= 4
+    rows = np.ascontiguousarray(rgb).reshape(h, w * 3)
+    prior = np.vstack([np.zeros((1, w * 3), np.uint8), rows[:-1]])
+    left = np.zeros_like(rows)
+    left[:, 3:] = rows[:, :-3]
+    ul = np.zeros_like(rows)
+    ul[1:, 3:] = rows[:-1, :-3]
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - prior
+    elif filter_type == 3:
+        filt = rows - ((left.astype(np.uint16) + prior) >> 1).astype(np.uint8)
+    else:
+        filt = rows - _paeth_vec(left, prior, ul)
+    raw = np.empty((h, w * 3 + 1), np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = filt
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8.  Supports non-interlaced 8-bit RGB
+    (color type 2) with any per-scanline filter; CRCs are verified.
+
+    Filters None/Sub/Up vectorize fully (Sub is a per-channel cumsum mod
+    256); Average/Paeth reconstruct left-to-right per pixel — fine for the
+    thumbnail-sized payloads this dependency-free path targets."""
+    import struct
+    import zlib
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = len(_PNG_SIG), [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "only non-interlaced 8-bit RGB PNG supported "
+            f"(depth={depth} color={color} interlace={interlace})")
+    stride = w * 3
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    zero_row = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft, row = int(raw[y, 0]), raw[y, 1:]
+        prior = out[y - 1] if y else zero_row
+        if ft == 0:
+            out[y] = row
+        elif ft == 1:      # Sub: per-channel cumsum mod 256
+            out[y] = np.cumsum(
+                row.reshape(w, 3).astype(np.uint64), axis=0).astype(np.uint8) \
+                .reshape(stride)
+        elif ft == 2:
+            out[y] = row + prior
+        elif ft in (3, 4):  # Average/Paeth need reconstructed left pixel
+            rec = out[y]
+            left = np.zeros(3, np.uint16)
+            pr = prior.reshape(w, 3).astype(np.uint16)
+            rw = row.reshape(w, 3).astype(np.uint16)
+            for x in range(w):
+                if ft == 3:
+                    pred = (left + pr[x]) >> 1
+                else:
+                    pred = _paeth_vec(left.astype(np.int16),
+                                      pr[x].astype(np.int16),
+                                      (pr[x - 1] if x else np.zeros(3)).astype(np.int16))
+                left = (rw[x] + pred) & 0xFF
+                rec[x * 3:(x + 1) * 3] = left.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+    return out.reshape(h, w, 3)
 
 
 def synth_real_media_table(n: int, seed: int = 9) -> pa.Table:
-    """Deterministic corpus of REAL decodable payloads: alternating PPM
-    images (gradient + seeded noise) and WAV clips (two-tone + noise)."""
+    """Deterministic corpus of REAL decodable payloads: PPM images
+    (gradient + seeded noise), WAV clips (tone + noise), and PNG images
+    (every 4th row; Paeth-filtered, stdlib zlib) — three real codecs."""
     rng = np.random.default_rng(seed)
     ids, types, payloads, ws, hs = [], [], [], [], []
     for i in range(n):
@@ -136,8 +267,12 @@ def synth_real_media_table(n: int, seed: int = 9) -> pa.Table:
             w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
             grad = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
             img = (grad + rng.integers(0, 64, size=(h, w, 3))).clip(0, 255)
-            payloads.append(encode_ppm(img.astype(np.uint8)))
-            types.append(PPM_TYPE)
+            if i % 4 == 0:
+                payloads.append(encode_png(img.astype(np.uint8)))
+                types.append(PNG_TYPE)
+            else:
+                payloads.append(encode_ppm(img.astype(np.uint8)))
+                types.append(PPM_TYPE)
             ws.append(w); hs.append(h)
         else:
             rate = 8000
@@ -174,8 +309,9 @@ class MediaDecoder:
 
     def _features(self, media_type: str, payload: bytes) -> np.ndarray:
         f = np.zeros(self.FEATURE_DIM, dtype=np.float64)
-        if media_type == PPM_TYPE:
-            img = decode_ppm(payload).astype(np.float64)
+        if media_type in (PPM_TYPE, PNG_TYPE):
+            decode = decode_ppm if media_type == PPM_TYPE else decode_png
+            img = decode(payload).astype(np.float64)
             luma = img @ np.array([0.2126, 0.7152, 0.0722])
             f[:6] = [img.shape[1], img.shape[0],
                      img[..., 0].mean(), img[..., 1].mean(),
@@ -188,8 +324,8 @@ class MediaDecoder:
                      zc, float(x.mean()), float(x.std())]
         else:
             raise NotImplementedError(
-                f"no dependency-free decoder for {media_type!r}; JPEG/PNG "
-                "etc. need an image library absent from this environment")
+                f"no dependency-free decoder for {media_type!r}; JPEG etc. "
+                "need an image library absent from this environment")
         return f
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -217,9 +353,10 @@ class MediaDecoder:
 
 
 class PpmResize:
-    """Real resize stage for PPM payloads: decode -> nearest-neighbor ->
-    re-encode.  Non-PPM rows pass through unchanged (resize is a no-op
-    for them; a JPEG resize would need an external library)."""
+    """Real resize stage for PPM and PNG payloads: decode ->
+    nearest-neighbor -> re-encode (same container the row arrived in).
+    Other rows pass through unchanged (resize is a no-op for them; a
+    JPEG resize would need an external library)."""
 
     def __init__(self, target_w: int = 32, target_h: int = 32):
         self.tw, self.th = target_w, target_h
@@ -231,9 +368,10 @@ class PpmResize:
         ws = t["meta_width"].to_pylist()
         hs = t["meta_height"].to_pylist()
         for mt, p, w, h in zip(types, payloads, ws, hs):
-            if mt == PPM_TYPE:
-                out_p.append(encode_ppm(resize_nearest(decode_ppm(p),
-                                                       self.tw, self.th)))
+            if mt in (PPM_TYPE, PNG_TYPE):
+                dec, enc = ((decode_ppm, encode_ppm) if mt == PPM_TYPE
+                            else (decode_png, encode_png))
+                out_p.append(enc(resize_nearest(dec(p), self.tw, self.th)))
                 out_w.append(self.tw); out_h.append(self.th)
             else:
                 out_p.append(p); out_w.append(w); out_h.append(h)

@@ -246,26 +246,55 @@ def test_multimodal_real_codecs_roundtrip_and_features():
     assert feats["decoded"].all()
     # independent recomputation for one image and one audio row
     dec = MediaDecoder()
-    for i in (0, 1):
+    for i in (0, 1, 2):    # PNG, WAV, PPM rows
         row = t.slice(i, 1)
         exp = dec._features(row["media_type"][0].as_py(),
                             row["payload"][0].as_py())
         got = np.asarray(feats.loc[f"med-{i:08d}", "feature"], dtype=np.float64)
         assert np.allclose(got, exp.astype(np.float32))
-    img0 = decode_ppm(t["payload"][0].as_py())
-    f0 = np.asarray(feats.loc["med-00000000", "feature"], dtype=np.float64)
-    assert f0[0] == img0.shape[1] and f0[1] == img0.shape[0]
-    assert abs(f0[2] - img0[..., 0].mean()) < 1e-3
+    img2 = decode_ppm(t["payload"][2].as_py())
+    f2 = np.asarray(feats.loc["med-00000002", "feature"], dtype=np.float64)
+    assert f2[0] == img2.shape[1] and f2[1] == img2.shape[0]
+    assert abs(f2[2] - img2[..., 0].mean()) < 1e-3
 
-    # real resize -> re-decode: every image now 24x24, audio untouched
+    # real resize -> re-decode: every image (PPM and PNG) now 24x24,
+    # audio untouched
     resized = decode_media_features(
         resize_media(rd.from_arrow(t), 24, 24)).to_pandas().set_index("media_id")
-    w = np.stack(resized.loc[resized["media_type"].eq(
-        "image/x-portable-pixmap"), "feature"])[:, :2]
+    img_rows = resized["media_type"].isin(
+        ["image/x-portable-pixmap", "image/png"])
+    assert img_rows.sum() == 20
+    w = np.stack(resized.loc[img_rows, "feature"])[:, :2]
     assert (w == 24).all()
     # unknown media type raises loudly in strict mode
     with pytest.raises(NotImplementedError):
-        dec._features("image/png", b"\x89PNG")
+        dec._features("image/jpeg", b"\xff\xd8\xff")
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The stdlib PNG codec is REAL: byte-exact round-trip under every
+    scanline filter, CRC verification, and interop of the filter paths
+    (an image encoded with Paeth decodes identically to one encoded with
+    None)."""
+    from logtrics_ray.functions.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1, 3), (7, 5, 3), (33, 48, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            assert (decode_png(encode_png(img, filter_type=ft)) == img).all(), \
+                (shape, ft)
+    # gradient image (the synth corpus shape) survives too
+    grad = np.linspace(0, 255, 40, dtype=np.float64)[None, :, None]
+    img = (grad + rng.integers(0, 64, size=(24, 40, 3))).clip(0, 255) \
+        .astype(np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+    # corrupting a payload byte breaks the CRC loudly
+    p = bytearray(encode_png(img))
+    p[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|IDAT|IHDR"):
+        decode_png(bytes(p))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6\n1 1\n255\nxxx")
 
 
 def test_multimodal_stub_contracts():
