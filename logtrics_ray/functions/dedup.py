@@ -235,12 +235,33 @@ def lsh_exploded(ds, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
         explode, batch_format="pyarrow")
 
 
+def _schema_stable(ds, num_partitions: int):
+    """Join-input hardening for Ray 2.49's hash-join schema-broadcast
+    race: key-column schemas ride ONLY on the first scheduled shuffle
+    task's (empty) shards, and fully-empty input blocks are
+    short-circuited before that send — so an aggregated/joined dataset
+    whose first-scheduled block happens to be empty leaves some join
+    partitions schema-less and ``finalize`` fails with a flaky
+    ``ArrowInvalid: No match ... for key field reference``.  Compacting
+    to ``min(num_partitions, rows)`` uniformly non-empty blocks makes
+    the schema broadcast deterministic.  Returns (dataset, row_count);
+    count() is metadata-cheap on the materialized set, and every input
+    this is applied to is aggregation- or candidate-bounded (never the
+    raw corpus)."""
+    mat = ds.materialize()
+    n = mat.count()
+    return (mat.repartition(max(1, min(num_partitions, n))) if n else mat), n
+
+
 def _bucket_minima_join(exploded, num_partitions: int):
     """(band_id, band_hash, doc_id) rows -> same rows + ``bucket_min``
     column, via built-in groupby.min + one distributed hash join (the
     vectorized replacement for a per-bucket Python call: bucket count
     grows with docs x bands at scale)."""
-    minima = exploded.groupby(["band_id", "band_hash"]).min("doc_id")
+    minima, _ = _schema_stable(
+        exploded.groupby(["band_id", "band_hash"],
+                         num_partitions=num_partitions).min("doc_id"),
+        num_partitions)
     joined = exploded.join(minima, join_type="inner",
                            num_partitions=num_partitions,
                            on=("band_id", "band_hash"))
@@ -288,9 +309,9 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
     LSH: every bucket member pairs with its bucket minimum (linear in
     bucket size — sufficient for the keep-earliest rule).  Returns a
     Dataset of (a, b); stays distributed end to end."""
+    num_partitions = num_partitions or _default_join_partitions()
     joined = _bucket_minima_join(
-        lsh_exploded(ds, num_perm, bands, shingle_n),
-        num_partitions or _default_join_partitions())
+        lsh_exploded(ds, num_perm, bands, shingle_n), num_partitions)
 
     def pairs(t: pa.Table) -> pa.Table:
         mask = pc.not_equal(t["doc_id"], t["bucket_min"])
@@ -304,7 +325,7 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
 
     cand = joined.map_batches(pairs, batch_format="pyarrow")
     # distinct (a, b): built-in vectorized count aggregation as the dedupe
-    distinct = cand.groupby(["a", "b"]).count()
+    distinct = cand.groupby(["a", "b"], num_partitions=num_partitions).count()
     return distinct.map_batches(lambda t: t.select(["a", "b"]),
                                 batch_format="pyarrow")
 
@@ -448,16 +469,21 @@ def _jaccard_batch(t: pa.Table) -> pa.Table:
 
 
 def _pairs_with_grams(pairs_ds, grams_ds, id_col: str, num_partitions: int):
-    """Attach each pair's gram lists via two distributed hash joins."""
+    """Attach each pair's gram lists via two distributed hash joins.
+    Every join input is compacted (_schema_stable): grams come from a
+    join output and pairs from an aggregation, both of which can carry
+    empty blocks that break Ray's join-schema broadcast."""
     def ren(name):
         def fn(t: pa.Table) -> pa.Table:
             return t.rename_columns([name, f"grams_{name}"])
         return fn
 
+    grams_ds, _ = _schema_stable(grams_ds, num_partitions)
     ga = grams_ds.map_batches(ren("a"), batch_format="pyarrow")
     gb = grams_ds.map_batches(ren("b"), batch_format="pyarrow")
     j = pairs_ds.join(ga, join_type="inner", num_partitions=num_partitions,
                       on=("a",))
+    j, _ = _schema_stable(j, num_partitions)
     return j.join(gb, join_type="inner", num_partitions=num_partitions,
                   on=("b",))
 
@@ -499,10 +525,13 @@ def ngram_jaccard_dedup_survivors(ds, threshold: float = 0.8, n: int = 3,
     by its partition, not by the global near-dup count."""
     np_part = num_partitions or _default_join_partitions()
     # materialize (OBJECT STORE, not driver): three consumers below —
-    # without it the whole signature+LSH chain re-executes per consumer
-    pairs_ds = minhash_lsh_candidates(ds, shingle_n=n,
-                                      num_partitions=np_part,
-                                      **lsh_kw).materialize()
+    # without it the whole signature+LSH chain re-executes per consumer;
+    # _schema_stable doubles as that materialization.
+    pairs_ds, n_pairs = _schema_stable(
+        minhash_lsh_candidates(ds, shingle_n=n, num_partitions=np_part,
+                               **lsh_kw), np_part)
+    if n_pairs == 0:        # no candidates anywhere: every doc survives
+        return ds.select_columns([id_col])
 
     # candidate ids (distinct) as a 1-column Dataset for the semi-join
     def a_side(t: pa.Table) -> pa.Table:
@@ -515,22 +544,27 @@ def ngram_jaccard_dedup_survivors(ds, threshold: float = 0.8, n: int = 3,
                                      if isinstance(t["b"], pa.ChunkedArray)
                                      else t["b"]], names=[id_col])
 
-    cand_ids = (pairs_ds.map_batches(a_side, batch_format="pyarrow")
-                .union(pairs_ds.map_batches(b_side, batch_format="pyarrow"))
-                .groupby(id_col).count()
-                .map_batches(lambda t: t.select([id_col]),
-                             batch_format="pyarrow"))
+    cand_ids, _ = _schema_stable(
+        pairs_ds.map_batches(a_side, batch_format="pyarrow")
+        .union(pairs_ds.map_batches(b_side, batch_format="pyarrow"))
+        .groupby(id_col, num_partitions=np_part).count()
+        .map_batches(lambda t: t.select([id_col]), batch_format="pyarrow"),
+        np_part)
     cand_docs = ds.select_columns([id_col, text_col]).join(
         cand_ids, join_type="left_semi", num_partitions=np_part, on=(id_col,))
     grams = gram_hash_lists(cand_docs, n, text_col, id_col)
 
     verified = _pairs_with_grams(pairs_ds, grams, id_col, np_part) \
         .map_batches(_jaccard_batch, batch_format="pyarrow")
-    dropped = verified.map_batches(
-        lambda t: pa.Table.from_arrays(
-            [t.filter(pc.greater_equal(t["jaccard"], threshold))["b"]
-             .combine_chunks()], names=[id_col]),
-        batch_format="pyarrow")
+    dropped, n_dropped = _schema_stable(
+        verified.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.filter(pc.greater_equal(t["jaccard"], threshold))["b"]
+                 .combine_chunks()], names=[id_col]),
+            batch_format="pyarrow"),
+        np_part)
+    if n_dropped == 0:
+        return ds.select_columns([id_col])
     return ds.select_columns([id_col]).join(
         dropped, join_type="left_anti", num_partitions=np_part, on=(id_col,))
 
