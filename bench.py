@@ -136,6 +136,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "scaling": scaling,
     }
     ray.shutdown()
+    # Host-contention probes attached to the HEADLINE too (not only the
+    # scaling JSON): this sandbox's hypervisor delivery swings 2-4x on
+    # minute timescales, so a wall-clock number without the probe context
+    # is uninterpretable.  Measured after ray.shutdown so the probe doesn't
+    # compete with the timed work.
+    result["host_cpu_steal_pct"] = _cpu_steal_pct()
+    result["host_burn_scaling_ceiling"] = _host_scaling_ceiling(
+        max(1, num_cpus // 4), num_cpus, work=800)
     return result
 
 

@@ -90,6 +90,17 @@ class EngineConfig:
     # Gorilla block cap: windows per encoded block.
     block_len: int = 4096
 
+    # Token-domain regex pushdown (stages/tokenplan.py): compile each
+    # rule's regex onto token-id space when provably equivalent, so
+    # matching + capture run on the int32 ``tokens`` column directly and
+    # detokenization happens only for the (rare) rows a plan flags for
+    # text fallback.  All-or-nothing per rule set: if any rule cannot be
+    # compiled soundly (unsupported shape, UDF handler), the whole stage
+    # uses the text path.  Semantics are identical either way (pinned by
+    # tests); this is purely a compute optimization — detokenize+RE2 is
+    # ~80% of flagship extraction CPU.
+    token_plans: bool = True
+
     # Extraction stage sizing.  Concurrency is an autoscaling (min, max)
     # actor-pool range: min=1 guarantees progress even when the pool would
     # otherwise reserve every CPU of a small cluster (a fixed pool equal to

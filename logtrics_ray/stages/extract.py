@@ -185,17 +185,35 @@ class RuleExtractor:
         self.passthrough = tuple(passthrough)
         # Detokenization vocab — built once per actor (not per batch).
         self.anchor_table = None
+        # Token-domain plans (stages/tokenplan.py): when EVERY rule
+        # compiles soundly, matching runs on token ids and detokenize+RE2
+        # is paid only for plan-flagged fallback rows.  All-or-nothing so
+        # the text leg (needed for any uncompiled rule anyway) isn't
+        # duplicated work.
+        self.planset = None
         if text_column:
             self.vocab_pa = None
         else:
             pieces = V.build_vocab()
             self.vocab_pa = V.vocab_as_arrow(pieces)
+            if cfg.token_plans and rules and all(r.handler is None
+                                                for r in rules):
+                from logtrics_ray.stages import tokenplan as TP
+                plans = [TP.compile_rule(r.expression, r.name, pieces)
+                         for r in rules]
+                if all(p is not None for p in plans):
+                    try:
+                        self.planset = TP.PlanSet(plans, self.vocab_pa)
+                    except OverflowError:
+                        self.planset = None  # >64 code bits: text path
             # Literal-factoring prefilter: rows whose pieces can't contain
             # any rule's required char skip detokenize+regex entirely.
-            aid = build_anchor_ids(rules, pieces)
-            if aid is not None:
-                self.anchor_table = np.zeros(len(pieces), dtype=bool)
-                self.anchor_table[aid] = True
+            # (Text-path only — plans subsume it exactly.)
+            if self.planset is None:
+                aid = build_anchor_ids(rules, pieces)
+                if aid is not None:
+                    self.anchor_table = np.zeros(len(pieces), dtype=bool)
+                    self.anchor_table[aid] = True
         # Validate all regexes compile up-front (parser.go:28-31: compile
         # errors are fatal at load, not at match time).
         for r in rules:
@@ -245,17 +263,23 @@ class RuleExtractor:
                 self.row_errors += bad
 
         if self.vocab_pa is not None and "tokens" in batch.column_names:
+            def _geom(t):
+                """(flat ids, 0-based offsets) — zero-copy int32 view,
+                normalized for a possibly-sliced list array."""
+                o = t.offsets.to_numpy().astype(np.int64)
+                return (t.values.to_numpy(zero_copy_only=False)
+                        [o[0]:o[-1]], o - o[0])
             tok = batch["tokens"]
             if isinstance(tok, pa.ChunkedArray):
                 tok = tok.combine_chunks()
-            flat = tok.values.to_numpy(zero_copy_only=False)
-            seg_len = np.diff(tok.offsets.to_numpy())
-            rowid = np.repeat(np.arange(n), seg_len)
-            inb = (flat >= 0) & (flat < len(self.vocab_pa))
-            if not inb.all():
+            flat, offsets = _geom(tok)
+            nv = len(self.vocab_pa)
+            if flat.size and (int(flat.min()) < 0 or int(flat.max()) >= nv):
                 # Malformed rows (ids outside the vocab) would crash the
                 # detokenize take(); drop + count them — log-and-continue
                 # per-row error policy (script.go:58-61).
+                inb = (flat >= 0) & (flat < nv)
+                rowid = np.repeat(np.arange(n), np.diff(offsets))
                 badrow = np.bincount(rowid[~inb], minlength=n) > 0
                 self.row_errors += int(badrow.sum())
                 batch = batch.filter(pa.array(~badrow))
@@ -264,14 +288,13 @@ class RuleExtractor:
                     return self._empty(batch)
                 tok = batch["tokens"].combine_chunks() if isinstance(
                     batch["tokens"], pa.ChunkedArray) else batch["tokens"]
-                flat = tok.values.to_numpy(zero_copy_only=False)
-                seg_len = np.diff(tok.offsets.to_numpy())
-                rowid = np.repeat(np.arange(n), seg_len)
+                flat, offsets = _geom(tok)
+            if self.planset is not None:
+                return self._plan_call(batch, tok, flat, offsets)
             if self.anchor_table is not None:
-                hit = np.zeros(flat.size, dtype=bool)
-                hit[flat < self.anchor_table.size] = \
-                    self.anchor_table[flat[flat < self.anchor_table.size]]
-                keep = np.bincount(rowid[hit], minlength=n) > 0
+                rowid = np.repeat(np.arange(n), np.diff(offsets))
+                keep = np.bincount(rowid[self.anchor_table[flat]],
+                                   minlength=n) > 0
                 if not keep.all():
                     batch = batch.filter(pa.array(keep))
                     n = batch.num_rows
@@ -318,6 +341,85 @@ class RuleExtractor:
                 out.append(t)
             if rule.handler is not None:
                 out.append(self._run_handler(rule, fields, ts, tb, nv, pfiltered))
+
+        self.points_out += sum(t.num_rows for t in out)
+        if not out:
+            return self._empty(batch)
+        return pa.concat_tables(out)
+
+    def _plan_call(self, batch: pa.Table, tok: pa.ListArray,
+                   flat: np.ndarray, offsets: np.ndarray) -> pa.Table:
+        """Token-domain extraction: every rule matches via the fused
+        PlanSet scan; detokenize+RE2 runs ONLY for rows some plan flagged
+        for text fallback.  Output is bit- and order-identical to the
+        text path (per-rule rows in batch order) — asserted by
+        tests/test_tokenplan_wiring.py."""
+        n = batch.num_rows
+        res = self.planset.match(flat, offsets, n)
+        fb_union = np.zeros(n, dtype=bool)
+        for _rows, _caps, fb in res:
+            fb_union |= fb
+        fb_idx = np.flatnonzero(fb_union)
+        text_sub = None
+        if fb_idx.size:
+            text_sub = V.detokenize(
+                tok.take(pa.array(fb_idx, type=pa.int64())), self.vocab_pa)
+
+        doc_ids = batch["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        tiebreak_all = id_hash64_array(doc_ids)
+        ts_all = (np.int64(self.cfg.epoch0_ms)
+                  + (tiebreak_all % np.uint64(self.cfg.horizon_ms)).astype(np.int64))
+        source = batch["source"] if "source" in batch.column_names else None
+        if isinstance(source, pa.ChunkedArray):
+            source = source.combine_chunks()
+        pass_cols = {}
+        for c in self.passthrough:
+            col = batch[c]
+            pass_cols[c] = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+
+        out: list[pa.Table] = []
+        for rule, plan, (plan_rows, plan_caps, fb) in zip(
+                self.rules, self.planset.plans, res):
+            if fb.any():
+                fbj = np.flatnonzero(fb)
+                sel = np.searchsorted(fb_idx, fbj)
+                ext = pc.extract_regex(
+                    text_sub.take(pa.array(sel, type=pa.int64())),
+                    rule.expression)
+                tvalid = ext.is_valid()
+                trows = fbj[tvalid.to_numpy(zero_copy_only=False)]
+                tcaps = ext.filter(tvalid).field(plan.group)
+                rows = np.concatenate([plan_rows, trows])
+                caps_all = pa.concat_arrays(
+                    [plan_caps, tcaps.combine_chunks() if isinstance(
+                        tcaps, pa.ChunkedArray) else tcaps])
+                order = np.argsort(rows, kind="stable")
+                rows = rows[order]
+                caps_all = caps_all.take(pa.array(order, type=pa.int64()))
+            else:
+                rows, caps_all = plan_rows, plan_caps
+            nv = rows.size
+            if nv == 0:
+                continue  # non-match drop path (logtrics.go:184-188)
+            idx_pa = pa.array(rows, type=pa.int64())
+            fields = {plan.group: caps_all}
+            if source is not None:
+                fields["_source"] = source.take(idx_pa)
+            ts = pa.array(ts_all[rows], type=pa.int64())
+            tb = pa.array(tiebreak_all[rows], type=pa.uint64())
+            pfiltered = [(c, col.take(idx_pa)) for c, col in pass_cols.items()]
+            for emit in rule.emits:
+                series = _render_series(emit.series, fields, nv)
+                value = _emit_value(emit, fields, nv)
+                mt = pa.array([emit.metric_type] * nv, type=pa.string())
+                t = pa.Table.from_arrays([series, mt, ts, value, tb],
+                                         schema=POINTS_SCHEMA)
+                for c, col in pfiltered:
+                    t = t.append_column(c, col)
+                out.append(t)
 
         self.points_out += sum(t.num_rows for t in out)
         if not out:

@@ -423,7 +423,9 @@ def test_anchor_prefilter_is_sound_and_identical():
     assert build_anchor_ids(free, V.build_vocab()) is None
 
     batch = synth_shard(0, 1500, seed=42, row_offset=0)
-    ex = RuleExtractor(default_rules(), EngineConfig())
+    # token_plans=False: with plans active the prefilter is skipped
+    # (the plans subsume it exactly); this test pins the TEXT path.
+    ex = RuleExtractor(default_rules(), EngineConfig(token_plans=False))
     assert ex.anchor_table is not None
     with_f = ex(batch)
     ex.anchor_table = None
