@@ -34,6 +34,18 @@ EWMA_TAUS_S: tuple[int, ...] = (60, 300, 900)
 
 GAP_FILL_MODES = ("null", "locf", "linear")
 
+#: Fields of EngineConfig that affect OUTPUT SEMANTICS (bytes on disk /
+#: partition layout).  Everything else is execution strategy proven
+#: bit-identical by tests (exchange shape, shuffle impl, token plans,
+#: batching, concurrency) and is deliberately EXCLUDED from the lineage
+#: config hash — flipping an execution knob must not invalidate stored
+#: tiers or force incremental appends into a full recompute.  When
+#: adding a config field, classify it here consciously.
+SEMANTIC_CONFIG_FIELDS: tuple[str, ...] = (
+    "epoch0_ms", "horizon_ms", "salt_buckets", "gap_fill", "gap_domain",
+    "series_buckets", "block_len", "percentiles", "ewma_taus_s", "tiers",
+)
+
 
 @dataclass(frozen=True)
 class EngineConfig:
@@ -87,6 +99,29 @@ class EngineConfig:
     #     Use "direct" when series cardinality is high and balanced.
     exchange: str = "salted"
 
+    # Exchange implementation for the fused pipeline's all-to-alls:
+    #   "sort" — Ray's sort-based groupby().map_groups.  DEFAULT:
+    #     alternating A/B at sf0.1/32 CPUs measured it consistently
+    #     faster end-to-end (26.7s vs 33.9s best-of-3) — the hash path's
+    #     per-exchange aggregator-actor startup/teardown outweighs the
+    #     sort machinery at single-node scale, and sort has no actor-pool
+    #     CPU-contention failure mode.
+    #   "hash" — hash-partition by the group key (Ray HASH_SHUFFLE keyed
+    #     repartition) into ~cluster-CPU partitions, then split complete
+    #     groups inside each partition block.  No boundary sampling; the
+    #     principled choice when the sort exchange's sampling/merge
+    #     becomes the bottleneck (very large clusters, many partitions).
+    # Output bits are byte-identical either way — partials/merges impose
+    # a total (ts, tiebreak, value) order internally and the persisted
+    # core.parquet is canonically ordered — pinned by
+    # tests/test_storage.py::test_hash_shuffle_impl_equals_sort.
+    shuffle_impl: str = "sort"
+
+    # Partition count for the hash exchanges; None -> the cluster's CPU
+    # count clamped to [8, 512].  At multi-node scale this should be
+    # ~1-2x total cores (each partition is one streaming aggregator).
+    exchange_partitions: int | None = None
+
     # Gorilla block cap: windows per encoded block.
     block_len: int = 4096
 
@@ -124,6 +159,8 @@ class EngineConfig:
             raise ValueError("salt_buckets must be >= 1")
         if self.exchange not in ("direct", "salted"):
             raise ValueError(f"exchange must be 'direct' or 'salted', got {self.exchange!r}")
+        if self.shuffle_impl not in ("hash", "sort"):
+            raise ValueError(f"shuffle_impl must be 'hash' or 'sort', got {self.shuffle_impl!r}")
         for t in self.tiers:
             if t not in TIERS:
                 raise ValueError(f"unknown tier {t!r}; known: {sorted(TIERS)}")

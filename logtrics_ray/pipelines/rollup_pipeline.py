@@ -278,6 +278,88 @@ class _FusedBucketWorker:
         return pa.concat_tables(out) if out else SUMMARY_SCHEMA.empty_table()
 
 
+def _empty_summary() -> pa.Table:
+    from logtrics_ray.stages.storage import SUMMARY_SCHEMA
+    return SUMMARY_SCHEMA.empty_table()
+
+
+def _exchange_partitions(cfg: EngineConfig) -> int:
+    """Hash-exchange partition count: ~1x the cluster's cores (each
+    partition is one streaming aggregator), clamped to [8, 512]."""
+    if cfg.exchange_partitions:
+        return cfg.exchange_partitions
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, min(512, cpus))
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _shuffle_ctx(cfg: EngineConfig):
+    """Scope Ray's shuffle strategy to this pipeline's exchange executions.
+
+    HASH_SHUFFLE streams map-side blocks straight into partition
+    aggregator actors — no boundary sampling and no sort machinery, which
+    at sf0.1 halves the exchange wall vs the sort path.  The strategy is
+    a DataContext global, so it is set only around the fused exchanges
+    and restored after (other operators — ds.sort, dedup joins — keep
+    their own defaults)."""
+    if cfg.shuffle_impl != "hash":
+        yield
+        return
+    from ray.data.context import DataContext, ShuffleStrategy
+    ctx = DataContext.get_current()
+    prev = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators)
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = max(4, _exchange_partitions(cfg) // 2)
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators = prev
+
+
+def _iter_groups(t: pa.Table, col: str):
+    """Yield each complete ``col`` group of one hash partition block
+    (sorted by ``col``; rows within a group keep arrival order — every
+    downstream reduction imposes its own (ts, tiebreak, value) total
+    order, so arrival order never reaches the output bits)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    if t.num_rows == 0:
+        return
+    t = t.combine_chunks()
+    order = pc.sort_indices(t.select([col]), sort_keys=[(col, "ascending")])
+    t = t.take(order).combine_chunks()
+    k = t[col].to_numpy()
+    bounds = np.flatnonzero(np.diff(k, prepend=k[0] - 1, append=k[-1] + 1))
+    for i in range(bounds.size - 1):
+        yield t.slice(bounds[i], bounds[i + 1] - bounds[i])
+
+
+def _grouped_apply(ds, key: str, fn, cfg: EngineConfig, empty_table_fn):
+    """``groupby(key).map_groups(fn)`` under either shuffle_impl.
+
+    "hash": hash-partition by ``key`` into _exchange_partitions blocks
+    (each holds complete groups), then apply ``fn`` per group inside the
+    block.  "sort": Ray's sort-based grouped map.  Both are barriers
+    (all map-side input is consumed before any group output exists) —
+    the incremental path's manifest-read-before-rewrite ordering relies
+    on this."""
+    if cfg.shuffle_impl == "hash":
+        def block_fn(t: pa.Table) -> pa.Table:
+            outs = [fn(g) for g in _iter_groups(t, key)]
+            return pa.concat_tables(outs) if outs else empty_table_fn()
+        return (ds.repartition(_exchange_partitions(cfg), keys=[key])
+                .map_batches(block_fn, batch_format="pyarrow",
+                             batch_size=None))
+    return ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+
+
 def _input_file_names(input_path: str) -> list[str]:
     """Shard basenames of the input — the lineage unit for incremental."""
     if os.path.isdir(input_path):
@@ -325,6 +407,17 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     if done_everywhere >= all_buckets:
         return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
 
+    # The shuffle-strategy scope must cover dataset CREATION, not just
+    # execution: every Dataset snapshots the DataContext when built, and
+    # the planner validates key-based repartition against that snapshot.
+    with _shuffle_ctx(cfg):
+        return _run_fused_body(input_path, out_dir, cfg, rules, input_tag,
+                               cfg_hash, done, done_everywhere)
+
+
+def _run_fused_body(input_path: str, out_dir: str, cfg: EngineConfig, rules,
+                    input_tag: str, cfg_hash: str, done: dict,
+                    done_everywhere: set) -> dict:
     pts = _prep_points(extract_points(read_token_table(input_path), rules, cfg), cfg)
     if done_everywhere:
         skip = pa.array(sorted(done_everywhere), pa.int64())
@@ -367,16 +460,22 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
                                             dtype=np.int64)))
 
         worker.from_partials = True
-        partials = (pts.map_batches(add_xkey, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-                    .groupby("xkey")
-                    .map_groups(stage1, batch_format="pyarrow"))
-        summaries = (partials.groupby("sbucket")
-                     .map_groups(fused_bucket, batch_format="pyarrow")
-                     .materialize())
+
+        def empty_partials_sb() -> pa.Table:
+            from logtrics_ray.stages.rollup import empty_partials_table
+            return empty_partials_table().append_column(
+                "sbucket", pa.array([], pa.int64()))
+
+        partials = _grouped_apply(
+            pts.map_batches(add_xkey, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            "xkey", stage1, cfg, empty_partials_sb)
+        summaries = _grouped_apply(
+            partials, "sbucket", fused_bucket, cfg,
+            _empty_summary).materialize()
     else:
-        summaries = (pts.groupby("sbucket")
-                     .map_groups(fused_bucket, batch_format="pyarrow").materialize())
+        summaries = _grouped_apply(
+            pts, "sbucket", fused_bucket, cfg, _empty_summary).materialize()
     _fill_empty_buckets(summaries, done, out_dir, cfg, input_tag, cfg_hash,
                         input_files=_input_file_names(input_path))
     return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
@@ -433,6 +532,16 @@ def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = No
 
     paths = ([os.path.join(input_path, f) for f in new_files]
              if os.path.isdir(input_path) else [input_path])
+    with _shuffle_ctx(cfg):   # covers dataset creation AND execution
+        return _run_incremental_body(paths, new_files, files, input_path,
+                                     out_dir, cfg, rules, input_tag,
+                                     cfg_hash, per_bucket)
+
+
+def _run_incremental_body(paths, new_files, files, input_path, out_dir,
+                          cfg, rules, input_tag, cfg_hash, per_bucket):
+    import json
+    first = cfg.tiers[0]
     ds = rd.read_parquet(paths, columns=["doc_id", "tokens", "n_tok", "source"],
                          include_paths=True)
     shard_of = {f: i for i, f in enumerate(new_files)}
@@ -467,11 +576,12 @@ def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = No
         # manifest lineage from the shared output store — the same
         # assumption merge_stored already makes), so the hot-series skew
         # defense applies to appends too.
-        # ORDERING SAFETY: stage 2 rewrites those manifests, but Ray's
-        # sort-based groupby is a BARRIER — every stage-1 group task
-        # completes (manifest reads done) before any stage-2 reduce task
-        # starts, so stage 1 can never observe a manifest updated by the
-        # same run.
+        # ORDERING SAFETY: stage 2 rewrites those manifests, but both
+        # exchange implementations are BARRIERS (sort groupby's reduce
+        # and hash repartition's aggregator finalize each consume ALL
+        # map-side input first) — every stage-1 group task completes
+        # (manifest reads done) before any stage-2 task starts, so
+        # stage 1 can never observe a manifest updated by the same run.
         import json as _json
         import numpy as np
         from logtrics_ray.stages.rollup import (bucket_partials_table,
@@ -510,15 +620,20 @@ def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = No
                                             dtype=np.int64)))
 
         worker.from_partials = True
-        partials = (pts.map_batches(add_xkey, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-                    .groupby("xkey")
-                    .map_groups(stage1, batch_format="pyarrow"))
-        partials.groupby("sbucket").map_groups(
-            inc_bucket, batch_format="pyarrow").materialize()
+
+        def empty_partials_sb() -> pa.Table:
+            return empty_partials_table().append_column(
+                "sbucket", pa.array([], pa.int64()))
+
+        partials = _grouped_apply(
+            pts.map_batches(add_xkey, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            "xkey", stage1, cfg, empty_partials_sb)
+        _grouped_apply(partials, "sbucket", inc_bucket, cfg,
+                       _empty_summary).materialize()
     else:
-        pts.groupby("sbucket").map_groups(
-            inc_bucket, batch_format="pyarrow").materialize()
+        _grouped_apply(pts, "sbucket", inc_bucket, cfg,
+                       _empty_summary).materialize()
 
     # Buckets untouched by the new shards: their data is already complete —
     # fast-forward the lineage so the next append sees a consistent set.

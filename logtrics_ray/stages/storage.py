@@ -259,6 +259,29 @@ def write_empty_partition(out_dir: str, tier: str, bucket: int,
                   content_hash=hashlib.blake2b(b"", digest_size=8).hexdigest()))
 
 
+def _canonical_core_order(core: pa.Table) -> pa.Table:
+    """Persisted ``core.parquet`` rows in canonical (series_key,
+    metric_type, window_start) order.
+
+    The rollup/merge kernels emit rows in series FIRST-APPEARANCE order
+    (dictionary-encode codes) — under the hash exchange that order
+    follows task completion, so without this sort the persisted merge
+    state would differ run-to-run (finalized tier data is unaffected:
+    the scan re-sorts).  One small sort per bucket pins bit-identical
+    resume across every exchange/shuffle_impl mode."""
+    if core.num_rows == 0:
+        return core
+    keys = pa.table({
+        "s": pa.compute.cast(core["series_key"], pa.string()),
+        "m": pa.compute.cast(core["metric_type"], pa.string()),
+        "w": core["window_start"],
+    })
+    order = pa.compute.sort_indices(
+        keys, sort_keys=[("s", "ascending"), ("m", "ascending"),
+                         ("w", "ascending")])
+    return core.take(order)
+
+
 class BucketFinalizeWriter:
     """Fused finalize + Gorilla encode + atomic write for one bucket.
 
@@ -287,7 +310,8 @@ class BucketFinalizeWriter:
         finalized = finalized.append_column(
             "bucket", pa.array(np.full(finalized.num_rows, bucket, dtype=np.int64)))
         return self.inner(finalized,
-                          core_table=data if self.write_core else None,
+                          core_table=(_canonical_core_order(data)
+                                      if self.write_core else None),
                           extra_meta=extra_meta)
 
 

@@ -22,7 +22,16 @@ MANIFEST_NAME = "_MANIFEST.json"
 
 
 def config_hash(cfg, rules) -> str:
-    payload = repr((cfg, tuple((r.name, r.expression, r.emits) for r in rules)))
+    """Lineage hash over the SEMANTIC config fields + the rule set.
+
+    Execution-only knobs (exchange shape, shuffle impl, token plans,
+    batching, concurrency) are excluded — they are bit-identical by
+    construction (pinned in tests), so flipping one must not orphan
+    stored partitions or defeat incremental resume
+    (config.SEMANTIC_CONFIG_FIELDS is the explicit allowlist)."""
+    from logtrics_ray.config import SEMANTIC_CONFIG_FIELDS
+    payload = repr((tuple((f, getattr(cfg, f)) for f in SEMANTIC_CONFIG_FIELDS),
+                    tuple((r.name, r.expression, r.emits) for r in rules)))
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 

@@ -167,7 +167,10 @@ def test_watch_cli_picks_up_arriving_shards(split_input, tmp_path, capsys):
     rc = cli.main(["watch", "--input", grow, "--out", out,
                    "--interval", "0.1", "--max-iter", "2"])
     assert rc == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    # the CLI contract is one JSON object per poll on stdout; Ray's
+    # raylet may interleave its own warnings (log_to_driver) — skip them
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+             if l.lstrip().startswith("{")]
     assert len(lines) == 2 and lines[0]["iter"] == 1
     # second poll saw nothing new -> fast no-op
     assert lines[1]["wall_s"] < 2.0

@@ -91,13 +91,45 @@ def test_salted_exchange_equals_direct(t1_dir, tmp_path):
     from logtrics_ray.pipelines import rollup_pipeline as P
     from logtrics_ray.stages.storage import read_tier
     a_dir, b_dir = str(tmp_path / "direct"), str(tmp_path / "salted")
-    P.run(t1_dir, a_dir, resume=False)
+    P.run(t1_dir, a_dir, cfg=EngineConfig(exchange="direct"), resume=False)
     P.run(t1_dir, b_dir, cfg=EngineConfig(exchange="salted"), resume=False)
     key = ["series_key", "metric_type", "window_start"]
     for tier in ("1m", "1h", "1d"):
         a = read_tier(a_dir, tier).to_pandas().sort_values(key).reset_index(drop=True)
         b = read_tier(b_dir, tier).to_pandas().sort_values(key).reset_index(drop=True)
         assert a.equals(b), f"tier {tier}: salted != direct"
+
+
+def _tree_bytes(out_dir):
+    """{relpath: file bytes} for a whole output tree (manifests included:
+    they carry no timestamps — fully deterministic)."""
+    import os
+    d = {}
+    for root, dirs, files in sorted(os.walk(out_dir)):
+        dirs.sort()
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            d[os.path.relpath(p, out_dir)] = open(p, "rb").read()
+    return d
+
+
+@pytest.mark.parametrize("exchange", ["direct", "salted"])
+def test_hash_shuffle_impl_equals_sort(t1_dir, tmp_path, exchange):
+    """shuffle_impl='hash' (keyed hash repartition + in-block group
+    split) == shuffle_impl='sort' (Ray sort-based groupby), BYTE-for-byte
+    on disk including the persisted core.parquet merge state — the
+    canonical core order pins the hash path's arrival-order freedom.
+    Same input_tag -> manifests must also be identical."""
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    outs = {}
+    for impl in ("sort", "hash"):
+        out = str(tmp_path / f"{exchange}_{impl}")
+        P.run(t1_dir, out, resume=False, input_tag="tok",
+              cfg=EngineConfig(exchange=exchange, shuffle_impl=impl))
+        outs[impl] = _tree_bytes(out)
+    assert outs["sort"].keys() == outs["hash"].keys()
+    diff = [k for k, v in outs["sort"].items() if outs["hash"][k] != v]
+    assert not diff, f"hash != sort ({exchange}): {diff[:5]}"
 
 
 def test_no_match_rules_produce_empty_tiers(t1_dir, tmp_path):

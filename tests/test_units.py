@@ -547,3 +547,36 @@ def test_hashing_rejects_nulls():
         series_bucket_array(pa.array(["x", None]), 8)
     # non-null (including a REAL empty string) still hashes fine
     assert id_hash64_array(pa.array(["a", "", "b"])).shape == (3,)
+
+
+def test_config_hash_semantic_fields_only():
+    """The lineage hash covers SEMANTIC fields only: execution-strategy
+    knobs (exchange shape, shuffle impl, token plans, concurrency) are
+    bit-identical by construction, so flipping one must NOT orphan stored
+    partitions or force incremental appends into a full recompute."""
+    from logtrics_ray.config import SEMANTIC_CONFIG_FIELDS
+    from logtrics_ray.state.manifest import config_hash
+    import dataclasses
+    rules = default_rules()
+    base = EngineConfig()
+    h0 = config_hash(base, rules)
+    # execution-only knobs: hash unchanged
+    for kw in (dict(exchange="direct"), dict(shuffle_impl="sort"),
+               dict(token_plans=False), dict(extract_concurrency=(2, 4)),
+               dict(batch_size=1024), dict(rollup_buckets=16),
+               dict(exchange_partitions=13)):
+        assert config_hash(base.with_(**kw), rules) == h0, kw
+    # semantic knobs: hash changes
+    for kw in (dict(salt_buckets=4), dict(gap_fill="linear"),
+               dict(series_buckets=32), dict(block_len=128),
+               dict(horizon_ms=123456789), dict(tiers=("1m", "1h"))):
+        assert config_hash(base.with_(**kw), rules) != h0, kw
+    # every EngineConfig field is consciously classified (new fields must
+    # be added to SEMANTIC_CONFIG_FIELDS or the known-execution list here)
+    execution_fields = {"exchange", "shuffle_impl", "token_plans",
+                        "extract_concurrency", "batch_size",
+                        "rollup_buckets", "exchange_partitions"}
+    assert not execution_fields & set(SEMANTIC_CONFIG_FIELDS)
+    all_fields = {f.name for f in dataclasses.fields(EngineConfig)}
+    unclassified = all_fields - set(SEMANTIC_CONFIG_FIELDS) - execution_fields
+    assert not unclassified, unclassified
