@@ -637,6 +637,13 @@ def oracle_sql() -> dict[str, str]:
     from logtrics_ray.functions.dedup import write_signature_side_tables
     sig_dir = write_signature_side_tables(
         "/root/testdata/sf0.01/documents.parquet", "/tmp/lt_sig_0.01")
+    # deterministic per-(series, window) HLL register side table — the
+    # estimate (register sum + linear-counting branch + banker's round)
+    # is replayed in SQL below, independently of the merge pipeline
+    from logtrics_ray.pipelines.table_rollup import write_hll_side_table
+    hll_side = write_hll_side_table(
+        "/root/testdata/sf0.01/events.parquet", "/tmp/lt_hll_0.01.parquet",
+        width_ms=HOUR_MS)
 
     def rollup(width):
         return f"""
@@ -1052,6 +1059,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM read_parquet('{sig_dir}/simhash.parquet')
             GROUP BY simhash""",
+        # HyperLogLog estimate replay over the register side table:
+        # raw = alpha(m) * m^2 / (sum 2^-rank over nonzero + 1 per zero
+        # register); linear counting when raw <= 2.5m and zeros exist.
+        # Terms are exact powers of two spanning < 53 bits, so the SQL
+        # sum is bit-equal to numpy's pairwise sum; CAST(double AS
+        # BIGINT) is banker's rounding == np.round().astype(int64).
+        # (The > 2^32/30 large-range branch cannot trigger at sf0.01.)
+        "events_user_distinct_hll_1h": f"""
+            WITH cells AS (
+              SELECT series_key, window_start,
+                     sum(power(2.0, -CAST(rank AS DOUBLE))) AS nz_sum,
+                     count(*) AS nnz
+              FROM read_parquet('{hll_side}') GROUP BY 1, 2),
+            est AS (
+              SELECT series_key, window_start,
+                     (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                       / (nz_sum + (4096 - nnz)) AS raw,
+                     4096 - nnz AS zeros
+              FROM cells)
+            SELECT series_key, window_start,
+                   CAST(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                             THEN 4096 * ln(4096.0 / zeros)
+                             ELSE raw END AS BIGINT) AS n_distinct_approx
+            FROM est""",
         # LSH candidates (member vs bucket minimum) + exact n-gram
         # Jaccard >= 0.8 over the distinct gram-hash side table — the
         # full recall+precision chain replayed in SQL

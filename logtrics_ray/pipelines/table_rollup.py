@@ -542,6 +542,63 @@ def hll_distinct_frame(ds, ts_col: str, key_col: str, member_col: str,
         merge, batch_format="pyarrow")
 
 
+def write_hll_side_table(events_path: str, out_path: str, ts_col: str = "ts",
+                         key_col: str = "event_type",
+                         member_col: str = "user_id",
+                         width_ms: int = 3_600_000, p: int = 12) -> str:
+    """Deterministic per-(series, window) HLL REGISTER side table for the
+    DuckDB replay oracle (the signature-side-table pattern): one row per
+    NONZERO register — (series_key, window_start, rank).
+
+    The registers come from the same hashing + HLL kernels the
+    distributed ``hll_distinct_frame`` uses on a single-process pass over
+    the events; the ESTIMATE (register sum, linear-counting branch,
+    banker's-rounding to int — DuckDB's CAST(double AS BIGINT)) is
+    replayed independently in SQL.  The register-wise-max merge property
+    makes the single-pass registers equal the distributed partial-merge
+    registers by construction, so the oracle checks both the sketch math
+    and the exchange.  Sized for the correctness gate, not production."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.hashing import id_hash64_array
+    from logtrics_ray.state.hll import HLL
+
+    if os.path.isfile(out_path):
+        return out_path
+    t = pq.read_table(events_path, columns=[ts_col, key_col, member_col])
+    w = window_floor(_ts_ms_numpy(t[ts_col]), width_ms)
+    key = pc.cast(t[key_col], pa.string())
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    members = pc.cast(pc.cast(t[member_col], pa.int64()), pa.string())
+    h = id_hash64_array(members)
+    kd = key.dictionary_encode()
+    codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = kd.dictionary.to_pylist()
+    order = np.lexsort((w, codes))
+    c, ww, hh = codes[order], w[order], h[order]
+    starts = np.flatnonzero(np.diff(c, prepend=c[0] - 1).astype(bool)
+                            | np.diff(ww, prepend=ww[0] - 1).astype(bool)) \
+        if c.size else np.array([], dtype=np.int64)
+    bounds = np.append(starts, c.size)
+    out_k, out_w, out_r = [], [], []
+    for i in range(starts.size):
+        lo, hi = bounds[i], bounds[i + 1]
+        regs = HLL.from_hashes(hh[lo:hi], p=p).registers
+        nz = np.flatnonzero(regs)
+        out_k.extend([labels[c[lo]]] * nz.size)
+        out_w.extend([int(ww[lo])] * nz.size)
+        out_r.extend(regs[nz].tolist())
+    tmp = out_path + ".tmp"
+    pq.write_table(pa.table({"series_key": pa.array(out_k, pa.string()),
+                             "window_start": pa.array(out_w, pa.int64()),
+                             "rank": pa.array(out_r, pa.int32())}), tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def delta_frame(core_ds):
     """Window-over-window DELTA of the gauge last value (≙ Graphite's
     ``derivative`` function family): per series over PRESENT windows
