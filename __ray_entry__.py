@@ -644,6 +644,12 @@ def oracle_sql() -> dict[str, str]:
     hll_side = write_hll_side_table(
         "/root/testdata/sf0.01/events.parquet", "/tmp/lt_hll_0.01.parquet",
         width_ms=HOUR_MS)
+    # deterministic per-(series, window) t-digest CENTROID side table —
+    # the quantile interpolation is replayed in SQL below
+    from logtrics_ray.pipelines.table_rollup import write_tdigest_side_table
+    td_side = write_tdigest_side_table(
+        "/root/testdata/sf0.01/events.parquet", "/tmp/lt_td_0.01.parquet",
+        width_ms=HOUR_MS)
 
     def rollup(width):
         return f"""
@@ -1059,6 +1065,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM read_parquet('{sig_dir}/simhash.parquet')
             GROUP BY simhash""",
+        # t-digest quantile replay over the centroid side table: the
+        # estimate is linear interpolation between centroid means at
+        # midpoint cumulative weights (mid_i = cum_i - w_i/2, strictly
+        # increasing), with end clamps — exactly TDigest.quantile.
+        # Weights are exact integers and mids dyadic, so the SQL replay
+        # is bit-equal; n/min/max come from the raw events independently.
+        "events_timer_digest_1h": f"""
+            WITH c AS (SELECT * FROM read_parquet('{td_side}')),
+            stats AS (SELECT series_key, window_start, sum(weight) AS total,
+                             min_by(mean, idx) AS mfirst,
+                             max_by(mean, idx) AS mlast
+                      FROM c GROUP BY 1, 2),
+            mids AS (SELECT series_key, window_start, idx, mean,
+                            sum(weight) OVER (
+                              PARTITION BY series_key, window_start
+                              ORDER BY idx) - weight / 2 AS mid
+                     FROM c),
+            ends AS (SELECT series_key, window_start,
+                            min(mid) AS midfirst, max(mid) AS midlast
+                     FROM mids GROUP BY 1, 2),
+            seg AS (SELECT series_key, window_start, mean, mid,
+                           lead(mean) OVER w AS mean2, lead(mid) OVER w AS mid2
+                    FROM mids WINDOW w AS (
+                      PARTITION BY series_key, window_start ORDER BY idx)),
+            grid AS (SELECT s.series_key, s.window_start, q.q,
+                            q.q * s.total AS target,
+                            s.mfirst, s.mlast, e.midfirst, e.midlast
+                     FROM stats s
+                     JOIN ends e USING (series_key, window_start),
+                          (SELECT unnest([0.5, 0.99]) AS q) q),
+            est AS (SELECT g.series_key, g.window_start, g.q,
+                      CASE WHEN g.target <= g.midfirst THEN g.mfirst
+                           WHEN g.target >= g.midlast THEN g.mlast
+                           ELSE (SELECT s.mean
+                                        + ((g.target - s.mid)
+                                           / (s.mid2 - s.mid))
+                                          * (s.mean2 - s.mean)
+                                 FROM seg s
+                                 WHERE s.series_key = g.series_key
+                                   AND s.window_start = g.window_start
+                                   AND s.mid <= g.target
+                                   AND s.mid2 > g.target) END AS v
+                    FROM grid g),
+            base AS (SELECT event_type AS series_key,
+                            (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS}
+                              AS window_start,
+                            count(*) AS n,
+                            round(min(value), 6) AS min_value,
+                            round(max(value), 6) AS max_value
+                     FROM events GROUP BY 1, 2)
+            SELECT b.series_key, b.window_start, b.n, b.min_value,
+                   b.max_value,
+                   round(max(CASE WHEN e.q = 0.5 THEN e.v END), 6) AS p50,
+                   round(max(CASE WHEN e.q = 0.99 THEN e.v END), 6) AS p99
+            FROM base b JOIN est e USING (series_key, window_start)
+            GROUP BY 1, 2, 3, 4, 5""",
         # HyperLogLog estimate replay over the register side table:
         # raw = alpha(m) * m^2 / (sum 2^-rank over nonzero + 1 per zero
         # register); linear counting when raw <= 2.5m and zeros exist.

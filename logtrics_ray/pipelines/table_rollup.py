@@ -599,6 +599,82 @@ def write_hll_side_table(events_path: str, out_path: str, ts_col: str = "ts",
     return out_path
 
 
+def write_tdigest_side_table(events_path: str, out_path: str,
+                             ts_col: str = "ts", key_col: str = "event_type",
+                             id_col: str = "event_id",
+                             value_col: str = "value",
+                             width_ms: int = 3_600_000,
+                             salt_buckets: int = 8) -> str:
+    """Deterministic per-(series, window) t-digest CENTROID side table for
+    the DuckDB replay oracle: one row per centroid —
+    (series_key, window_start, idx, mean, weight).
+
+    Construction mirrors the distributed rollup's exact topology with the
+    same TDigest kernels: per-salt (tiebreak % S) unit-weight digests
+    from sorted values, merged in salt-ascending order.  The QUANTILE
+    estimate (midpoint cumulative weights, end clamps, linear
+    interpolation) is replayed independently in SQL — weights are exact
+    integers and the midpoint arithmetic is dyadic, so the SQL replay is
+    bit-equal to ``TDigest.quantile``.  Sized for the correctness gate."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.state.tdigest import TDigest
+
+    if os.path.isfile(out_path):
+        return out_path
+    t = pq.read_table(events_path, columns=[id_col, ts_col, key_col, value_col])
+    ts = t[ts_col]
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    if pa.types.is_timestamp(ts.type):
+        ts_ms = pc.cast(pc.divide(pc.cast(ts, pa.int64()), 1000), pa.int64()) \
+            if ts.type.unit == "us" else pc.cast(ts, pa.int64())
+    else:
+        ts_ms = pc.cast(ts, pa.int64())
+    w = (ts_ms.to_numpy() // width_ms) * width_ms
+    key = pc.cast(t[key_col], pa.string())
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    kd = key.dictionary_encode()
+    codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = kd.dictionary.to_pylist()
+    tb = pc.cast(t[id_col], pa.uint64()).to_numpy(zero_copy_only=False)
+    salt = (tb % np.uint64(salt_buckets)).astype(np.int64)
+    v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((salt, w, codes))
+    c, ww, ss, vv = codes[order], w[order], salt[order], v[order]
+    cell_starts = np.flatnonzero(np.diff(c, prepend=c[0] - 1).astype(bool)
+                                 | np.diff(ww, prepend=ww[0] - 1).astype(bool)) \
+        if c.size else np.array([], dtype=np.int64)
+    cell_bounds = np.append(cell_starts, c.size)
+    out_k, out_w, out_i, out_m, out_wt = [], [], [], [], []
+    for i in range(cell_starts.size):
+        lo, hi = cell_bounds[i], cell_bounds[i + 1]
+        s_seg = ss[lo:hi]
+        s_starts = np.flatnonzero(np.diff(s_seg, prepend=s_seg[0] - 1))
+        s_bounds = np.append(s_starts, s_seg.size)
+        digs = [TDigest.from_values(vv[lo + s_bounds[j]:lo + s_bounds[j + 1]])
+                for j in range(s_starts.size)]
+        d = TDigest.merge_all(digs)
+        nc = d.means.size
+        out_k.extend([labels[c[lo]]] * nc)
+        out_w.extend([int(ww[lo])] * nc)
+        out_i.extend(range(nc))
+        out_m.extend(d.means.tolist())
+        out_wt.extend(d.weights.tolist())
+    tmp = out_path + ".tmp"
+    pq.write_table(pa.table({"series_key": pa.array(out_k, pa.string()),
+                             "window_start": pa.array(out_w, pa.int64()),
+                             "idx": pa.array(out_i, pa.int64()),
+                             "mean": pa.array(out_m, pa.float64()),
+                             "weight": pa.array(out_wt, pa.float64())}), tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def delta_frame(core_ds):
     """Window-over-window DELTA of the gauge last value (≙ Graphite's
     ``derivative`` function family): per series over PRESENT windows
