@@ -650,6 +650,18 @@ def oracle_sql() -> dict[str, str]:
     td_side = write_tdigest_side_table(
         "/root/testdata/sf0.01/events.parquet", "/tmp/lt_td_0.01.parquet",
         width_ms=HOUR_MS)
+    # deterministic LSH-bucket and IVF-list side tables — the bucket /
+    # centroid ASSIGNMENTS come from the operators' own kernels; the
+    # drop rule (LSH dedup) and the exact top-k search over the probed
+    # subset (IVF) are replayed in SQL with DuckDB's own cosine
+    from logtrics_ray.functions.similarity import (write_ivf_side_table,
+                                                   write_lsh_bucket_side_table)
+    lsh_side = write_lsh_bucket_side_table(
+        "/root/testdata/sf0.01/embeddings.parquet", "/tmp/lt_lsh_0.01.parquet")
+    ivf_side, ivf_wanted = write_ivf_side_table(
+        "/root/testdata/sf0.01/embeddings.parquet", "/tmp/lt_ivf_0.01.parquet",
+        query_ids=[0, 1, 2, 3, 4])
+    ivf_wanted_csv = ", ".join(str(x) for x in ivf_wanted)
 
     def rollup(width):
         return f"""
@@ -1175,9 +1187,45 @@ def oracle_sql() -> dict[str, str]:
                              - coalesce(i.i, 0), 0) >= 0.8)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT b FROM dropped)""",
-        # token_rollup_full / quality-EWMA-1m / timer_digest / ivf /
-        # embedding_dedup_lsh / multimodal: non-SQL-expressible or
-        # approximate -> rows-only check (documented; each has a pytest
-        # oracle — sequential-recurrence and sketch ops are validated
-        # bit-for-bit or within stated error in tests/).
+        # LSH near-dedup replay over the deterministic bucket side table:
+        # drop v iff some bucket-mate u < v has cosine >= threshold —
+        # cosine recomputed by DuckDB itself, not by the engine
+        "embedding_dedup_lsh": f"""
+            WITH v AS (
+              SELECT b.vec_id, b.bucket, e.embedding
+              FROM read_parquet('{lsh_side}') b
+              JOIN embeddings e USING (vec_id))
+            SELECT a.vec_id FROM v a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM v c
+              WHERE c.bucket = a.bucket AND c.vec_id < a.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[]))
+                    >= 0.95)""",
+        # IVF replay: exact brute-force top-k (DuckDB's own cosine) over
+        # ONLY the vectors whose inverted list is in the probed union —
+        # assignments from the side table, search replayed in SQL
+        "knn_ivf": f"""
+            WITH sub AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e
+              JOIN read_parquet('{ivf_side}') s USING (vec_id)
+              WHERE s.ivf_list IN ({ivf_wanted_csv})),
+            q AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id IN (0, 1, 2, 3, 4)),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS s
+              FROM q CROSS JOIN sub e WHERE q.vec_id <> e.vec_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id ASC) AS rank,
+                   round(s, 6) AS score
+            FROM scored QUALIFY rank <= 5""",
+        # token_rollup_full / quality-EWMA-1m / multimodal:
+        # non-SQL-expressible or approximate -> rows-only check
+        # (documented; each has a pytest oracle — sequential-recurrence
+        # and sketch ops are validated bit-for-bit or within stated
+        # error in tests/).
     }

@@ -125,6 +125,27 @@ class IVFIndexer:
         return t.append_column("ivf_list", pa.array(assign, pa.int64()))
 
 
+def _hash_spread_mask(ids: np.ndarray, n_total: int, sample: int) -> np.ndarray:
+    """Keep-mask for the deterministic corpus sample: a row is sampled iff
+    its id times a golden-ratio multiplier falls under a count-scaled
+    threshold (~2x sample expected hits).  Pure function of (ids, n_total,
+    sample) — shared by the distributed fit and the oracle replay."""
+    frac = min(1.0, (2.0 * sample) / max(n_total, 1))
+    # float(2**64) rounds up; clamp so the threshold stays a valid uint64
+    thresh = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
+    K = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        return (ids.astype(np.uint64) * K) < thresh
+
+
+def _finalize_sample(ids: np.ndarray, m: np.ndarray, sample: int) -> np.ndarray:
+    """Canonical sample matrix from hash-picked rows: sort by id (so the
+    result is independent of Ray block arrival order), truncate to
+    ``sample``, normalize.  Shared by fit_centroids and the oracle."""
+    order = np.argsort(ids, kind="stable")[:sample]
+    return _norm_rows(m[order])
+
+
 def fit_centroids(ds, n_centroids: int, vec_col: str = "embedding",
                   sample: int = 2048, iters: int = 5, seed: int = 13,
                   id_col: str = "vec_id") -> np.ndarray:
@@ -133,25 +154,31 @@ def fit_centroids(ds, n_centroids: int, vec_col: str = "embedding",
     The sample is HASH-SPREAD over the whole corpus (keep rows whose
     id-hash falls under count-scaled threshold), not the first rows —
     a head sample is arbitrarily biased when the input is ordered or
-    partitioned by content.  Deterministic regardless of block layout."""
+    partitioned by content.  The picked rows (~2x sample expected, so the
+    driver pull stays bounded) are sorted by id before truncation, so the
+    centroids are a pure function of the corpus — independent of block
+    count and arrival order, replayable by the DuckDB oracle writer."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     n_total = max(ds.count(), 1)          # parquet metadata — no scan
-    frac = min(1.0, (2.0 * sample) / n_total)
-    # float(2**64) rounds up; clamp so the threshold stays a valid uint64
-    thresh = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
-    K = np.uint64(0x9E3779B97F4A7C15)     # golden-ratio multiplier spread
 
     def pick(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            keep = (ids * K) < thresh
-        return t.filter(pa.array(keep))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_hash_spread_mask(ids, n_total, sample)))
 
-    rows = ds.map_batches(pick, batch_format="pyarrow").limit(sample).take_all()
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
     if not rows:                           # tiny inputs: fall back to head
         rows = ds.limit(sample).take_all()
-    m = _norm_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    ids_a = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return _kmeans_lite(_finalize_sample(ids_a, m, sample),
+                        n_centroids, iters, seed)
+
+
+def _kmeans_lite(m: np.ndarray, n_centroids: int, iters: int,
+                 seed: int) -> np.ndarray:
+    """Spherical k-means-lite over a pre-normalized sample matrix —
+    shared by the distributed fit and the oracle side-table writer so
+    both produce identical centroids from the same sample."""
     rng = np.random.default_rng(seed)
     c = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
     for _ in range(iters):
@@ -340,3 +367,67 @@ def embedding_dedup_lsh(ds, threshold: float = 0.98, n_planes: int = 12,
     # a doc survives iff it survived its bucket (each doc is in exactly
     # one bucket, so no cross-bucket reconciliation is needed)
     return kept_in_bucket
+
+
+def write_lsh_bucket_side_table(embeddings_path: str, out_path: str,
+                                n_planes: int = 12, seed: int = 29,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> str:
+    """Deterministic (vec_id, bucket) side table for the DuckDB replay
+    oracle of ``embedding_dedup_lsh`` — the BUCKET ASSIGNMENT comes from
+    the same normalize + hyperplane-sign kernel ``bucketize`` runs; the
+    keep-earliest-within-bucket drop rule (drop v iff some bucket-mate
+    u < v has cosine >= threshold) is replayed independently in SQL with
+    DuckDB's own ``list_cosine_similarity``.  Sized for the correctness
+    gate (sf0.01); the operator itself never reads this file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(out_path):
+        return out_path
+    t = pq.read_table(embeddings_path, columns=[id_col, vec_col])
+    ids = t[id_col].to_numpy().astype(np.int64)
+    m = _norm_rows(_batch_matrix(t, vec_col))
+    planes = _hyperplanes(m.shape[1] if m.size else 1, n_planes, seed)
+    bits = (m @ planes) >= 0
+    bucket = (bits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int64)
+    pq.write_table(pa.table({id_col: ids, "bucket": bucket}), out_path)
+    return out_path
+
+
+def write_ivf_side_table(embeddings_path: str, out_path: str,
+                         query_ids: list[int], n_centroids: int = 16,
+                         nprobe: int = 4, sample: int = 2048, iters: int = 5,
+                         seed: int = 13, id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """Deterministic IVF replay for the ``knn_ivf`` DuckDB oracle.
+
+    Rebuilds the SAME centroids as the distributed ``fit_centroids``
+    (shared ``_hash_spread_mask`` -> ``_finalize_sample`` ->
+    ``_kmeans_lite``), assigns every vector to its nearest list exactly
+    as ``IVFIndexer`` does (same double-normalization, same argmax
+    tie-break), and derives the probed-list UNION for the given queries
+    exactly as ``knn_ivf`` does.  Writes (vec_id, ivf_list) and returns
+    ``(path, wanted_lists)`` so the SQL oracle can brute-force exact
+    top-k over the probed subset only — the search itself is replayed by
+    DuckDB, not by this module."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(embeddings_path, columns=[id_col, vec_col])
+    ids = t[id_col].to_numpy().astype(np.int64)
+    m = _batch_matrix(t, vec_col)
+    keep = _hash_spread_mask(ids, ids.size, sample)
+    s_ids, s_m = (ids[keep], m[keep]) if keep.any() else (ids[:sample],
+                                                          m[:sample])
+    cents = _kmeans_lite(_finalize_sample(s_ids, s_m, sample),
+                         n_centroids, iters, seed)
+    c2 = _norm_rows(cents)                 # IVFIndexer re-normalizes too
+    assign = (_norm_rows(m) @ c2.T).argmax(axis=1).astype(np.int64)
+    qsel = np.isin(ids, np.asarray(sorted(query_ids), dtype=np.int64))
+    order = np.argsort(ids[qsel], kind="stable")
+    qmat = _norm_rows(m[qsel][order].astype(np.float64))
+    probe = np.argsort(-(qmat @ c2.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(x) for row in probe for x in row})
+    pq.write_table(pa.table({id_col: ids, "ivf_list": assign}), out_path)
+    return out_path, wanted
