@@ -455,24 +455,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rp(f"{sf_dir}/embeddings.parquet")
         return embedding_dedup_lsh(ds, threshold=0.95)
 
+    def _expand_features(ds):
+        """feature list<f64> -> scalar f0..f7 columns rounded to 6dp so
+        the DuckDB replay oracle can compare values column-wise."""
+        import numpy as np
+        import pyarrow as pa
+
+        def fn(t: pa.Table) -> pa.Table:
+            feats = (t["feature"].combine_chunks()
+                     if isinstance(t["feature"], pa.ChunkedArray)
+                     else t["feature"])
+            m = feats.values.to_numpy(zero_copy_only=False).reshape(len(t), 8)
+            cols, names = [], []
+            for c in ("media_id", "media_type"):
+                a = t[c]
+                cols.append(a.combine_chunks()
+                            if isinstance(a, pa.ChunkedArray) else a)
+                names.append(c)
+            for j in range(8):
+                cols.append(pa.array(np.round(m[:, j], 6), pa.float64()))
+                names.append(f"f{j}")
+            return pa.Table.from_arrays(cols, names=names)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
     def q_multimodal(sf_dir):
-        """REAL decode kernels (PPM + WAV, stdlib/numpy only): features
-        from actual pixel/sample planes.  Deterministic synth corpus."""
+        """REAL decode kernels (PPM + PNG + WAV, stdlib/numpy only):
+        features from actual pixel/sample planes, oracle-replayed by SQL
+        aggregates over the generator's raw (never-encoded) values."""
         import ray.data as rd
         from logtrics_ray.functions.multimodal import (decode_media_features,
                                                        synth_real_media_table)
         ds = rd.from_arrow(synth_real_media_table(200))
-        return decode_media_features(ds)
+        return _expand_features(decode_media_features(ds))
 
     def q_multimodal_resize(sf_dir):
-        """REAL nearest-neighbor PPM resize -> re-decode features of the
-        resized payloads (proves the bytes round-trip)."""
+        """REAL nearest-neighbor PPM/PNG resize -> re-decode features of
+        the resized payloads (proves the bytes round-trip)."""
         import ray.data as rd
         from logtrics_ray.functions.multimodal import (decode_media_features,
                                                        resize_media,
                                                        synth_real_media_table)
         ds = rd.from_arrow(synth_real_media_table(200))
-        return decode_media_features(resize_media(ds, 24, 24))
+        return _expand_features(decode_media_features(resize_media(ds, 24, 24)))
 
     def q_multimodal_stub(sf_dir):
         """Declared-stub path for formats needing absent libraries (the
@@ -622,6 +647,51 @@ def _token_tier_sql(width: int, token_dir: str) -> str:
     WINDOW w_acc AS (PARTITION BY series_key, metric_type ORDER BY w)"""
 
 
+def _r6(e: str) -> str:
+    """np.round(x, 6) replica in SQL: scale by 1e6, DuckDB CAST(DOUBLE AS
+    BIGINT) rounds half-to-even exactly like np.rint, unscale — so exact
+    dyadic values (integer channel means) round identically instead of
+    diverging on DuckDB round()'s half-away rule."""
+    return f"CAST(({e}) * 1000000 AS BIGINT) / 1000000.0"
+
+
+def _media_feature_sql(d: str) -> str:
+    """Feature replay over the generator's raw pixel/sample side tables
+    (``write_media_truth_side_tables``): channel means, luma std, RMS,
+    zero-cross rate and duration recomputed by SQL aggregates — the
+    codecs under test never touch these rows, so a decode bug (wrong
+    plane offset, filter, quantization) breaks the match."""
+    return f"""
+    WITH img AS (
+      SELECT media_id, avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b,
+             stddev_pop(0.2126 * r + 0.7152 * g + 0.0722 * b) AS std_luma
+      FROM read_parquet('{d}/pixels.parquet') GROUP BY 1),
+    wav AS (
+      SELECT media_id, count(*) AS n, sqrt(avg(v * v)) AS rms,
+             avg(CASE WHEN prev IS NULL THEN NULL
+                      WHEN (prev < 0) <> (v < 0) THEN 1.0 ELSE 0.0 END) AS zcr,
+             avg(v) AS mean_v, stddev_pop(v) AS std_v
+      FROM (SELECT media_id, v,
+                   lag(v) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+            FROM read_parquet('{d}/samples.parquet'))
+      GROUP BY 1),
+    meta AS (SELECT * FROM read_parquet('{d}/meta.parquet'))
+    SELECT m.media_id, m.media_type,
+           CAST(m.w AS DOUBLE) AS f0,
+           CAST(m.h AS DOUBLE) AS f1,
+           {_r6('i.mean_r')} AS f2, {_r6('i.mean_g')} AS f3,
+           {_r6('i.mean_b')} AS f4, {_r6('i.std_luma')} AS f5,
+           0.0 AS f6, 0.0 AS f7
+    FROM meta m JOIN img i USING (media_id)
+    UNION ALL
+    SELECT m.media_id, m.media_type,
+           {_r6('w.n / 8000.0')} AS f0, 8000.0 AS f1,
+           {_r6('w.rms')} AS f2, {_r6('coalesce(w.zcr, 0.0)')} AS f3,
+           {_r6('w.mean_v')} AS f4, {_r6('w.std_v')} AS f5,
+           0.0 AS f6, 0.0 AS f7
+    FROM meta m JOIN wav w USING (media_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     # The driver runs correctness at sf=0.01; make sure the token input
     # (its detokenized oracle side table, and the derived log-lines
@@ -662,6 +732,13 @@ def oracle_sql() -> dict[str, str]:
         "/root/testdata/sf0.01/embeddings.parquet", "/tmp/lt_ivf_0.01.parquet",
         query_ids=[0, 1, 2, 3, 4])
     ivf_wanted_csv = ", ".join(str(x) for x in ivf_wanted)
+    # raw pixel/sample ground-truth side tables from the media GENERATOR
+    # (pre-encode values — the codecs never touch them); features are
+    # recomputed by SQL aggregates in _media_feature_sql
+    from logtrics_ray.functions.multimodal import write_media_truth_side_tables
+    mm_dir = write_media_truth_side_tables(200, "/tmp/lt_mm_truth")
+    mm_rs_dir = write_media_truth_side_tables(200, "/tmp/lt_mm_truth_24",
+                                              resize_to=(24, 24))
 
     def rollup(width):
         return f"""
@@ -1223,9 +1300,12 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s DESC, neighbor_id ASC) AS rank,
                    round(s, 6) AS score
             FROM scored QUALIFY rank <= 5""",
-        # token_rollup_full / quality-EWMA-1m / multimodal:
-        # non-SQL-expressible or approximate -> rows-only check
-        # (documented; each has a pytest oracle — sequential-recurrence
-        # and sketch ops are validated bit-for-bit or within stated
-        # error in tests/).
+        "multimodal_decode": _media_feature_sql(mm_dir),
+        "multimodal_resize": _media_feature_sql(mm_rs_dir),
+        # token_rollup_full_1m / events_meter_ewma_1m / multimodal_stub:
+        # rows-only by design (documented) — the EWMA recurrence at 1m
+        # has ~35k sequential steps per series (a recursive-CTE replay
+        # is proven at 1d and the 1m path is bit-exact in pytest), the
+        # full tier adds those EWMA columns, and the stub is a declared
+        # plumbing contract for absent codecs.
     }

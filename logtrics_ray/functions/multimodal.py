@@ -256,40 +256,115 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
-def synth_real_media_table(n: int, seed: int = 9) -> pa.Table:
-    """Deterministic corpus of REAL decodable payloads: PPM images
-    (gradient + seeded noise), WAV clips (tone + noise), and PNG images
-    (every 4th row; Paeth-filtered, stdlib zlib) — three real codecs."""
+def synth_media_arrays(n: int, seed: int = 9):
+    """Yield (media_id, media_type, raw, w, h) where ``raw`` is the
+    PRE-ENCODE uint8 (h, w, 3) image or float sample signal — the single
+    source of truth shared by ``synth_real_media_table`` (which encodes
+    through the codecs) and ``write_media_truth_side_tables`` (which
+    dumps the raw planes for the DuckDB replay oracle).  The oracle thus
+    checks encode -> decode -> featurize against the never-encoded
+    values."""
     rng = np.random.default_rng(seed)
-    ids, types, payloads, ws, hs = [], [], [], [], []
     for i in range(n):
         if i % 2 == 0:
             w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
             grad = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
             img = (grad + rng.integers(0, 64, size=(h, w, 3))).clip(0, 255)
-            if i % 4 == 0:
-                payloads.append(encode_png(img.astype(np.uint8)))
-                types.append(PNG_TYPE)
-            else:
-                payloads.append(encode_ppm(img.astype(np.uint8)))
-                types.append(PPM_TYPE)
-            ws.append(w); hs.append(h)
+            yield (f"med-{i:08d}", PNG_TYPE if i % 4 == 0 else PPM_TYPE,
+                   img.astype(np.uint8), w, h)
         else:
             rate = 8000
             t = np.arange(int(rng.integers(800, 2400))) / rate
             f0 = float(rng.integers(100, 900))
             sig = (0.5 * np.sin(2 * np.pi * f0 * t)
                    + 0.1 * rng.normal(size=t.size))
-            payloads.append(encode_wav_pcm16(sig, rate))
-            types.append(WAV_TYPE)
-            ws.append(0); hs.append(0)
-        ids.append(f"med-{i:08d}")
+            yield (f"med-{i:08d}", WAV_TYPE, sig, 0, 0)
+
+
+def synth_real_media_table(n: int, seed: int = 9) -> pa.Table:
+    """Deterministic corpus of REAL decodable payloads: PPM images
+    (gradient + seeded noise), WAV clips (tone + noise), and PNG images
+    (every 4th row; Paeth-filtered, stdlib zlib) — three real codecs."""
+    ids, types, payloads, ws, hs = [], [], [], [], []
+    for mid, mt, raw, w, h in synth_media_arrays(n, seed):
+        if mt == PNG_TYPE:
+            payloads.append(encode_png(raw))
+        elif mt == PPM_TYPE:
+            payloads.append(encode_ppm(raw))
+        else:
+            payloads.append(encode_wav_pcm16(raw, 8000))
+        ids.append(mid); types.append(mt); ws.append(w); hs.append(h)
     return pa.Table.from_arrays([
         pa.array(ids, pa.string()), pa.array(types, pa.string()),
         pa.array(payloads, pa.binary()),
         pa.array(np.asarray(ws, dtype=np.int32), pa.int32()),
         pa.array(np.asarray(hs, dtype=np.int32), pa.int32()),
     ], schema=MEDIA_SCHEMA)
+
+
+def write_media_truth_side_tables(n: int, out_dir: str, seed: int = 9,
+                                  resize_to: tuple[int, int] | None = None
+                                  ) -> str:
+    """Ground-truth side tables for the multimodal DuckDB replay oracles.
+
+    Writes, from the GENERATOR's raw arrays (the codecs under test are
+    never called here):
+
+        meta.parquet    (media_id, media_type, w, h)
+        pixels.parquet  (media_id, r, g, b)      one row per pixel
+        samples.parquet (media_id, idx, v)       one row per audio sample
+
+    The feature math (channel means, luma std, RMS, zero-cross rate) is
+    replayed by SQL aggregates over these rows, independently of the
+    engine's numpy kernels.  Two contracts are replicated inline rather
+    than imported, so the side table stays independent of the code under
+    test: PCM16 quantization (clip -> *32767 -> C-cast to int16 ->
+    /32767) and, when ``resize_to`` is given, the nearest-neighbor index
+    formula ``src = arange(out) * in // out``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    mp = os.path.join(out_dir, "meta.parquet")
+    pp = os.path.join(out_dir, "pixels.parquet")
+    sp = os.path.join(out_dir, "samples.parquet")
+    if all(os.path.isfile(p) for p in (mp, pp, sp)):
+        return out_dir
+    m_id, m_ty, m_w, m_h = [], [], [], []
+    p_id, p_rgb = [], []
+    s_id, s_idx, s_v = [], [], []
+    for mid, mt, raw, w, h in synth_media_arrays(n, seed):
+        if mt == WAV_TYPE:
+            q = (np.clip(raw, -1.0, 1.0) * 32767.0).astype(np.int16)
+            v = q.astype(np.float64) / 32767.0
+            s_id.append(np.full(v.size, mid, dtype=object))
+            s_idx.append(np.arange(v.size, dtype=np.int64))
+            s_v.append(v)
+        else:
+            if resize_to is not None:
+                tw, th = resize_to
+                yi = (np.arange(th) * h // th).astype(np.int64)
+                xi = (np.arange(tw) * w // tw).astype(np.int64)
+                raw, w, h = raw[yi[:, None], xi[None, :], :], tw, th
+            px = raw.reshape(-1, 3).astype(np.int64)
+            p_id.append(np.full(px.shape[0], mid, dtype=object))
+            p_rgb.append(px)
+        m_id.append(mid); m_ty.append(mt); m_w.append(w); m_h.append(h)
+    pq.write_table(pa.table({
+        "media_id": pa.array(m_id, pa.string()),
+        "media_type": pa.array(m_ty, pa.string()),
+        "w": np.asarray(m_w, dtype=np.int64),
+        "h": np.asarray(m_h, dtype=np.int64)}), mp)
+    rgb = (np.concatenate(p_rgb) if p_rgb else np.empty((0, 3), np.int64))
+    pq.write_table(pa.table({
+        "media_id": pa.array(np.concatenate(p_id) if p_id else [], pa.string()),
+        "r": rgb[:, 0], "g": rgb[:, 1], "b": rgb[:, 2]}), pp)
+    pq.write_table(pa.table({
+        "media_id": pa.array(np.concatenate(s_id) if s_id else [], pa.string()),
+        "idx": (np.concatenate(s_idx) if s_idx else np.empty(0, np.int64)),
+        "v": (np.concatenate(s_v) if s_v else np.empty(0, np.float64))}), sp)
+    return out_dir
 
 
 class MediaDecoder:
@@ -347,7 +422,7 @@ class MediaDecoder:
             ids,
             t["media_type"].combine_chunks() if isinstance(
                 t["media_type"], pa.ChunkedArray) else t["media_type"],
-            pa.array(list(feats.astype(np.float32)), pa.list_(pa.float32())),
+            pa.array(list(feats), pa.list_(pa.float64())),
             pa.array(ok, pa.bool_()),
         ], names=["media_id", "media_type", "feature", "decoded"])
 
