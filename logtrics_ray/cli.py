@@ -202,6 +202,29 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_listen(args) -> int:
+    """Push-ingest edge daemon: no Ray session — it only writes shard
+    files; a separate `watch` (or batch `run`) consumes the spool."""
+    from logtrics_ray.sources.ingest import LineIngestServer
+    srv = LineIngestServer(args.spool, udp_port=args.udp_port,
+                           tcp_port=args.tcp_port, host=args.host,
+                           max_lines=args.max_lines, max_age_s=args.max_age)
+    udp, tcp = srv.start()
+    print(json.dumps({"spool": args.spool, "udp_port": udp, "tcp_port": tcp}),
+          flush=True)
+    try:
+        if args.duration > 0:
+            time.sleep(args.duration)
+        else:
+            while True:
+                time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="logtrics_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -262,7 +285,32 @@ def main(argv=None) -> int:
     i.add_argument("--num-cpus", type=int, default=None)
     i.set_defaults(fn=cmd_inspect)
 
+    ls = sub.add_parser(
+        "listen", help="UDP/TCP line listener -> rotating .log shards "
+                       "(push-ingest edge; pair with `watch` or "
+                       "read_log_lines on the spool)")
+    ls.add_argument("--spool", required=True, help="shard output dir")
+    ls.add_argument("--udp-port", type=int, default=None)
+    ls.add_argument("--tcp-port", type=int, default=None)
+    ls.add_argument("--host", default="0.0.0.0")
+    ls.add_argument("--max-lines", type=int, default=10_000,
+                    help="rotate a shard after this many lines")
+    ls.add_argument("--max-age", type=float, default=5.0,
+                    help="rotate a non-empty shard after this many seconds")
+    ls.add_argument("--duration", type=float, default=0.0,
+                    help="stop after N seconds (0 = until SIGINT)")
+    ls.set_defaults(fn=cmd_listen)
+
+    p.add_argument("--log-type", default="console",
+                   choices=["console", "syslog"],
+                   help="application logger sink (reference config.Logger)")
+    p.add_argument("--log-level", default="info",
+                   choices=["trace", "debug", "info", "warn", "error",
+                            "fatal"])
+
     args = p.parse_args(argv)
+    from logtrics_ray.rules import configure_logging
+    configure_logging(args.log_type, args.log_level)
     rc = args.fn(args)
     import ray
     if _RAY_OWNED and ray.is_initialized():

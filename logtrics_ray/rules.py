@@ -29,6 +29,37 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 
+def configure_logging(kind: str = "console", level: str = "info") -> logging.Logger:
+    """Application logger factory — the reimagined ``Configuration.Logger``
+    (/root/reference/config/config.go:63-76): ``type = "syslog"`` wires a
+    stdlib ``SysLogHandler`` (local /dev/log, falling back to UDP
+    localhost:514 when the socket is absent, as in this sandbox), anything
+    else a timestamped stderr console writer; the level string maps like
+    the reference's ``lvlMap``.  Returns the configured ``logtrics``
+    parent logger that every ``RuleLogger`` chains to."""
+    root = logging.getLogger("logtrics")
+    root.handlers.clear()
+    if kind == "syslog":
+        from logging.handlers import SysLogHandler
+        try:
+            h = SysLogHandler(address="/dev/log")
+        except OSError:
+            h = SysLogHandler()       # UDP localhost:514 fallback
+        h.setFormatter(logging.Formatter("logtrics_ray: %(name)s %(message)s"))
+    else:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter(
+            "%(asctime)s %(levelname)s %(name)s %(message)s",
+            datefmt="%Y-%m-%dT%H:%M:%S"))
+    root.addHandler(h)
+    lvl = {"trace": logging.DEBUG, "debug": logging.DEBUG,
+           "info": logging.INFO, "warn": logging.WARNING,
+           "error": logging.ERROR, "fatal": logging.CRITICAL}.get(
+               level.lower(), logging.INFO)
+    root.setLevel(lvl)
+    return root
+
+
 class RuleLogger:
     """Per-rule logging API handed to handler UDFs — the reimagined
     ``fatal/error/warn/info/debug/trace`` bindings the reference injects
