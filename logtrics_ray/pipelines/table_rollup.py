@@ -644,6 +644,24 @@ def write_tdigest_side_table(events_path: str, out_path: str,
     salt = (tb % np.uint64(salt_buckets)).astype(np.int64)
     v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
 
+    _write_digest_cells(codes, labels, w, salt, v, out_path)
+    return out_path
+
+
+def _write_digest_cells(codes: np.ndarray, labels: list, w: np.ndarray,
+                        salt: np.ndarray, v: np.ndarray,
+                        out_path: str) -> None:
+    """Shared digest-cell kernel of the t-digest side-table writers: per
+    (series, window) cell, per-salt unit-weight digests from values in
+    salt-ascending order merged with ``TDigest.merge_all`` — the exact
+    topology of the distributed rollup (`stages/rollup.py` `_merge_cell`).
+    Emits one parquet row per centroid."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.state.tdigest import TDigest
+
     order = np.lexsort((salt, w, codes))
     c, ww, ss, vv = codes[order], w[order], salt[order], v[order]
     cell_starts = np.flatnonzero(np.diff(c, prepend=c[0] - 1).astype(bool)
@@ -672,7 +690,71 @@ def write_tdigest_side_table(events_path: str, out_path: str,
                              "mean": pa.array(out_m, pa.float64()),
                              "weight": pa.array(out_wt, pa.float64())}), tmp)
     os.replace(tmp, out_path)
+
+
+def write_token_tdigest_side_table(token_text_dir: str, out_path: str,
+                                   epoch0_ms: int, horizon_ms: int,
+                                   width_ms: int = 60_000,
+                                   salt_buckets: int = 8) -> str:
+    """Token-pipeline analog of ``write_tdigest_side_table`` for the
+    full-tier DuckDB oracle: timer points are re-derived from the
+    DETOKENIZED side table with a plain regex (the one timer arm,
+    ``latency_ms=(\\d+)`` -> series ``lt.latency.<source>``), event time
+    and salt from the stored per-doc ``tiebreak`` exactly as the engine
+    synthesizes them (ts = epoch0 + tiebreak % horizon, salt = tiebreak %
+    S), then the same per-salt digest topology as the events writer.
+    The QUANTILE estimate is replayed independently in SQL."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(out_path):
+        return out_path
+    names = sorted(n for n in os.listdir(token_text_dir)
+                   if n.endswith(".parquet"))
+    t = pa.concat_tables([
+        pq.read_table(os.path.join(token_text_dir, n),
+                      columns=["text", "source", "tiebreak"]) for n in names])
+    text = t["text"].combine_chunks()
+    m = pc.extract_regex(text, r"latency_ms=(?P<v>\d+)")
+    ok = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    # filter to matches BEFORE touching the struct child: field() does
+    # not carry the parent validity, so null slots hold '' placeholders
+    v = pc.cast(m.filter(pa.array(ok)).field("v"),
+                pa.float64()).to_numpy(zero_copy_only=False)
+    src = np.asarray(t["source"].to_pylist(), dtype=object)[ok]
+    tb = t["tiebreak"].to_numpy(zero_copy_only=False).astype(np.uint64)[ok]
+    ts = epoch0_ms + (tb % np.uint64(horizon_ms)).astype(np.int64)
+    w = (ts // width_ms) * width_ms
+    salt = (tb % np.uint64(salt_buckets)).astype(np.int64)
+    series = pa.array(["lt.latency." + s for s in src], pa.string())
+    kd = series.dictionary_encode()
+    codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = kd.dictionary.to_pylist()
+    _write_digest_cells(codes, labels, w, salt, v, out_path)
     return out_path
+
+
+def full_tier_oracle_frame(fin_ds):
+    """SQL-comparable projection of a FULL finalized tier (all 20
+    columns): float columns rounded half-away at 6dp on the engine side
+    (the oracle SQL rounds identically), ints/bools passed through."""
+    from logtrics_ray.stages.seriesscan import FINAL_SCHEMA
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols, names = [], []
+        for f in FINAL_SCHEMA:
+            a = t[f.name].combine_chunks() if isinstance(
+                t[f.name], pa.ChunkedArray) else t[f.name]
+            if pa.types.is_float64(f.type):
+                a = pa.array(_round6(a.to_numpy(zero_copy_only=False)),
+                             pa.float64())
+            cols.append(a)
+            names.append(f.name)
+        return pa.Table.from_arrays(cols, names=names)
+
+    return fin_ds.map_batches(fn, batch_format="pyarrow")
 
 
 def delta_frame(core_ds):
