@@ -488,6 +488,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    def q_asof(sf_dir):
+        """Distributed AS-OF join: every 'view' event gets the value of
+        the same user's most recent prior 'click' (ties LWW by event_id).
+        One co-partitioning shuffle + vectorized searchsorted per key;
+        oracle = DuckDB's native ASOF JOIN."""
+        from logtrics_ray.stages.enrich import asof_join_frame
+        ds = _rp(f"{sf_dir}/events.parquet",
+                 columns=["event_id", "ts", "event_type", "user_id", "value"])
+        return asof_join_frame(ds, "ts", "user_id", "value", "event_id",
+                               "view", "click")
+
     def q_multimodal(sf_dir):
         """REAL decode kernels (PPM + PNG + WAV, stdlib/numpy only):
         features from actual pixel/sample planes, oracle-replayed by SQL
@@ -560,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "events_asof_view_click": q_asof,
         "multimodal_decode": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_stub": q_multimodal_stub,
@@ -1521,6 +1533,18 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s DESC, neighbor_id ASC) AS rank,
                    round(s, 6) AS score
             FROM scored QUALIFY rank <= 5""",
+        "events_asof_view_click": """
+            WITH l AS (SELECT event_id, CAST(user_id AS VARCHAR) AS key,
+                              epoch_ms(ts) AS ts_ms, value
+                       FROM events WHERE event_type = 'view'),
+            r AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                         epoch_ms(ts) AS ts_ms,
+                         arg_max(value, event_id) AS rv
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT l.event_id, l.key, l.ts_ms, round(l.value, 6) AS value,
+                   round(r.rv, 6) AS ref_value
+            FROM l ASOF LEFT JOIN r
+              ON l.key = r.key AND r.ts_ms <= l.ts_ms""",
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),
         # token_rollup_full_1m / events_meter_ewma_1m / multimodal_stub:

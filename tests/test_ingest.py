@@ -110,3 +110,33 @@ def test_configure_logging_kinds():
     assert isinstance(lg.handlers[0], SysLogHandler)
     assert lg.level == logging.DEBUG
     configure_logging("console", "info")   # restore defaults
+
+
+def test_asof_join_frame_edges(ray_session):
+    """AS-OF join edge cases: equal-ts match counts (<=), right ties at
+    one ts resolve LWW by id, keys with no prior right row get null."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logtrics_ray.stages.enrich import asof_join_frame
+
+    t = pa.table({
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "ts":       [100, 100, 100, 50, 200, 10, 500],   # int ms
+        "event_type": ["click", "click", "view", "view", "view",
+                       "click", "view"],
+        "user_id": ["u1", "u1", "u1", "u1", "u1", "u2", "u3"],
+        "value":   [10.0, 20.0, 1.0, 2.0, 3.0, 9.0, 4.0],
+    })
+    df = (asof_join_frame(rd.from_arrow(t), "ts", "user_id", "value",
+                          "event_id", "view", "click")
+          .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # event 3 (u1 @100): clicks at 100 tie -> max event_id (2) wins: 20.0
+    # event 4 (u1 @50): no prior click -> NaN
+    # event 5 (u1 @200): latest click @100 id2 -> 20.0
+    # event 7 (u3): no clicks at all -> NaN
+    assert df["event_id"].tolist() == [3, 4, 5, 7]
+    ref = df["ref_value"].to_numpy()
+    assert ref[0] == 20.0 and np.isnan(ref[1])
+    assert ref[2] == 20.0 and np.isnan(ref[3])
