@@ -519,6 +519,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.from_arrow(synth_real_media_table(200))
         return _expand_features(decode_media_features(resize_media(ds, 24, 24)))
 
+    def q_frame_sample(sf_dir):
+        """REAL video path (Y4M / YUV4MPEG2, pure numpy): frame-sample
+        every 4th frame -> re-encode -> decode features of the sampled
+        clip; oracle = SQL aggregates over the generator's raw planes of
+        exactly the sampled frame indices."""
+        import ray.data as rd
+        from logtrics_ray.functions.multimodal import (decode_media_features,
+                                                       sample_frames,
+                                                       synth_video_table)
+        ds = rd.from_arrow(synth_video_table(120))
+        return _expand_features(decode_media_features(sample_frames(ds, step=4)))
+
     def q_multimodal_stub(sf_dir):
         """Declared-stub path for formats needing absent libraries (the
         plumbing contract: actor-pool shape, pyarrow binary columns)."""
@@ -574,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_view_click": q_asof,
         "multimodal_decode": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_frame_sample,
         "multimodal_stub": q_multimodal_stub,
     }
 
@@ -970,6 +983,8 @@ def oracle_sql() -> dict[str, str]:
     mm_dir = write_media_truth_side_tables(200, "/tmp/lt_mm_truth")
     mm_rs_dir = write_media_truth_side_tables(200, "/tmp/lt_mm_truth_24",
                                               resize_to=(24, 24))
+    from logtrics_ray.functions.multimodal import write_video_truth_side_tables
+    vid_dir = write_video_truth_side_tables(120, "/tmp/lt_vid_truth", step=4)
 
     def rollup(width):
         return f"""
@@ -1547,6 +1562,21 @@ def oracle_sql() -> dict[str, str]:
               ON l.key = r.key AND r.ts_ms <= l.ts_ms""",
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),
+        # frame-sample replay: features of the SAMPLED frames recomputed
+        # by SQL over the generator's raw planes at the sampled indices
+        "multimodal_frame_sample": f"""
+            WITH pl AS (
+              SELECT media_id, avg(y) AS mean_y, stddev_pop(y) AS std_y,
+                     avg(cb) AS mean_cb, avg(cr) AS mean_cr
+              FROM read_parquet('{vid_dir}/vplanes.parquet') GROUP BY 1),
+            m AS (SELECT * FROM read_parquet('{vid_dir}/vmeta.parquet'))
+            SELECT m.media_id, 'video/x-yuv4mpeg' AS media_type,
+                   CAST(m.n_sampled AS DOUBLE) AS f0,
+                   CAST(m.w AS DOUBLE) AS f1, CAST(m.h AS DOUBLE) AS f2,
+                   {_r6('p.mean_y')} AS f3, {_r6('p.std_y')} AS f4,
+                   {_r6('p.mean_cb')} AS f5, {_r6('p.mean_cr')} AS f6,
+                   25.0 AS f7
+            FROM m JOIN pl p USING (media_id)""",
         # token_rollup_full_1m / events_meter_ewma_1m / multimodal_stub:
         # rows-only by design (documented) — the EWMA recurrence at 1m
         # has ~35k sequential steps per series (a recursive-CTE replay

@@ -128,6 +128,181 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
 PPM_TYPE = "image/x-portable-pixmap"
 WAV_TYPE = "audio/wav"
 PNG_TYPE = "image/png"
+Y4M_TYPE = "video/x-yuv4mpeg"
+
+
+# ------------------------------------- real Y4M video codec (pure numpy) --
+# YUV4MPEG2 with C444 planar frames: a REAL, dependency-free video
+# container (mjpegtools/ffmpeg interchange format) — plain-text stream
+# header, then "FRAME\n" + planar Y/Cb/Cr per frame.  Frames are stored
+# as (n, h, w, 3) uint8 YCbCr; no colorspace conversion happens in the
+# codec, so round-trips are byte-exact.
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 YCbCr -> YUV4MPEG2 C444 bytes."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for i in range(n):
+        # planar: full Y plane, then Cb, then Cr
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(
+            frames[i].transpose(2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 C444 bytes -> ((n, h, w, 3) uint8 YCbCr, fps)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C" and tok[1:] not in ("444",):
+            raise ValueError(f"only C444 supported, got {tok}")
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    plane = w * h
+    frames, idx = [], nl + 1
+    marker = b"FRAME"
+    while idx < len(payload):
+        if payload[idx:idx + 5] != marker:
+            raise ValueError("bad FRAME marker")
+        idx = payload.index(b"\n", idx) + 1     # frame params ignored
+        buf = np.frombuffer(payload, dtype=np.uint8, count=3 * plane,
+                            offset=idx).reshape(3, h, w)
+        frames.append(buf.transpose(1, 2, 0))
+        idx += 3 * plane
+    return (np.stack(frames) if frames
+            else np.empty((0, h, w, 3), np.uint8)), fps or 25
+
+
+def sample_frames(ds, step: int = 4, batch_size: int = 16):
+    """Video frame-sampling stage: decode Y4M -> keep every ``step``-th
+    frame (indices 0, step, 2*step, ...) -> re-encode.  The multimodal
+    sampling primitive for training-data pipelines (dataset curation
+    keeps a frame subset, not whole clips).  Non-video rows pass through
+    unchanged.  Small batch_size: video payloads are the widest rows."""
+    from logtrics_ray.functions.dedup import process_cached
+
+    def fn(t: pa.Table) -> pa.Table:
+        return process_cached(FrameSampler, step=step)(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+class FrameSampler:
+    """Stateful per-batch frame sampler (real Y4M kernels)."""
+
+    def __init__(self, step: int = 4):
+        self.step = max(1, int(step))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        types = t["media_type"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out = []
+        for mt, p in zip(types, payloads):
+            if mt == Y4M_TYPE:
+                frames, fps = decode_y4m(p)
+                out.append(encode_y4m(frames[::self.step], fps))
+            else:
+                out.append(p)
+        return pa.Table.from_arrays([
+            t["media_id"].combine_chunks() if isinstance(
+                t["media_id"], pa.ChunkedArray) else t["media_id"],
+            t["media_type"].combine_chunks() if isinstance(
+                t["media_type"], pa.ChunkedArray) else t["media_type"],
+            pa.array(out, pa.binary()),
+            t["meta_width"].combine_chunks() if isinstance(
+                t["meta_width"], pa.ChunkedArray) else t["meta_width"],
+            t["meta_height"].combine_chunks() if isinstance(
+                t["meta_height"], pa.ChunkedArray) else t["meta_height"],
+        ], schema=MEDIA_SCHEMA)
+
+
+def synth_video_arrays(n: int, seed: int = 21, max_frames: int = 24):
+    """Yield (media_id, frames (f, h, w, 3) uint8 YCbCr) — deterministic
+    moving-gradient clips; the raw-plane source of truth shared by
+    ``synth_video_table`` (encodes) and the video oracle side-table
+    writer (dumps sampled-frame planes)."""
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        f = int(rng.integers(4, max_frames + 1))
+        w, h = int(rng.integers(16, 33)), int(rng.integers(16, 33))
+        base = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+        clip = np.empty((f, h, w, 3), np.uint8)
+        for k in range(f):
+            y = (base + 7 * k + rng.integers(0, 16, size=(h, w))) % 256
+            cb = (base * 0.5 + 3 * k) % 256
+            cr = (255 - base + 5 * k) % 256
+            clip[k] = np.stack([y, np.broadcast_to(cb, (h, w)),
+                                np.broadcast_to(cr, (h, w))],
+                               axis=-1).astype(np.uint8)
+        yield (f"vid-{i:08d}", clip)
+
+
+def synth_video_table(n: int, seed: int = 21) -> pa.Table:
+    ids, payloads, ws, hs = [], [], [], []
+    for mid, clip in synth_video_arrays(n, seed):
+        ids.append(mid)
+        payloads.append(encode_y4m(clip))
+        ws.append(clip.shape[2]); hs.append(clip.shape[1])
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.string()),
+        pa.array([Y4M_TYPE] * n, pa.string()),
+        pa.array(payloads, pa.binary()),
+        pa.array(np.asarray(ws, dtype=np.int32), pa.int32()),
+        pa.array(np.asarray(hs, dtype=np.int32), pa.int32()),
+    ], schema=MEDIA_SCHEMA)
+
+
+def write_video_truth_side_tables(n: int, out_dir: str, seed: int = 21,
+                                  step: int = 4) -> str:
+    """Ground truth for the frame-sample oracle, from the GENERATOR's raw
+    planes (the codec never touches them): per video, the planes of the
+    frames a step-``step`` sample keeps.
+
+        vmeta.parquet   (media_id, w, h, n_frames, n_sampled)
+        vplanes.parquet (media_id, y, cb, cr)  one row per sampled pixel
+
+    The sampling rule (indices 0, step, 2*step, ...) is replicated here
+    as plain slicing; features are recomputed by SQL aggregates."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    mp_ = os.path.join(out_dir, "vmeta.parquet")
+    pp = os.path.join(out_dir, "vplanes.parquet")
+    if all(os.path.isfile(p) for p in (mp_, pp)):
+        return out_dir
+    m_id, m_w, m_h, m_n, m_s = [], [], [], [], []
+    p_id, p_pl = [], []
+    for mid, clip in synth_video_arrays(n, seed):
+        sub = clip[::step]
+        px = sub.reshape(-1, 3).astype(np.int64)
+        p_id.append(np.full(px.shape[0], mid, dtype=object))
+        p_pl.append(px)
+        m_id.append(mid); m_w.append(clip.shape[2]); m_h.append(clip.shape[1])
+        m_n.append(clip.shape[0]); m_s.append(sub.shape[0])
+    pq.write_table(pa.table({
+        "media_id": pa.array(m_id, pa.string()),
+        "w": np.asarray(m_w, dtype=np.int64),
+        "h": np.asarray(m_h, dtype=np.int64),
+        "n_frames": np.asarray(m_n, dtype=np.int64),
+        "n_sampled": np.asarray(m_s, dtype=np.int64)}), mp_)
+    pl = (np.concatenate(p_pl) if p_pl else np.empty((0, 3), np.int64))
+    pq.write_table(pa.table({
+        "media_id": pa.array(np.concatenate(p_id) if p_id else [], pa.string()),
+        "y": pl[:, 0], "cb": pl[:, 1], "cr": pl[:, 2]}), pp)
+    return out_dir
 
 # ------------------------------------------ real PNG codec (stdlib zlib) --
 # Non-interlaced 8-bit RGB (color type 2) only — the common training-data
@@ -397,6 +572,12 @@ class MediaDecoder:
                 if x.size > 1 else 0.0
             f[:6] = [x.size / rate, rate, float(np.sqrt(np.mean(x * x))),
                      zc, float(x.mean()), float(x.std())]
+        elif media_type == Y4M_TYPE:
+            frames, fps = decode_y4m(payload)
+            pl = frames.astype(np.float64)
+            f[:8] = [frames.shape[0], frames.shape[2], frames.shape[1],
+                     pl[..., 0].mean(), pl[..., 0].std(),
+                     pl[..., 1].mean(), pl[..., 2].mean(), fps]
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for {media_type!r}; JPEG etc. "
