@@ -499,6 +499,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return asof_join_frame(ds, "ts", "user_id", "value", "event_id",
                                "view", "click")
 
+    # Fixed maintenance windows over the events horizon (Jan 2024) —
+    # mirrored literally in the SQL oracle's VALUES
+    INTERVALS = [(1704067200000, 1704499200000, "maint-a"),
+                 (1704931200000, 1705363200000, "maint-b"),
+                 (1706054400000, 1706486400000, "maint-c")]
+
+    def q_interval_label(sf_dir):
+        """Range (interval) join: label events with the maintenance
+        window they fall into — broadcast small-dim searchsorted, zero
+        shuffle; oracle = SQL inequality join."""
+        from logtrics_ray.stages.enrich import interval_label_frame
+        ds = _rp(f"{sf_dir}/events.parquet",
+                 columns=["event_id", "ts", "value"])
+        return interval_label_frame(ds, INTERVALS)
+
     def q_multimodal(sf_dir):
         """REAL decode kernels (PPM + PNG + WAV, stdlib/numpy only):
         features from actual pixel/sample planes, oracle-replayed by SQL
@@ -584,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "events_asof_view_click": q_asof,
+        "events_interval_label": q_interval_label,
         "multimodal_decode": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_frame_sample,
@@ -1560,6 +1576,15 @@ def oracle_sql() -> dict[str, str]:
                    round(r.rv, 6) AS ref_value
             FROM l ASOF LEFT JOIN r
               ON l.key = r.key AND r.ts_ms <= l.ts_ms""",
+        "events_interval_label": """
+            WITH iv(s, e, lab) AS (VALUES
+                (1704067200000, 1704499200000, 'maint-a'),
+                (1704931200000, 1705363200000, 'maint-b'),
+                (1706054400000, 1706486400000, 'maint-c'))
+            SELECT ev.event_id, epoch_ms(ev.ts) AS ts_ms,
+                   round(ev.value, 6) AS value, iv.lab AS interval_label
+            FROM events ev LEFT JOIN iv
+              ON epoch_ms(ev.ts) >= iv.s AND epoch_ms(ev.ts) < iv.e""",
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),
         # frame-sample replay: features of the SAMPLED frames recomputed

@@ -151,3 +151,46 @@ def asof_join_frame(ds, ts_col: str, key_col: str, value_col: str,
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("key").map_groups(grp, batch_format="pyarrow"))
+
+
+def interval_label_frame(ds, intervals: list[tuple[int, int, str]],
+                         ts_col: str = "ts", id_col: str = "event_id",
+                         value_col: str = "value"):
+    """Range (interval) join: label every event with the interval
+    ``[start_ms, end_ms)`` it falls into (None outside all).  Intervals
+    must be non-overlapping; they are driver-small, so the join is a
+    BROADCAST — sorted starts captured in the closure, one vectorized
+    ``searchsorted`` per batch, zero shuffle (the 100 TB-safe shape for
+    small range dims; contrast the shuffle as-of join above).
+    Oracle: SQL inequality join.  Output: (event_id, ts_ms, value 6dp,
+    interval_label)."""
+    import pyarrow.compute as pc
+
+    from logtrics_ray.pipelines.table_rollup import _round6
+
+    iv = sorted(intervals)
+    starts = np.array([s for s, _, _ in iv], dtype=np.int64)
+    ends = np.array([e for _, e, _ in iv], dtype=np.int64)
+    labels = np.array([l for _, _, l in iv], dtype=object)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks() if isinstance(
+            t[ts_col], pa.ChunkedArray) else t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts_i = pc.cast(ts, pa.int64())
+            ts_ms = (pc.divide(ts_i, 1000) if ts.type.unit == "us"
+                     else ts_i).to_numpy()
+        else:
+            ts_ms = pc.cast(ts, pa.int64()).to_numpy()
+        idx = np.searchsorted(starts, ts_ms, side="right") - 1
+        ok = (idx >= 0) & (ts_ms < ends[np.clip(idx, 0, None)])
+        lab = np.where(ok, labels[np.clip(idx, 0, None)], None)
+        return pa.Table.from_arrays([
+            pc.cast(t[id_col], pa.int64()),
+            pa.array(ts_ms, pa.int64()),
+            pa.array(_round6(t[value_col].to_numpy(zero_copy_only=False)),
+                     pa.float64()),
+            pa.array(lab.tolist(), pa.string()),
+        ], names=["event_id", "ts_ms", "value", "interval_label"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
