@@ -514,6 +514,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  columns=["event_id", "ts", "value"])
         return interval_label_frame(ds, INTERVALS)
 
+    def q_anomaly(sf_dir):
+        """Rolling z-score anomaly detection over the 1h tier: baseline =
+        previous 24 windows' counts, exact int64 rolling sums, so the SQL
+        window-frame replay is bit-identical."""
+        from logtrics_ray.stages.analytics import anomaly_frame
+        return anomaly_frame(_events_core(sf_dir, HOUR_MS), k=24)
+
+    def q_lttb(sf_dir):
+        """LTTB downsample of each series' 1m count curve to 24 points —
+        exact-int triangle areas (area scaled by the next bucket's count),
+        replayed in SQL as unrolled per-bucket argmax CTE stages."""
+        from logtrics_ray.stages.analytics import lttb_frame
+        return lttb_frame(_events_core(sf_dir, MIN_MS), n_out=24)
+
     def q_multimodal(sf_dir):
         """REAL decode kernels (PPM + PNG + WAV, stdlib/numpy only):
         features from actual pixel/sample planes, oracle-replayed by SQL
@@ -600,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "events_asof_view_click": q_asof,
         "events_interval_label": q_interval_label,
+        "events_anomaly_3sigma_1h": q_anomaly,
+        "events_lttb_1m_24": q_lttb,
         "multimodal_decode": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_frame_sample,
@@ -904,6 +920,11 @@ def _ewma_1m_sql() -> str:
            round(max(CASE WHEN tau = 300 THEN y END), 6) AS ewma_300s,
            round(max(CASE WHEN tau = 900 THEN y END), 6) AS ewma_900s
     FROM y GROUP BY 1, 2, 3"""
+
+
+def _lttb_sql(width_ms: int, n_out: int) -> str:
+    from logtrics_ray.stages.analytics import lttb_oracle_sql
+    return lttb_oracle_sql(width_ms, n_out)
 
 
 def _media_feature_sql(d: str) -> str:
@@ -1585,6 +1606,36 @@ def oracle_sql() -> dict[str, str]:
                    round(ev.value, 6) AS value, iv.lab AS interval_label
             FROM events ev LEFT JOIN iv
               ON epoch_ms(ev.ts) >= iv.s AND epoch_ms(ev.ts) < iv.e""",
+        "events_anomaly_3sigma_1h": f"""
+            WITH agg AS (
+              SELECT event_type AS series_key,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            roll AS (
+              SELECT series_key, window_start, n,
+                     sum(n)     OVER fr AS s,
+                     sum(n * n) OVER fr AS q,
+                     count(*)   OVER fr AS m
+              FROM agg
+              WINDOW fr AS (PARTITION BY series_key ORDER BY window_start
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+            SELECT series_key, window_start, n,
+              CASE WHEN m >= 24 THEN round(s / 24.0, 6) END AS mean_prev,
+              CASE WHEN m >= 24
+                   THEN round(sqrt((24*q - s*s) / (24.0*23.0)), 6)
+              END AS std_prev,
+              CASE WHEN m >= 24 AND (24*q - s*s) > 0
+                   THEN round((n - s/24.0)
+                              / sqrt((24*q - s*s)/(24.0*23.0)), 6)
+              END AS z,
+              CASE WHEN m < 24 THEN NULL
+                   WHEN (24*q - s*s) = 0 THEN (CAST(n AS DOUBLE) != s/24.0)
+                   ELSE abs((n - s/24.0)
+                            / sqrt((24*q - s*s)/(24.0*23.0))) > 3.0
+              END AS is_anomaly
+            FROM roll""",
+        "events_lttb_1m_24": _lttb_sql(MIN_MS, 24),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),
         # frame-sample replay: features of the SAMPLED frames recomputed

@@ -1,0 +1,296 @@
+"""Tier analytics: rolling z-score anomaly detection and LTTB downsampling.
+
+Both operate on rollup-tier rows (the engine's core output), bucket-major
+(one ``map_groups`` call per scan bucket, segmented numpy inside — never
+one Python call per series), and both are designed for hash-exact DuckDB
+replay:
+
+- ``anomaly_frame`` keeps the rolling baseline in the INTEGER domain
+  (exact cumsums of window counts and squared counts), so the mean /
+  sample-variance / z expressions are single float expressions over
+  exact ints — bit-identical to the SQL window-sum replay.
+- ``lttb_frame`` scales the LTTB triangle area by the next bucket's
+  point count, eliminating the anchor-average division: the area
+  comparison is EXACT int64 arithmetic, so the argmax (tiebreak:
+  smallest x) is decidable without float ties on both sides.
+
+Reference provenance: the reference engine downsamples only by
+re-bucketing (metrics.go tick flush); visual-fidelity downsampling
+(LTTB) and baseline alerting are the round-3 additions a Graphite-class
+rollup store pairs with these tiers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from logtrics_ray.pipelines.table_rollup import _segments, _with_scan_bucket
+
+
+def anomaly_frame(core_ds, k: int = 24):
+    """Rolling z-score ANOMALY DETECTION over a rollup tier.
+
+    Per series over PRESENT windows sorted ascending, the baseline for
+    each window is the previous ``k`` windows' event counts — a row
+    frame, exactly SQL's ``ROWS BETWEEN k PRECEDING AND 1 PRECEDING``:
+
+        S = sum(n), Q = sum(n*n)            (exact int64 rolling sums)
+        mean = S / k
+        var  = (k*Q - S*S) / (k*(k-1))      (sample variance)
+        z    = (n - mean) / sqrt(var)
+
+    Rows with fewer than ``k`` predecessors emit NULL baseline and no
+    flag; a zero-variance baseline flags any departure from it.
+    ``is_anomaly`` is decided on the UNROUNDED z (|z| > 3); published
+    floats are rounded to 6dp.
+
+    Output: (series_key, window_start, n, mean_prev, std_prev, z,
+    is_anomaly).
+    """
+    from logtrics_ray.pipelines.table_rollup import _round6
+    kf = float(k)
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()[order]
+        n = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        sz = n.size
+        idx = np.arange(sz, dtype=np.int64)
+        seg_of = (np.searchsorted(starts, idx, side="right") - 1
+                  if sz else idx)
+        pos = idx - (starts[seg_of] if sz else idx)
+        c1 = np.concatenate(([0], np.cumsum(n)))
+        c2 = np.concatenate(([0], np.cumsum(n * n)))
+        full = pos >= k                     # has a complete k-row baseline
+        # exact rolling sums over the k rows preceding row i (i-k .. i-1);
+        # rows whose lookback would cross into the previous segment all
+        # have pos < k and are masked by ``full``, so S/Q stay in-segment.
+        S = c1[idx] - c1[np.maximum(idx - k, 0)]
+        Q = c2[idx] - c2[np.maximum(idx - k, 0)]
+        mean = np.where(full, S / kf, np.nan)
+        num = (k * Q - S * S).astype(np.float64)
+        var = np.where(full, num / (kf * (k - 1)), np.nan)
+        std = np.sqrt(var)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(full & (num > 0), (n - mean) / std, np.nan)
+        flag = np.where(
+            num > 0, np.abs(z) > 3.0, n.astype(np.float64) != mean)
+        series = np.repeat(labels["series_key"], np.diff(bounds)) \
+            if sz else np.array([], dtype=object)
+        zmask = ~(full & (num > 0))
+        return pa.Table.from_arrays([
+            pa.array(series, pa.string()),
+            pa.array(w, pa.int64()),
+            pa.array(n, pa.int64()),
+            pa.array(np.ma.masked_array(_round6(mean), ~full), pa.float64()),
+            pa.array(np.ma.masked_array(_round6(std), ~full), pa.float64()),
+            pa.array(np.ma.masked_array(_round6(z), zmask), pa.float64()),
+            pa.array(np.ma.masked_array(flag, ~full), pa.bool_()),
+        ], names=["series_key", "window_start", "n", "mean_prev",
+                  "std_prev", "z", "is_anomaly"])
+
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def lttb_frame(core_ds, n_out: int = 24):
+    """Largest-Triangle-Three-Buckets DOWNSAMPLE of each series' count
+    curve to ``n_out`` points (the standard visual-fidelity downsampler
+    for time-series UIs; Steinarsson 2013).
+
+    Per series over PRESENT windows sorted ascending, with x = window
+    start (ms, made relative to the series' first window) and
+    y = window count: keep the first and last points, split the N-2
+    interior points into B = n_out-2 index buckets
+    (bucket(i) = (i-1)*B // (N-2) for 0-based interior i), and from each
+    bucket keep the point maximizing the triangle area with the
+    previously KEPT point and the next bucket's centroid (the last point
+    for the final bucket).  Series with N <= n_out pass through whole.
+
+    The area comparison is exact int64: with the next bucket's count m
+    and coordinate sums (Sx, Sy),
+
+        m * area ~ |(m*px - Sx)*(cy - py) - (px - cx)*(Sy - m*py)|
+
+    so the argmax (tiebreak: smallest x) is float-free and the DuckDB
+    unrolled-CTE replay is bit-identical.  The B-step recurrence runs as
+    a loop over buckets VECTORIZED ACROSS ALL SERIES of the scan bucket
+    (state = one (px, py) pair per series), not per series.
+
+    Output: (series_key, rank, window_start, n) — rank is the selection
+    order (0-based) within the series.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    B = n_out - 2
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()[order]
+        y = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        nseg = starts.size
+        lens = np.diff(bounds)
+        x = w - (np.repeat(w[starts], lens) if nseg else w)  # relative ms
+
+        sel_rows: list[np.ndarray] = []   # absolute row indices kept
+        sel_rank: list[np.ndarray] = []
+
+        # small series (N <= n_out) pass through whole
+        small = lens <= n_out
+        if small.any():
+            s_st, s_len = starts[small], lens[small]
+            tot = int(s_len.sum())
+            base = np.repeat(s_st, s_len)
+            within = np.arange(tot) - np.repeat(np.cumsum(s_len) - s_len,
+                                                s_len)
+            sel_rows.append(base + within)
+            sel_rank.append(within)
+
+        big = ~small
+        if big.any():
+            b_st = starts[big]                    # segment start rows
+            b_len = lens[big]
+            M = b_len - 2                         # interior point count
+            last = b_st + b_len - 1
+            # exact prefix sums of interior coords for bucket centroids
+            c1x = np.concatenate(([0], np.cumsum(x)))
+            c1y = np.concatenate(([0], np.cumsum(y)))
+            # state: previously kept point per big segment
+            px, py = x[b_st].copy(), y[b_st].copy()
+            picks = np.empty((B, b_st.size), dtype=np.int64)
+            for b in range(B):
+                # absolute candidate range of bucket b per segment; CEIL
+                # boundaries — the partition induced by the per-point
+                # formula bucket(j) = (j*B)//M used in the SQL replay
+                lo = b_st + 1 + (b * M + B - 1) // B
+                hi = b_st + 1 + ((b + 1) * M + B - 1) // B
+                # anchor = next bucket's (m, Sx, Sy), or the last point
+                if b + 1 < B:
+                    alo = b_st + 1 + ((b + 1) * M + B - 1) // B
+                    ahi = b_st + 1 + ((b + 2) * M + B - 1) // B
+                    m = ahi - alo
+                    Sx = c1x[ahi] - c1x[alo]
+                    Sy = c1y[ahi] - c1y[alo]
+                else:
+                    m = np.ones_like(b_st)
+                    Sx, Sy = x[last], y[last]
+                L = hi - lo
+                seg_id = np.repeat(np.arange(b_st.size), L)
+                within = np.arange(int(L.sum())) - np.repeat(
+                    np.cumsum(L) - L, L)
+                cand = np.repeat(lo, L) + within
+                area = np.abs(
+                    (m[seg_id] * px[seg_id] - Sx[seg_id]) * (y[cand] - py[seg_id])
+                    - (px[seg_id] - x[cand]) * (Sy[seg_id] - m[seg_id] * py[seg_id]))
+                # per-segment argmax, tiebreak smallest x == first in scan
+                # order (cand ascending): lexsort seg asc, area desc, cand asc
+                o = np.lexsort((cand, -area, seg_id))
+                first = np.zeros(o.size, dtype=bool)
+                first[np.flatnonzero(np.diff(seg_id[o], prepend=-1))] = True
+                win = cand[o][first]
+                picks[b] = win
+                px, py = x[win], y[win]
+            # assemble: first, B picks, last — already in rank order
+            rows = np.concatenate(
+                [b_st[None, :], picks, last[None, :]], axis=0)
+            sel_rows.append(rows.T.ravel())
+            sel_rank.append(np.tile(np.arange(n_out, dtype=np.int64),
+                                    b_st.size))
+
+        rows = (np.concatenate(sel_rows) if sel_rows
+                else np.array([], dtype=np.int64))
+        rank = (np.concatenate(sel_rank) if sel_rank
+                else np.array([], dtype=np.int64))
+        seg_of = (np.searchsorted(starts, rows, side="right") - 1
+                  if rows.size else rows)
+        series = (labels["series_key"][seg_of] if rows.size
+                  else np.array([], dtype=object))
+        return pa.Table.from_arrays([
+            pa.array(series, pa.string()),
+            pa.array(rank, pa.int64()),
+            pa.array(w[rows], pa.int64()),
+            pa.array(y[rows], pa.int64()),
+        ], names=["series_key", "rank", "window_start", "n"])
+
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def lttb_oracle_sql(width_ms: int, n_out: int = 24, k_table: str = "events",
+                    key_col: str = "event_type", ts_col: str = "ts") -> str:
+    """Unrolled-CTE DuckDB replay of ``lttb_frame`` (exact int arithmetic).
+
+    One (max-area, min-x, join-back) CTE triple per interior bucket —
+    B = n_out-2 stages, generated textually.  Series with N <= n_out
+    pass through; the big-series branch replays the recurrence exactly.
+    """
+    B = n_out - 2
+    parts = [f"""
+    agg AS MATERIALIZED (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             count(*)::BIGINT AS y
+      FROM {k_table} GROUP BY 1, 2),
+    pts AS MATERIALIZED (
+      SELECT sk, w, y,
+             w - min(w) OVER (PARTITION BY sk) AS x,
+             row_number() OVER (PARTITION BY sk ORDER BY w) - 1 AS i,
+             count(*) OVER (PARTITION BY sk) AS nn
+      FROM agg),
+    small AS (
+      SELECT sk, i AS rank, w AS window_start, y AS n FROM pts
+      WHERE nn <= {n_out}),
+    interior AS MATERIALIZED (
+      SELECT sk, x, y, w, ((i - 1) * {B}) // (nn - 2) AS b
+      FROM pts WHERE nn > {n_out} AND i >= 1 AND i <= nn - 2),
+    lastpt AS (
+      SELECT sk, x, y, w FROM pts WHERE nn > {n_out} AND i = nn - 1),
+    firstpt AS (
+      SELECT sk, x, y, w FROM pts WHERE nn > {n_out} AND i = 0),
+    bstat AS (
+      SELECT sk, b, count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy
+      FROM interior GROUP BY 1, 2),
+    anchors AS MATERIALIZED (
+      SELECT sk, b - 1 AS b, m, sx, sy FROM bstat WHERE b >= 1
+      UNION ALL
+      SELECT sk, {B - 1}, 1::BIGINT, x, y FROM lastpt),
+    sel0 AS MATERIALIZED (SELECT sk, x AS px, y AS py FROM firstpt)"""]
+    for b in range(B):
+        parts.append(f"""
+    cand{b} AS MATERIALIZED (
+      SELECT i.sk, i.x, i.y,
+             abs((a.m * s.px - a.sx) * (i.y - s.py)
+                 - (s.px - i.x) * (a.sy - a.m * s.py)) AS area
+      FROM interior i
+      JOIN sel{b} s USING (sk)
+      JOIN anchors a ON a.sk = i.sk AND a.b = {b}
+      WHERE i.b = {b}),
+    pick{b} AS MATERIALIZED (
+      SELECT c.sk, min(c.x) AS px
+      FROM cand{b} c
+      JOIN (SELECT sk, max(area) AS ma FROM cand{b} GROUP BY 1) mx
+        ON mx.sk = c.sk AND c.area = mx.ma
+      GROUP BY 1),
+    sel{b + 1} AS MATERIALIZED (
+      SELECT p.sk, p.px, i.y AS py, i.w
+      FROM pick{b} p JOIN interior i ON i.sk = p.sk AND i.x = p.px)""")
+    picks_union = "\n      UNION ALL\n".join(
+        f"      SELECT sk, {b + 1} AS rank, w AS window_start, py AS n "
+        f"FROM sel{b + 1}" for b in range(B))
+    return ("WITH" + ",".join(parts) + f"""
+    SELECT sk AS series_key, rank, window_start, n FROM small
+    UNION ALL
+    SELECT sk AS series_key, 0 AS rank, w AS window_start, y AS n
+    FROM firstpt
+    UNION ALL
+{picks_union}
+    UNION ALL
+    SELECT sk AS series_key, {n_out - 1} AS rank, w AS window_start,
+           y AS n
+    FROM lastpt""")

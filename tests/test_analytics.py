@@ -1,0 +1,128 @@
+"""Tier analytics: rolling z-score anomaly detection + LTTB downsample.
+
+Both are checked against INDEPENDENT scalar references (pandas rolling /
+the classic float LTTB loop), not against the engine's own kernels; the
+DuckDB replays are additionally gated by the driver via oracle_sql().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from logtrics_ray.stages.analytics import anomaly_frame, lttb_frame
+
+
+def _core_table(series: dict[str, tuple[np.ndarray, np.ndarray]]) -> pa.Table:
+    """{series_key: (window_starts, counts)} -> minimal core-rollup rows."""
+    sk, w, n = [], [], []
+    for key, (ws, cnt) in series.items():
+        sk += [key] * len(ws)
+        w.append(np.asarray(ws, dtype=np.int64))
+        n.append(np.asarray(cnt, dtype=np.int64))
+    return pa.Table.from_arrays([
+        pa.array(sk, pa.string()),
+        pa.array(["gauge"] * len(sk), pa.string()),
+        pa.array(np.concatenate(w), pa.int64()),
+        pa.array(np.concatenate(n), pa.int64()),
+    ], names=["series_key", "metric_type", "window_start", "count"])
+
+
+def test_anomaly_frame_matches_pandas_rolling(ray_session):
+    rng = np.random.default_rng(7)
+    series = {}
+    for key, sz in (("a", 120), ("b", 40), ("tiny", 5)):
+        ws = np.arange(sz, dtype=np.int64) * 3_600_000
+        cnt = rng.integers(50, 60, sz)
+        cnt[max(sz // 2, min(30, sz - 1))] = 500  # spike after full baseline
+        # (the 'tiny' series never accumulates one — must never flag)
+        series[key] = (ws, cnt)
+    # constant-baseline series: var == 0, departures must still flag
+    series["flat"] = (np.arange(30, dtype=np.int64) * 3_600_000,
+                      np.r_[np.full(29, 7), 9])
+    k = 24
+    got = anomaly_frame(rd.from_arrow(_core_table(series)), k=k).to_pandas()
+    got = got.sort_values(["series_key", "window_start"]).reset_index(drop=True)
+
+    for key, (ws, cnt) in series.items():
+        g = got[got.series_key == key].reset_index(drop=True)
+        assert list(g.window_start) == list(ws)
+        s = pd.Series(cnt, dtype="float64")
+        mean = s.shift(1).rolling(k).mean()
+        std = s.shift(1).rolling(k).std(ddof=1)
+        for i in range(len(ws)):
+            if i < k:
+                assert pd.isna(g.mean_prev[i]) and pd.isna(g.is_anomaly[i])
+                continue
+            assert g.mean_prev[i] == pytest.approx(mean[i], abs=1e-6)
+            assert g.std_prev[i] == pytest.approx(std[i], abs=1e-6)
+            if std[i] > 0:
+                z = (cnt[i] - mean[i]) / std[i]
+                assert g.z[i] == pytest.approx(z, abs=1e-6)
+                assert bool(g.is_anomaly[i]) == (abs(z) > 3)
+            else:
+                assert pd.isna(g.z[i])
+                assert bool(g.is_anomaly[i]) == (cnt[i] != mean[i])
+    # the planted spikes flag, and only after a full baseline exists
+    flagged = got[got.is_anomaly.fillna(False).astype(bool)]
+    assert {"a", "b", "flat"} <= set(flagged.series_key)
+    assert "tiny" not in set(flagged.series_key)
+
+
+def _lttb_reference(x: np.ndarray, y: np.ndarray, n_out: int) -> list[int]:
+    """Classic FLOAT LTTB (Steinarsson 2013), same bucket convention
+    (bucket(j) = j*B // M over interior points) and first-max tiebreak —
+    an independent scalar re-derivation of the vectorized int kernel."""
+    N = len(x)
+    if N <= n_out:
+        return list(range(N))
+    B = n_out - 2
+    M = N - 2
+    bucket = [(j * B) // M for j in range(M)]           # of interior j
+    sel = [0]
+    prev = 0
+    for b in range(B):
+        members = [j + 1 for j in range(M) if bucket[j] == b]
+        nxt = [j + 1 for j in range(M) if bucket[j] == b + 1] or [N - 1]
+        ax = float(np.mean([x[j] for j in nxt]))
+        ay = float(np.mean([y[j] for j in nxt]))
+        best, best_area = None, -1.0
+        for j in members:
+            area = abs((x[prev] - ax) * (y[j] - y[prev])
+                       - (x[prev] - x[j]) * (ay - y[prev]))
+            if area > best_area:
+                best, best_area = j, area
+        sel.append(best)
+        prev = best
+    sel.append(N - 1)
+    return sel
+
+
+def test_lttb_frame_matches_scalar_reference(ray_session):
+    rng = np.random.default_rng(11)
+    series = {}
+    expect = {}
+    for key, sz in (("big", 300), ("mid", 57), ("edge", 25), ("small", 9)):
+        ws = (np.sort(rng.choice(100_000, sz, replace=False)).astype(np.int64)
+              * 60_000)
+        cnt = rng.integers(1, 1000, sz).astype(np.int64)
+        series[key] = (ws, cnt)
+        idx = _lttb_reference(ws - ws[0], cnt, 24)
+        expect[key] = [(int(ws[i]), int(cnt[i])) for i in idx]
+    got = lttb_frame(rd.from_arrow(_core_table(series)), n_out=24).to_pandas()
+    for key in series:
+        g = got[got.series_key == key].sort_values("rank")
+        assert list(g["rank"]) == list(range(len(expect[key])))
+        assert [(int(a), int(b)) for a, b in zip(g.window_start, g.n)] \
+            == expect[key]
+    # downsampled size: min(N, n_out) points per series
+    assert len(got) == 24 + 24 + 24 + 9
+
+
+def test_lttb_frame_rejects_tiny_n_out(ray_session):
+    with pytest.raises(ValueError):
+        lttb_frame(rd.from_arrow(_core_table({"a": ([0], [1])})), n_out=2)
