@@ -202,6 +202,30 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_purge(args) -> int:
+    """Retention purge: drop windows older than the cutoff from a stored
+    tier (storage-level filter; see storage.purge_tier)."""
+    from logtrics_ray.stages.storage import purge_tier
+    from logtrics_ray.state.manifest import load_manifests
+    if (args.cutoff_ms is None) == (args.keep_ms is None):
+        print("purge: give exactly one of --cutoff-ms / --keep-ms",
+              file=sys.stderr)
+        return 2
+    cutoff = args.cutoff_ms
+    if cutoff is None:
+        maxes = [m["window_max"] for m in load_manifests(args.out, args.tier)
+                 if m.get("window_max") is not None]
+        if not maxes:
+            print(json.dumps({"tier": args.tier, "kept": 0, "emptied": 0,
+                              "rewritten": 0}))
+            return 0
+        cutoff = max(maxes) - args.keep_ms
+    _ensure_ray(args.num_cpus)
+    res = purge_tier(args.out, args.tier, cutoff)
+    print(json.dumps(dict(res, tier=args.tier, cutoff_ms=cutoff)))
+    return 0
+
+
 def cmd_listen(args) -> int:
     """Push-ingest edge daemon: no Ray session — it only writes shard
     files; a separate `watch` (or batch `run`) consumes the spool."""
@@ -284,6 +308,18 @@ def main(argv=None) -> int:
     i.add_argument("--tier", default="1m")
     i.add_argument("--num-cpus", type=int, default=None)
     i.set_defaults(fn=cmd_inspect)
+
+    pg = sub.add_parser(
+        "purge", help="retention purge: drop windows older than a cutoff "
+                      "from a stored tier (manifest-driven, idempotent)")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--tier", default="1m")
+    pg.add_argument("--cutoff-ms", type=int, default=None,
+                    help="absolute epoch-ms cutoff (drop strictly older)")
+    pg.add_argument("--keep-ms", type=int, default=None,
+                    help="relative: cutoff = max stored window - keep_ms")
+    pg.add_argument("--num-cpus", type=int, default=None)
+    pg.set_defaults(fn=cmd_purge)
 
     ls = sub.add_parser(
         "listen", help="UDP/TCP line listener -> rotating .log shards "

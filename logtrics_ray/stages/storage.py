@@ -168,11 +168,7 @@ class BucketWriter:
         bucket = int(group["bucket"][0].as_py())
         data = group.drop_columns(["bucket"])
         blocks = _encode_blocks(data, self.cfg.block_len)
-        h = hashlib.blake2b(digest_size=8)
-        for i in range(blocks.num_rows):
-            h.update(blocks["series_key"][i].as_py().encode())
-            h.update(np.int64(blocks["window_lo"][i].as_py()).tobytes())
-            h.update(np.int32(blocks["n"][i].as_py()).tobytes())
+        h = _blocks_content_hash(blocks)
 
         def write_files(tmp_dir):
             pq.write_table(blocks, os.path.join(tmp_dir, "blocks.parquet"))
@@ -188,7 +184,7 @@ class BucketWriter:
                       input_tag=self.input_tag, cfg_hash=self.cfg_hash,
                       rows=data.num_rows, series=nseries, blocks=blocks.num_rows,
                       window_min=wmin, window_max=wmax,
-                      content_hash=h.hexdigest()))
+                      content_hash=h))
         return pa.Table.from_pydict(
             dict(tier=[self.tier], bucket=[bucket], rows=[data.num_rows],
                  series=[nseries], blocks=[blocks.num_rows],
@@ -336,3 +332,153 @@ def write_tier_finalized(core_ds, out_dir: str, tier: str, width_ms: int,
 
     return ds.groupby("bucket").map_groups(finalize_write_bucket,
                                            batch_format="pyarrow")
+
+
+def _blocks_content_hash(blocks: pa.Table) -> str:
+    """Stable per-partition content hash over (series, window_lo, n) of
+    every block row — shared by the writer and the retention purge so a
+    purged partition's manifest hash validates the same way."""
+    h = hashlib.blake2b(digest_size=8)
+    for i in range(blocks.num_rows):
+        h.update(blocks["series_key"][i].as_py().encode())
+        h.update(np.int64(blocks["window_lo"][i].as_py()).tobytes())
+        h.update(np.int32(blocks["n"][i].as_py()).tobytes())
+    return h.hexdigest()
+
+
+def _truncate_straddling_block(blocks: pa.Table, i: int,
+                               cutoff_ms: int) -> dict | None:
+    """Re-encode the kept SUFFIX of one block that straddles the cutoff
+    (windows are ascending inside a block, so the keep-set is a suffix).
+    Returns the new block row dict, or None if nothing survives."""
+    w = gorilla.decode_timestamps(blocks["b_ts"][i].as_py())
+    keep = w >= cutoff_ms
+    k = int(keep.sum())
+    if k == 0:
+        return None
+    row = {
+        "series_key": blocks["series_key"][i].as_py(),
+        "metric_type": blocks["metric_type"][i].as_py(),
+        "window_lo": int(w[keep][0]),
+        "window_hi": int(blocks["window_hi"][i].as_py()),
+        "n": k,
+        "b_ts": gorilla.encode_timestamps(w[keep]),
+        "b_gap": gorilla.encode_bools(
+            gorilla.decode_bools(blocks["b_gap"][i].as_py())[keep]),
+    }
+    for c in VALUE_COLS:
+        row[f"b_{c}"] = gorilla.encode_floats(
+            gorilla.decode_floats(blocks[f"b_{c}"][i].as_py())[keep])
+    return row
+
+
+def _purge_partition(out_dir: str, tier: str, bucket: int, cutoff_ms: int,
+                     manifest: dict) -> dict:
+    """Rewrite one straddling partition in place (atomic swap): blocks
+    wholly past the cutoff are dropped, blocks wholly inside are kept
+    BYTE-VERBATIM (no decode), the one straddling block per series is
+    suffix-re-encoded; ``core.parquet`` (incremental partial state) is
+    row-filtered the same way.  The manifest keeps its lineage fields
+    (input_tag / cfg_hash / input_files) and refreshes rows / series /
+    blocks / window range / content_hash."""
+    from logtrics_ray.state import manifest as M
+    pdir = M.partition_dir(out_dir, tier, bucket)
+    blocks = pq.read_table(os.path.join(pdir, "blocks.parquet"))
+    lo = blocks["window_lo"].to_numpy()
+    hi = blocks["window_hi"].to_numpy()
+    keep_whole = lo >= cutoff_ms
+    straddle = (lo < cutoff_ms) & (hi >= cutoff_ms)
+    parts = [blocks.filter(pa.array(keep_whole))]
+    for i in np.flatnonzero(straddle):
+        row = _truncate_straddling_block(blocks, int(i), cutoff_ms)
+        if row is not None:
+            parts.append(pa.Table.from_pylist([row], schema=BLOCK_SCHEMA))
+    new_blocks = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+    core_path = os.path.join(pdir, "core.parquet")
+    new_core = None
+    if os.path.isfile(core_path):
+        core = pq.read_table(core_path)
+        new_core = core.filter(
+            pa.compute.greater_equal(core["window_start"], cutoff_ms))
+
+    def write_files(tmp_dir):
+        pq.write_table(new_blocks, os.path.join(tmp_dir, "blocks.parquet"))
+        if new_core is not None:
+            pq.write_table(new_core, os.path.join(tmp_dir, "core.parquet"))
+
+    rows = int(pa.compute.sum(new_blocks["n"]).as_py() or 0)
+    meta = {k: v for k, v in manifest.items()
+            if k not in ("rows", "series", "blocks", "window_min",
+                         "window_max", "content_hash", "tier", "bucket")}
+    meta.update(
+        rows=rows,
+        series=len(set(new_blocks["series_key"].to_pylist())),
+        blocks=new_blocks.num_rows,
+        window_min=(int(pa.compute.min(new_blocks["window_lo"]).as_py())
+                    if new_blocks.num_rows else None),
+        window_max=(int(pa.compute.max(new_blocks["window_hi"]).as_py())
+                    if new_blocks.num_rows else None),
+        content_hash=_blocks_content_hash(new_blocks))
+    return M.write_partition(out_dir, tier, bucket, write_files, meta)
+
+
+def purge_tier(out_dir: str, tier: str, cutoff_ms: int,
+               parallel: bool = True) -> dict:
+    """RETENTION PURGE of a persisted tier: delete every window strictly
+    older than ``cutoff_ms`` from storage — a storage-level row filter,
+    never a recompute (history-bearing columns like cumulative/EWMA keep
+    the values they were computed with; only their expired rows vanish).
+
+    Manifest-driven three-way split, so re-running is an O(manifests)
+    no-op (idempotent):
+
+    - ``window_min >= cutoff`` (or empty): fully live — untouched.
+    - ``window_max <  cutoff``: fully expired — becomes a rows=0
+      partition (atomic swap) that KEEPS its lineage meta, so resume /
+      incremental append still sees the bucket as complete.
+    - straddling: block-level surgery via ``_purge_partition`` — only
+      the straddling block per series is ever decoded.
+
+    Rewrites fan out as Ray tasks (one per affected bucket; partitions
+    live on storage every worker can reach — same assumption as the
+    writer).  Returns {"kept": n, "emptied": n, "rewritten": n}.
+    """
+    import ray
+    from logtrics_ray.state import manifest as M
+
+    work: list[tuple[int, dict, bool]] = []   # (bucket, manifest, full_drop)
+    kept = 0
+    for m in M.load_manifests(out_dir, tier):
+        wmin, wmax = m.get("window_min"), m.get("window_max")
+        if wmin is None or wmin >= cutoff_ms:
+            kept += 1
+        elif wmax < cutoff_ms:
+            work.append((int(m["bucket"]), m, True))
+        else:
+            work.append((int(m["bucket"]), m, False))
+
+    def one(bucket: int, manifest: dict, full_drop: bool) -> bool:
+        if full_drop:
+            meta = {k: v for k, v in manifest.items()
+                    if k not in ("rows", "series", "blocks", "window_min",
+                                 "window_max", "content_hash", "tier",
+                                 "bucket")}
+            has_core = os.path.isfile(os.path.join(
+                M.partition_dir(out_dir, tier, bucket), "core.parquet"))
+            write_empty_partition(out_dir, tier, bucket,
+                                  EngineConfig(), manifest["input_tag"],
+                                  manifest["cfg_hash"], extra_meta=meta,
+                                  write_core=has_core)
+        else:
+            _purge_partition(out_dir, tier, bucket, cutoff_ms, manifest)
+        return full_drop
+
+    if parallel and work:
+        rtask = ray.remote(num_cpus=1)(one)
+        results = ray.get([rtask.remote(*wk) for wk in work])
+    else:
+        results = [one(*wk) for wk in work]
+    emptied = sum(1 for r in results if r)
+    return {"kept": kept, "emptied": emptied,
+            "rewritten": len(results) - emptied}

@@ -245,3 +245,63 @@ def test_append_watch_cfg_mismatch_warns(tmp_path, capsys):
     assert "WARNING" not in capsys.readouterr().err     # match -> silent
     cli._warn_cfg_mismatch(out, EngineConfig(salt_buckets=16), rules)
     assert "does not match" in capsys.readouterr().err  # mismatch -> warn
+
+
+def test_purge_tier_filters_storage_bit_exact(t1_dir, tmp_path):
+    """Retention purge == row filter of the stored tier, bit-for-bit:
+    straddling blocks suffix-re-encode exactly, fully-expired partitions
+    become rows=0 tombstones that keep lineage, re-purge is a no-op, and
+    the incremental core partials filter consistently."""
+    import os
+
+    import numpy as np
+
+    out = str(tmp_path / "pg")
+    run(t1_dir, out)
+    before = storage.read_tier(out, "1h").to_pandas()
+    ws = np.sort(before["window_start"].unique())
+    assert len(ws) > 10
+    cutoff = int(ws[len(ws) // 2]) + 1          # mid-range, off-boundary
+
+    res = storage.purge_tier(out, "1h", cutoff)
+    assert res["rewritten"] > 0
+    after = storage.read_tier(out, "1h").to_pandas()
+    want = before[before.window_start >= cutoff].reset_index(drop=True)
+    key = ["series_key", "metric_type", "window_start"]
+    assert_frames_identical(want.sort_values(key).reset_index(drop=True),
+                            after.sort_values(key).reset_index(drop=True),
+                            msg="purge == stored-row filter")
+
+    # manifests: consistent ranges/rows, lineage preserved
+    rows = 0
+    for m in M.load_manifests(out, "1h"):
+        assert m["cfg_hash"] and m["input_tag"]
+        if m["window_min"] is not None:
+            assert m["window_min"] >= cutoff
+        rows += m["rows"]
+        core = os.path.join(M.partition_dir(out, "1h", m["bucket"]),
+                            "core.parquet")
+        if os.path.isfile(core):
+            import pyarrow.parquet as pq
+            t = pq.read_table(core)
+            assert (t.num_rows == 0
+                    or pa_min(t["window_start"]) >= cutoff)
+    assert rows == len(after)
+
+    # idempotent: second purge touches nothing
+    res2 = storage.purge_tier(out, "1h", cutoff)
+    assert res2 == {"kept": res["kept"] + res["emptied"] + res["rewritten"],
+                    "emptied": 0, "rewritten": 0}
+
+    # purge-everything: all partitions become lineage-keeping tombstones
+    res3 = storage.purge_tier(out, "1h", int(ws[-1]) + 1)
+    assert res3["kept"] + res3["emptied"] + res3["rewritten"] \
+        == res["kept"] + res["emptied"] + res["rewritten"]
+    assert len(storage.read_tier(out, "1h").to_pandas()) == 0
+    assert all(m["rows"] == 0 and m["input_tag"]
+               for m in M.load_manifests(out, "1h"))
+
+
+def pa_min(col):
+    import pyarrow.compute as pc
+    return pc.min(col).as_py()
