@@ -14,6 +14,7 @@ source if complete in every tier, and per tier at the write.
 from __future__ import annotations
 
 import os
+import time
 
 import pyarrow as pa
 import ray.data as rd
@@ -68,6 +69,28 @@ def build_core_tiers(points_ds, cfg: EngineConfig, two_phase: bool = True,
     return core
 
 
+def _record_metrics(out_dir: str, cfg: EngineConfig, mode: str,
+                    input_tag: str, cfg_hash: str, t0: float, results: dict,
+                    resumed: dict | None = None, stats: str | None = None,
+                    extra: dict | None = None) -> None:
+    """Persist the run-level metrics artifact (_RUN_METRICS.json): wall
+    time, per-tier totals from the manifests, resume accounting and the
+    Ray Data per-operator stats text of the final execution."""
+    from logtrics_ray.state import runmeta
+    payload = {
+        "mode": mode, "exchange": cfg.exchange,
+        "input_tag": input_tag, "cfg_hash": cfg_hash,
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "tiers": runmeta.tier_totals(results),
+        "resumed_buckets": {t: len(b) for t, b in (resumed or {}).items()},
+    }
+    if extra:
+        payload.update(extra)
+    if stats:
+        payload["ray_stats"] = stats
+    runmeta.write_run_metrics(out_dir, payload)
+
+
 def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
         rules: tuple[RuleSpec, ...] | None = None, two_phase: bool = True,
         input_tag: str | None = None, resume: bool = True,
@@ -83,6 +106,7 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     if mode == "fused":
         return run_fused(input_path, out_dir, cfg=cfg, rules=rules,
                          input_tag=input_tag, resume=resume)
+    t0 = time.perf_counter()
     cfg = cfg or EngineConfig()
     rules = rules or default_rules()
     input_tag = input_tag or input_path
@@ -93,7 +117,10 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     done_everywhere = set.intersection(*done.values()) if done else set()
     all_buckets = set(range(cfg.series_buckets))
     if done_everywhere >= all_buckets:
-        return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+        results = {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+        _record_metrics(out_dir, cfg, "staged(resume-complete)", input_tag,
+                        cfg_hash, t0, results, resumed=done)
+        return results
 
     ds = read_token_table(input_path)
     points = extract_points(ds, rules, cfg)
@@ -148,6 +175,9 @@ def run(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
                                       cfg_hash)
     for tier in cfg.tiers:
         results[tier] = M.load_manifests(out_dir, tier)
+    _record_metrics(out_dir, cfg, "staged", input_tag, cfg_hash, t0, results,
+                    resumed=done,
+                    stats=summaries[-1].stats() if summaries else None)
     return results
 
 
@@ -395,6 +425,7 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
               input_tag: str | None = None, resume: bool = True) -> dict:
     """Single-shuffle fused pipeline (the default `run` path).  Same
     output bits, manifests and resume semantics as the staged run()."""
+    t0 = time.perf_counter()
     cfg = cfg or EngineConfig()
     rules = rules or default_rules()
     input_tag = input_tag or input_path
@@ -405,19 +436,22 @@ def run_fused(input_path: str, out_dir: str, cfg: EngineConfig | None = None,
     done_everywhere = set.intersection(*done.values()) if done else set()
     all_buckets = set(range(cfg.series_buckets))
     if done_everywhere >= all_buckets:
-        return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+        results = {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+        _record_metrics(out_dir, cfg, "fused(resume-complete)", input_tag,
+                        cfg_hash, t0, results, resumed=done)
+        return results
 
     # The shuffle-strategy scope must cover dataset CREATION, not just
     # execution: every Dataset snapshots the DataContext when built, and
     # the planner validates key-based repartition against that snapshot.
     with _shuffle_ctx(cfg):
         return _run_fused_body(input_path, out_dir, cfg, rules, input_tag,
-                               cfg_hash, done, done_everywhere)
+                               cfg_hash, done, done_everywhere, t0)
 
 
 def _run_fused_body(input_path: str, out_dir: str, cfg: EngineConfig, rules,
                     input_tag: str, cfg_hash: str, done: dict,
-                    done_everywhere: set) -> dict:
+                    done_everywhere: set, t0: float) -> dict:
     pts = _prep_points(extract_points(read_token_table(input_path), rules, cfg), cfg)
     if done_everywhere:
         skip = pa.array(sorted(done_everywhere), pa.int64())
@@ -478,7 +512,10 @@ def _run_fused_body(input_path: str, out_dir: str, cfg: EngineConfig, rules,
             pts, "sbucket", fused_bucket, cfg, _empty_summary).materialize()
     _fill_empty_buckets(summaries, done, out_dir, cfg, input_tag, cfg_hash,
                         input_files=_input_file_names(input_path))
-    return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+    results = {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+    _record_metrics(out_dir, cfg, "fused", input_tag, cfg_hash, t0, results,
+                    resumed=done, stats=summaries.stats())
+    return results
 
 
 def _fill_empty_buckets(summaries, done: dict[str, set], out_dir: str,
@@ -514,6 +551,7 @@ def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = No
     t-digests merge (accuracy bound unchanged) — asserted in tests.
     """
     import json
+    t0 = time.perf_counter()
     cfg = cfg or EngineConfig()
     rules = rules or default_rules()
     input_tag = input_tag or input_path
@@ -528,18 +566,21 @@ def run_incremental(input_path: str, out_dir: str, cfg: EngineConfig | None = No
     consumed = set.intersection(*per_bucket.values()) if per_bucket else set()
     new_files = [f for f in files if f not in consumed]
     if not new_files:
-        return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+        results = {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+        _record_metrics(out_dir, cfg, "incremental(no-new-shards)",
+                        input_tag, cfg_hash, t0, results)
+        return results
 
     paths = ([os.path.join(input_path, f) for f in new_files]
              if os.path.isdir(input_path) else [input_path])
     with _shuffle_ctx(cfg):   # covers dataset creation AND execution
         return _run_incremental_body(paths, new_files, files, input_path,
                                      out_dir, cfg, rules, input_tag,
-                                     cfg_hash, per_bucket)
+                                     cfg_hash, per_bucket, t0)
 
 
 def _run_incremental_body(paths, new_files, files, input_path, out_dir,
-                          cfg, rules, input_tag, cfg_hash, per_bucket):
+                          cfg, rules, input_tag, cfg_hash, per_bucket, t0):
     import json
     first = cfg.tiers[0]
     ds = rd.read_parquet(paths, columns=["doc_id", "tokens", "n_tok", "source"],
@@ -649,7 +690,10 @@ def _run_incremental_body(paths, new_files, files, input_path, out_dir,
         with open(mpath + ".tmp", "w") as f:
             json.dump(m, f, sort_keys=True)
         os.replace(mpath + ".tmp", mpath)
-    return {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+    results = {t: M.load_manifests(out_dir, t) for t in cfg.tiers}
+    _record_metrics(out_dir, cfg, "incremental", input_tag, cfg_hash, t0,
+                    results, extra={"new_shards": len(new_files)})
+    return results
 
 
 def final_tier_dataset(input_path: str, cfg: EngineConfig | None = None,

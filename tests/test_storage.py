@@ -58,13 +58,16 @@ def test_resume_skips_and_recovers(t1_dir, tmp_path):
     run(t1_dir, out)  # resume
     after = storage.read_tier(out, "1m").to_pandas()
     assert_frames_identical(before, after, msg="resume-after-partial-loss")
-    # full resume: nothing recomputed, manifests stable
+    # full resume: nothing recomputed, manifests stable (_RUN_METRICS is
+    # refreshed by design — it records the resume itself)
     import os
     mt = {p: os.path.getmtime(os.path.join(r, p))
-          for r, _, fs in os.walk(out) for p in fs}
+          for r, _, fs in os.walk(out) for p in fs
+          if not p.startswith("_RUN_METRICS")}
     run(t1_dir, out)
     mt2 = {p: os.path.getmtime(os.path.join(r, p))
-           for r, _, fs in os.walk(out) for p in fs}
+           for r, _, fs in os.walk(out) for p in fs
+           if not p.startswith("_RUN_METRICS")}
     assert mt == mt2
 
 
@@ -102,12 +105,16 @@ def test_salted_exchange_equals_direct(t1_dir, tmp_path):
 
 def _tree_bytes(out_dir):
     """{relpath: file bytes} for a whole output tree (manifests included:
-    they carry no timestamps — fully deterministic)."""
+    they carry no timestamps — fully deterministic).  _RUN_METRICS* is
+    excluded: the run-observability artifact carries wall times by
+    design and is not part of the determinism contract."""
     import os
     d = {}
     for root, dirs, files in sorted(os.walk(out_dir)):
         dirs.sort()
         for f in sorted(files):
+            if f.startswith("_RUN_METRICS"):
+                continue
             p = os.path.join(root, f)
             d[os.path.relpath(p, out_dir)] = open(p, "rb").read()
     return d
@@ -305,3 +312,37 @@ def test_purge_tier_filters_storage_bit_exact(t1_dir, tmp_path):
 def pa_min(col):
     import pyarrow.compute as pc
     return pc.min(col).as_py()
+
+
+def test_run_metrics_artifact(t1_dir, tmp_path):
+    """run/resume/append each persist _RUN_METRICS.json (north rule:
+    lineage + METRICS): totals agree with the manifests, resume is
+    visible as mode, and the JSONL history accumulates."""
+    import json
+    import os
+
+    from logtrics_ray.state import runmeta
+
+    out = str(tmp_path / "rm")
+    res = run(t1_dir, out)
+    m = runmeta.read_run_metrics(out)
+    assert m["mode"] == "fused" and m["exchange"] == EngineConfig().exchange
+    assert m["wall_s"] > 0 and "ray_stats" in m
+    for tier, ms in res.items():
+        assert m["tiers"][tier]["rows"] == sum(x["rows"] for x in ms)
+        assert m["tiers"][tier]["buckets"] == len(ms)
+
+    run(t1_dir, out)                      # complete resume
+    m2 = runmeta.read_run_metrics(out)
+    assert m2["mode"] == "fused(resume-complete)"
+    assert m2["tiers"] == m["tiers"]
+
+    from logtrics_ray.pipelines.rollup_pipeline import run_incremental
+    run_incremental(t1_dir, out)          # no new shards
+    m3 = runmeta.read_run_metrics(out)
+    assert m3["mode"] == "incremental(no-new-shards)"
+
+    hist = [json.loads(l) for l in
+            open(os.path.join(out, "_RUN_METRICS.log.jsonl"))]
+    assert [h["mode"] for h in hist] \
+        == ["fused", "fused(resume-complete)", "incremental(no-new-shards)"]
