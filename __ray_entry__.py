@@ -521,6 +521,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from logtrics_ray.stages.analytics import anomaly_frame
         return anomaly_frame(_events_core(sf_dir, HOUR_MS), k=24)
 
+    def q_pack(sf_dir):
+        """Distributed sequence packing over the token table (the core
+        LLM-pretraining transform): one token exchange, bucket-range
+        global prefix sums, fragment merge only at bucket boundaries;
+        oracle = SQL unnest + window-cumsum replay of the packing rule
+        (order assignment from the engine's own hash side table)."""
+        from logtrics_ray.functions.packing import (pack_sequences,
+                                                    pack_stats_frame)
+        return pack_stats_frame(pack_sequences(_token_dir(sf_dir),
+                                               seq_len=2048))
+
     def q_lttb(sf_dir):
         """LTTB downsample of each series' 1m count curve to 24 points —
         exact-int triangle areas (area scaled by the next bucket's count),
@@ -594,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rollup_1h": q_token_tier("1h"),
         "token_rollup_1d": q_token_tier("1d"),
         "token_rollup_full_1m": q_token_full,
+        "token_pack_2048": q_pack,
         "loglines_series_counts": q_loglines_counts,
         "events_user_distinct_1h": q_user_distinct,
         "events_user_sessions": q_sessions,
@@ -922,6 +934,13 @@ def _ewma_1m_sql() -> str:
     FROM y GROUP BY 1, 2, 3"""
 
 
+def _pack_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import (packing_oracle_sql,
+                                                write_pack_hash_side_table)
+    side = write_pack_hash_side_table(token_dir, "/tmp/lt_pack_h_0.01.parquet")
+    return packing_oracle_sql(token_dir, side, 2048)
+
+
 def _lttb_sql(width_ms: int, n_out: int) -> str:
     from logtrics_ray.stages.analytics import lttb_oracle_sql
     return lttb_oracle_sql(width_ms, n_out)
@@ -1115,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY 1, 2""",
 "token_rollup_full_1m": _token_full_sql(token_dir, tok_td_side),
+        "token_pack_2048": _pack_sql(token_dir),
         "events_meter_ewma_1m": _ewma_1m_sql(),
         "events_meter_ewma_1d": """
             WITH RECURSIVE agg AS (

@@ -1,0 +1,312 @@
+"""Distributed SEQUENCE PACKING — the core LLM-pretraining transform the
+token table exists for: concatenate every document's tokens in one
+deterministic global order and re-chunk the stream into fixed-length
+training sequences ("bins") of ``seq_len`` tokens, splitting documents
+across bin boundaries (standard causal-LM packing).
+
+Scale shape (the whole point):
+
+- **Global order without a global sort**: docs order by ``(h, doc_id)``
+  with h = id_hash64(doc_id); the top ``bucket_bits`` bits of h are an
+  ORDER-PRESERVING range partition, so a doc's global token offset =
+  (prefix sum of whole buckets before it) + (in-bucket cumsum).  The
+  driver only ever holds the 2^bucket_bits per-bucket token totals.
+- **Tokens cross exactly ONE exchange** (the bucket groupby).  Each
+  bucket task emits every bin fully inside its token range as a
+  FINISHED row; only the head/tail fragments at bucket boundaries
+  (≤2 per bucket, plus whole tiny buckets) go through the second,
+  fragment-only merge groupby — negligible payload.
+- The counts pass prunes to (doc_id, n_tok): the token payload is read
+  once.
+
+Oracle: the engine's own (doc_id, h) assignment is written as a side
+table (the established deterministic-side-table pattern); the packing
+rule itself — offsets, bin assignment, per-bin stats — is replayed
+independently in DuckDB SQL via unnest + window cumsum
+(``packing_oracle_sql``), hash-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FRAG_SCHEMA = pa.schema([
+    ("bin_id", pa.int64()),
+    ("start", pa.int64()),          # global token index of the row's slice
+    ("complete", pa.bool_()),       # whole bin produced inside one bucket
+    ("n_docs", pa.int64()),         # docs overlapping this slice
+    ("tokens", pa.list_(pa.int32())),
+])
+
+
+def _doc_hash_bucket(doc_ids, bucket_bits: int):
+    from logtrics_ray.hashing import id_hash64_array
+    h = id_hash64_array(doc_ids)
+    return h, (h >> np.uint64(64 - bucket_bits)).astype(np.int64)
+
+
+
+def _top_level_shards(input_path: str):
+    """Directories expand to their TOP-LEVEL *.parquet only — side tables
+    (e.g. the oracle's text/ subdir) are not part of the input (same rule
+    as rollup_pipeline.read_token_table)."""
+    import os
+    if os.path.isdir(input_path):
+        files = sorted(os.path.join(input_path, f)
+                       for f in os.listdir(input_path)
+                       if f.endswith(".parquet"))
+        if files:
+            return files
+    return input_path
+
+
+def _bucket_token_totals(input_path: str, bucket_bits: int) -> np.ndarray:
+    """Pass 0: per-bucket token totals (pruned read: doc_id + n_tok only).
+    Returns the dense 2^bucket_bits totals vector (driver-side — tiny)."""
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(_top_level_shards(input_path),
+                            columns=["doc_id", "n_tok"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64())})
+        _, b = _doc_hash_bucket(t["doc_id"], bucket_bits)
+        n = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(b, weights=n, minlength=1 << bucket_bits)
+        nz = np.flatnonzero(tot)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n_tok": pa.array(tot[nz].astype(np.int64))})
+
+    rows = (ds.map_batches(per_batch, batch_format="pyarrow")
+            .groupby("bucket").sum("n_tok").take_all())
+    totals = np.zeros(1 << bucket_bits, dtype=np.int64)
+    for r in rows:
+        totals[int(r["bucket"])] = int(r["sum(n_tok)"])
+    return totals
+
+
+class _BucketPacker:
+    """Per-bucket pack: order docs by (h, doc_id), assign global offsets
+    from the broadcast bucket base, flatten tokens once, slice at bin
+    boundaries.  Vectorized throughout (sort + cumsum + one flatten +
+    ListArray.from_arrays over precomputed offsets)."""
+
+    def __init__(self, bases: np.ndarray, seq_len: int, bucket_bits: int):
+        self.bases = bases            # 2^bits global start offsets
+        self.L = seq_len
+        self.bits = bucket_bits
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        L = self.L
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return FRAG_SCHEMA.empty_table()
+        doc_ids = g["doc_id"]
+        h, b = _doc_hash_bucket(doc_ids, self.bits)
+        base = int(self.bases[int(b[0])])
+        key = pa.table({"h": pa.array(h, pa.uint64()),
+                        "doc_id": pc.cast(doc_ids, pa.string())})
+        order = pc.sort_indices(key, sort_keys=[("h", "ascending"),
+                                                ("doc_id", "ascending")])
+        n = pc.take(g["n_tok"], order).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toks = pc.take(g["tokens"], order)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int32, copy=False)
+        total = int(n.sum())
+        if flat.size != total:      # nulls inside lists would break this
+            raise ValueError("pack_sequences: n_tok does not match tokens")
+        offs = base + np.cumsum(n) - n          # per-doc global offsets
+        end = base + total
+
+        # slice boundaries: every multiple of L inside (base, end)
+        first_bin = base // L
+        last_bin = (end - 1) // L if total else first_bin
+        cuts = np.arange((first_bin + 1) * L, end, L, dtype=np.int64)
+        starts = np.concatenate(([base], cuts))
+        stops = np.concatenate((cuts, [end]))
+        bins = starts // L
+        complete = (starts % L == 0) & (stops - starts == L)
+
+        # docs overlapping each slice: diff-array over local bins for doc
+        # intervals [off, off+n), then a per-slice correction is not
+        # needed because slice boundaries == bin boundaries inside the
+        # bucket (only the head/tail slices are partial-bin, and a doc
+        # overlaps the head/tail slice iff it overlaps that bin WITHIN
+        # this bucket — which is exactly what the interval count gives).
+        nb = int(last_bin - first_bin + 1) if total else 0
+        docs_per_bin = np.zeros(nb + 1, dtype=np.int64)
+        live = n > 0
+        fb = (offs[live] // L) - first_bin
+        lb = ((offs[live] + n[live] - 1) // L) - first_bin
+        np.add.at(docs_per_bin, fb, 1)
+        np.add.at(docs_per_bin, lb + 1, -1)
+        docs_per_bin = np.cumsum(docs_per_bin)[:-1]
+
+        if total > np.iinfo(np.int32).max:
+            # one bucket's tokens must fit int32 list offsets — raise
+            # bucket_bits with the corpus (e.g. 16 bits at 10^12 tokens)
+            raise ValueError("pack_sequences: bucket token count exceeds "
+                             "int32 list offsets; increase bucket_bits")
+        token_offsets = np.concatenate(
+            ([0], np.cumsum(stops - starts))).astype(np.int32)
+        tokens_col = pa.ListArray.from_arrays(
+            pa.array(token_offsets, pa.int32()), pa.array(flat, pa.int32()))
+        return pa.Table.from_arrays([
+            pa.array(bins, pa.int64()),
+            pa.array(starts, pa.int64()),
+            pa.array(complete, pa.bool_()),
+            pa.array(docs_per_bin[bins - first_bin], pa.int64()),
+            tokens_col,
+        ], schema=FRAG_SCHEMA)
+
+
+def _merge_fragments(g: pa.Table) -> pa.Table:
+    """Boundary-bin merge: order fragments by global start, concatenate
+    token slices, sum the (disjoint-doc) counts."""
+    g = g.combine_chunks()
+    order = pc.sort_indices(g, sort_keys=[("start", "ascending")])
+    g = g.take(order)
+    flat = pc.list_flatten(g["tokens"])
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return pa.Table.from_arrays([
+        g["bin_id"].slice(0, 1),
+        g["start"].slice(0, 1),
+        pa.array([False], pa.bool_()),
+        pa.array([int(pc.sum(g["n_docs"]).as_py())], pa.int64()),
+        pa.ListArray.from_arrays(
+            pa.array([0, len(flat)], pa.int32()), flat),
+    ], schema=FRAG_SCHEMA)
+
+
+def pack_sequences(input_path: str, seq_len: int = 2048,
+                   bucket_bits: int = 6):
+    """Token table -> Dataset of packed training sequences:
+    (bin_id, n_docs, tokens) with len(tokens) == seq_len for every bin
+    except the last.  See module docstring for the distribution shape."""
+    import ray.data as rd
+
+    from logtrics_ray.sources.parquet import read_parquet_clean
+
+    totals = _bucket_token_totals(input_path, bucket_bits)
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    packer = _BucketPacker(bases, seq_len, bucket_bits)
+
+    ds = read_parquet_clean(_top_level_shards(input_path),
+                            columns=["doc_id", "tokens", "n_tok"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.int64()))
+        _, b = _doc_hash_bucket(t["doc_id"], bucket_bits)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    frags = (ds.map_batches(add_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("bucket")
+             .map_groups(lambda g: packer(g.drop_columns(["bucket"])),
+                         batch_format="pyarrow"))
+    def keep(flag):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["complete"], flag))
+        return fn
+
+    done = frags.map_batches(keep(True), batch_format="pyarrow")
+    boundary = (frags.map_batches(keep(False), batch_format="pyarrow")
+                .groupby("bin_id")
+                .map_groups(_merge_fragments, batch_format="pyarrow"))
+    return done.union(boundary).drop_columns(["complete", "start"])
+
+
+def pack_stats_frame(packed_ds):
+    """Per-bin verification stats (the oracle surface): everything an
+    independent SQL replay can recompute from the raw token table."""
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.Table.from_arrays(
+                [e] * 8, names=["bin_id", "n_tok", "n_docs", "sum_tok",
+                                "min_tok", "max_tok", "first_token",
+                                "last_token"])
+        # .offsets index into .values even for sliced arrays — never pair
+        # .offsets with .flatten() (flatten re-bases, offsets don't)
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = vals[offs[0]:offs[-1]]   # re-base so reduceat's implicit
+        offs = offs - offs[0]           # last boundary == len(vals)
+        lens = np.diff(offs)
+        if (lens <= 0).any():
+            raise ValueError("pack_stats_frame: empty bin")
+        c = np.concatenate(([0], np.cumsum(vals)))
+        return pa.Table.from_arrays([
+            t["bin_id"],
+            pa.array(lens, pa.int64()),
+            t["n_docs"],
+            pa.array(c[offs[1:]] - c[offs[:-1]], pa.int64()),
+            pa.array(np.minimum.reduceat(vals, offs[:-1]), pa.int64()),
+            pa.array(np.maximum.reduceat(vals, offs[:-1]), pa.int64()),
+            pa.array(vals[offs[:-1]], pa.int64()),
+            pa.array(vals[offs[1:] - 1], pa.int64()),
+        ], names=["bin_id", "n_tok", "n_docs", "sum_tok", "min_tok",
+                  "max_tok", "first_token", "last_token"])
+
+    return packed_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def write_pack_hash_side_table(input_path: str, out_path: str) -> str:
+    """Deterministic (doc_id, h) side table from the engine's own hash
+    kernel — the ORDER assignment; the packing rule is replayed in SQL."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.hashing import id_hash64_array
+    paths = (sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+             if os.path.isdir(input_path) else [input_path])
+    parts = []
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id"])
+        h = id_hash64_array(t["doc_id"])
+        parts.append(pa.table({"doc_id": pc.cast(t["doc_id"], pa.string()),
+                               "h": pa.array(h, pa.uint64())}))
+    pq.write_table(pa.concat_tables(parts), out_path)
+    return out_path
+
+
+def packing_oracle_sql(input_path: str, side_path: str,
+                       seq_len: int = 2048) -> str:
+    """Independent DuckDB replay: global offsets via a window cumsum over
+    (h, doc_id) order, per-token bin assignment via unnest +
+    generate_subscripts, per-bin stats via plain aggregates."""
+    return f"""
+    WITH hs AS (SELECT * FROM read_parquet('{side_path}')),
+    d AS MATERIALIZED (
+      SELECT t.doc_id, t.tokens, t.n_tok::BIGINT AS n_tok, hs.h
+      FROM read_parquet('{input_path}/*.parquet') t JOIN hs USING (doc_id)),
+    o AS MATERIALIZED (
+      SELECT doc_id, tokens, h,
+             sum(n_tok) OVER (ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS off
+      FROM d),
+    x AS MATERIALIZED (
+      SELECT doc_id, off + generate_subscripts(tokens, 1) - 1 AS gidx,
+             unnest(tokens)::BIGINT AS tok
+      FROM o)
+    SELECT gidx // {seq_len} AS bin_id,
+           count(*)::BIGINT AS n_tok,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           sum(tok)::BIGINT AS sum_tok,
+           min(tok)::BIGINT AS min_tok,
+           max(tok)::BIGINT AS max_tok,
+           arg_min(tok, gidx)::BIGINT AS first_token,
+           arg_max(tok, gidx)::BIGINT AS last_token
+    FROM x GROUP BY 1"""

@@ -379,3 +379,47 @@ def test_y4m_codec_roundtrip_and_frame_sample(ray_session):
                sub[..., 0].mean(), sub[..., 0].std(),
                sub[..., 1].mean(), sub[..., 2].mean(), 25.0]
         np.testing.assert_allclose(feats[mid], exp, rtol=0, atol=0)
+
+
+def test_pack_sequences_matches_scalar_reference(ray_session, t1_dir):
+    """Distributed packing == the obvious single-process loop: sort all
+    docs by (h, doc_id), concatenate, chunk — EXACT token content per
+    bin, not just stats.  bucket_bits=8 makes most buckets smaller than
+    seq_len, so bins span 3+ buckets and the fragment merge is exercised
+    hard; bucket_bits=3 exercises the mostly-complete-bins path."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import pack_sequences
+    from logtrics_ray.hashing import id_hash64_array
+
+    t = pq.read_table(sorted(glob.glob(f"{t1_dir}/*.parquet")),
+                      columns=["doc_id", "tokens"])
+    doc_ids = t["doc_id"].to_pylist()
+    h = id_hash64_array(t["doc_id"])
+    order = sorted(range(len(doc_ids)), key=lambda i: (h[i], doc_ids[i]))
+    toks = t["tokens"].to_pylist()
+    stream = np.concatenate([np.asarray(toks[i], dtype=np.int32)
+                             for i in order])
+    L = 512
+    want = {b: stream[b * L:(b + 1) * L].tolist()
+            for b in range(-(-len(stream) // L))}
+
+    for bits in (8, 3):
+        got = pack_sequences(t1_dir, seq_len=L, bucket_bits=bits).to_pandas()
+        assert len(got) == len(want)
+        assert got.bin_id.is_unique
+        for b, row_toks in zip(got.bin_id, got.tokens):
+            assert list(row_toks) == want[int(b)], f"bin {b} (bits={bits})"
+        # n_docs: docs overlapping each bin, from the same scalar stream
+        bounds = np.cumsum([len(toks[i]) for i in order])
+        starts = np.concatenate(([0], bounds[:-1]))
+        nd = {int(b): 0 for b in want}
+        for s, e in zip(starts, bounds):
+            if e > s:
+                for b in range(s // L, (e - 1) // L + 1):
+                    nd[b] += 1
+        got_nd = dict(zip(got.bin_id.astype(int), got.n_docs.astype(int)))
+        assert got_nd == nd
