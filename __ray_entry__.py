@@ -532,6 +532,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pack_stats_frame(pack_sequences(_token_dir(sf_dir),
                                                seq_len=2048))
 
+    MIX_RATES = {"web": 0.35, "books": 0.9, "code": 0.6, "wiki": 1.0}
+
+    def q_sample_mix(sf_dir):
+        """Deterministic training-mix sampling: per-source keep rates
+        decided by a pure doc_id hash (no RNG state, rerun-identical on
+        any partition layout); thresholds computed ONCE and shared
+        literally with the SQL replay."""
+        from logtrics_ray.functions.packing import (sample_mix,
+                                                    sample_mix_stats_frame)
+        return sample_mix_stats_frame(
+            sample_mix(_token_dir(sf_dir), MIX_RATES))
+
     def q_lttb(sf_dir):
         """LTTB downsample of each series' 1m count curve to 24 points —
         exact-int triangle areas (area scaled by the next bucket's count),
@@ -606,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rollup_1d": q_token_tier("1d"),
         "token_rollup_full_1m": q_token_full,
         "token_pack_2048": q_pack,
+        "token_sample_mix": q_sample_mix,
         "loglines_series_counts": q_loglines_counts,
         "events_user_distinct_1h": q_user_distinct,
         "events_user_sessions": q_sessions,
@@ -941,6 +954,16 @@ def _pack_sql(token_dir: str) -> str:
     return packing_oracle_sql(token_dir, side, 2048)
 
 
+def _sample_mix_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import (sample_mix_oracle_sql,
+                                                write_sample_key_side_table)
+    side = write_sample_key_side_table(token_dir,
+                                       "/tmp/lt_mixkey_0.01.parquet")
+    return sample_mix_oracle_sql(
+        token_dir, side,
+        {"web": 0.35, "books": 0.9, "code": 0.6, "wiki": 1.0})
+
+
 def _lttb_sql(width_ms: int, n_out: int) -> str:
     from logtrics_ray.stages.analytics import lttb_oracle_sql
     return lttb_oracle_sql(width_ms, n_out)
@@ -1135,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2""",
 "token_rollup_full_1m": _token_full_sql(token_dir, tok_td_side),
         "token_pack_2048": _pack_sql(token_dir),
+        "token_sample_mix": _sample_mix_sql(token_dir),
         "events_meter_ewma_1m": _ewma_1m_sql(),
         "events_meter_ewma_1d": """
             WITH RECURSIVE agg AS (

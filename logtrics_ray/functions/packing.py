@@ -310,3 +310,117 @@ def packing_oracle_sql(input_path: str, side_path: str,
            arg_min(tok, gidx)::BIGINT AS first_token,
            arg_max(tok, gidx)::BIGINT AS last_token
     FROM x GROUP BY 1"""
+
+
+# ------------------------------------------------------ training mixes --
+
+SAMPLE_BITS = 53          # threshold domain: exact in float64 AND int64
+
+
+def _sample_key(doc_ids) -> np.ndarray:
+    """Per-doc sampling key in [0, 2^53): a SECOND hash (the order hash
+    re-mixed through hash64_words with a different seed), so sampling is
+    independent of the packing/bucketing order bits."""
+    from logtrics_ray.hashing import hash64_words, id_hash64_array
+    h = id_hash64_array(doc_ids)
+    h2 = hash64_words(h.reshape(-1, 1), seed=0x5A17)
+    return (h2 >> np.uint64(64 - SAMPLE_BITS)).astype(np.int64)
+
+
+def sample_thresholds(rates: dict[str, float]) -> dict[str, int]:
+    """Per-source integer thresholds: keep iff key < int(rate * 2^53).
+    Computed ONCE here and embedded literally in both the engine filter
+    and the SQL oracle — the float->int rounding happens in exactly one
+    place, so the two sides cannot disagree."""
+    return {s: int(r * (1 << SAMPLE_BITS)) for s, r in rates.items()}
+
+
+def sample_mix(input_path: str, rates: dict[str, float]):
+    """Deterministic TRAINING-MIX sampling: keep each doc with its
+    source's rate, decided by a pure hash of doc_id (no RNG state, no
+    coordination — any worker, any partition layout, any rerun keeps
+    exactly the same docs).  Sources absent from ``rates`` keep rate 0.
+
+    Returns the kept docs as a Dataset (doc_id, source, n_tok, skey).
+    """
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    thr = sample_thresholds(rates)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("skey", pa.array([], pa.int64()))
+        t = t.combine_chunks()
+        key = _sample_key(t["doc_id"])
+        src = t["source"].to_numpy(zero_copy_only=False)
+        lim = np.zeros(t.num_rows, dtype=np.int64)
+        for s, v in thr.items():
+            lim[src == s] = v
+        t = t.append_column("skey", pa.array(key, pa.int64()))
+        return t.filter(pa.array(key < lim))
+
+    return read_parquet_clean(_top_level_shards(input_path),
+                              columns=["doc_id", "source", "n_tok"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+def sample_mix_stats_frame(kept_ds):
+    """Per-source verification stats over the kept docs (built-in
+    vectorized aggregations — one small shuffle of per-block partials)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.Table.from_arrays([
+            t["source"], pc.cast(t["n_tok"], pa.int64()),
+            t["doc_id"], t["skey"]],
+            names=["source", "n_tok", "doc_id", "skey"])
+
+    return (kept_ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tok", alias_name="sum_ntok"),
+                       Min("doc_id", alias_name="first_doc"),
+                       Max("doc_id", alias_name="last_doc"),
+                       Min("skey", alias_name="min_skey"),
+                       Max("skey", alias_name="max_skey")))
+
+
+def write_sample_key_side_table(input_path: str, out_path: str) -> str:
+    """Deterministic (doc_id, skey) side table from the engine's own
+    sampling hash — the KEY assignment; the keep rule (skey < threshold)
+    is replayed independently in SQL."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    paths = (sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+             if os.path.isdir(input_path) else [input_path])
+    parts = []
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id"])
+        parts.append(pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "skey": pa.array(_sample_key(t["doc_id"]), pa.int64())}))
+    pq.write_table(pa.concat_tables(parts), out_path)
+    return out_path
+
+
+def sample_mix_oracle_sql(input_path: str, side_path: str,
+                          rates: dict[str, float]) -> str:
+    """SQL replay of the keep rule with the SAME integer thresholds."""
+    thr = sample_thresholds(rates)
+    cases = " ".join(f"WHEN '{s}' THEN {v}" for s, v in sorted(thr.items()))
+    return f"""
+    WITH ks AS (SELECT * FROM read_parquet('{side_path}')),
+    d AS (
+      SELECT t.doc_id, t.source, t.n_tok::BIGINT AS n_tok, ks.skey
+      FROM read_parquet('{input_path}/*.parquet') t JOIN ks USING (doc_id)),
+    kept AS (
+      SELECT * FROM d
+      WHERE skey < CASE source {cases} ELSE 0 END)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS sum_ntok,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           min(skey)::BIGINT AS min_skey, max(skey)::BIGINT AS max_skey
+    FROM kept GROUP BY 1"""

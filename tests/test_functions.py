@@ -423,3 +423,40 @@ def test_pack_sequences_matches_scalar_reference(ray_session, t1_dir):
                     nd[b] += 1
         got_nd = dict(zip(got.bin_id.astype(int), got.n_docs.astype(int)))
         assert got_nd == nd
+
+
+def test_sample_mix_deterministic_and_rate_correct(ray_session, t1_dir):
+    """Hash sampling: the kept set equals a per-doc scalar recompute of
+    the threshold rule, reruns are identical, unknown sources drop, and
+    the empirical rate lands near the nominal one."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import (SAMPLE_BITS, _sample_key,
+                                                sample_mix,
+                                                sample_thresholds)
+
+    rates = {"web": 0.5, "books": 1.0, "wiki": 0.0}   # code absent -> drop
+    got = sample_mix(t1_dir, rates).to_pandas()
+    got2 = sample_mix(t1_dir, rates).to_pandas()
+    assert sorted(got.doc_id) == sorted(got2.doc_id)
+
+    t = pq.read_table(sorted(glob.glob(f"{t1_dir}/*.parquet")),
+                      columns=["doc_id", "source"])
+    key = _sample_key(t["doc_id"])
+    thr = sample_thresholds(rates)
+    src = np.asarray(t["source"].to_pylist())
+    lim = np.array([thr.get(s, 0) for s in src], dtype=np.int64)
+    want = set(np.asarray(t["doc_id"].to_pylist())[key < lim])
+    assert set(got.doc_id) == want
+
+    books = src == "books"
+    assert (key[books] < thr["books"]).all()          # rate 1.0 keeps all
+    assert not set(got[got.source == "wiki"].doc_id)  # rate 0.0 drops all
+    assert "code" not in set(got.source)
+    web_total = int((src == "web").sum())
+    web_kept = int((got.source == "web").sum())
+    assert abs(web_kept / web_total - 0.5) < 0.05
+    assert got.skey.max() < (1 << SAMPLE_BITS)
