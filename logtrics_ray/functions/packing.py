@@ -119,6 +119,8 @@ class _BucketPacker:
         total = int(n.sum())
         if flat.size != total:      # nulls inside lists would break this
             raise ValueError("pack_sequences: n_tok does not match tokens")
+        if total == 0:            # bucket of only zero-length docs:
+            return FRAG_SCHEMA.empty_table()   # occupies no bins at all
         offs = base + np.cumsum(n) - n          # per-doc global offsets
         end = base + total
 

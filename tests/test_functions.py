@@ -460,3 +460,36 @@ def test_sample_mix_deterministic_and_rate_correct(ray_session, t1_dir):
     web_kept = int((got.source == "web").sum())
     assert abs(web_kept / web_total - 0.5) < 0.05
     assert got.skey.max() < (1 << SAMPLE_BITS)
+
+
+def test_pack_sequences_zero_length_docs(ray_session, tmp_path):
+    """Zero-length documents occupy no tokens and no bins (and must not
+    crash the bucket packer even when a whole bucket is empty docs)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import (pack_sequences,
+                                                pack_stats_frame)
+
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(200):
+        n = 0 if i % 3 == 0 else int(rng.integers(1, 40))
+        docs.append((f"d{i:04d}", rng.integers(0, 100, n).astype(np.int32)))
+    t = pa.table({
+        "doc_id": [d for d, _ in docs],
+        "tokens": pa.array([list(v) for _, v in docs], pa.list_(pa.int32())),
+        "n_tok": pa.array([len(v) for _, v in docs], pa.int32()),
+        "source": ["web"] * len(docs),
+    })
+    d = tmp_path / "zl"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-00000.parquet"))
+    # high bucket_bits: many buckets; some will hold only empty docs
+    packed = pack_sequences(str(d), seq_len=64, bucket_bits=8)
+    stats = pack_stats_frame(packed).to_pandas()
+    total = sum(len(v) for _, v in docs)
+    assert stats.n_tok.sum() == total
+    assert len(stats) == -(-total // 64)
+    assert stats.bin_id.is_unique
