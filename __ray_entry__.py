@@ -1697,10 +1697,8 @@ def oracle_sql() -> dict[str, str]:
                    {_r6('p.mean_cb')} AS f5, {_r6('p.mean_cr')} AS f6,
                    25.0 AS f7
             FROM m JOIN pl p USING (media_id)""",
-        # token_rollup_full_1m / events_meter_ewma_1m / multimodal_stub:
-        # rows-only by design (documented) — the EWMA recurrence at 1m
-        # has ~35k sequential steps per series (a recursive-CTE replay
-        # is proven at 1d and the 1m path is bit-exact in pytest), the
-        # full tier adds those EWMA columns, and the stub is a declared
-        # plumbing contract for absent codecs.
+        # multimodal_stub is the ONLY rows-only key: a declared plumbing
+        # contract for absent codecs (JPEG/MP3) — everything else above,
+        # including the 1m EWMA (closed-form chunked replay) and the full
+        # 20-column flagship tier, is hash-checked by the driver.
     }
