@@ -544,6 +544,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sample_mix_stats_frame(
             sample_mix(_token_dir(sf_dir), MIX_RATES))
 
+    def q_vocab(sf_dir):
+        """Global vocabulary stats: top-50 corpus tokens by count
+        (tie: token asc) with document frequencies — per-batch bincount
+        partials, only nonzero (token, n, n_docs) rows shuffle, built-in
+        vectorized merge; oracle = SQL unnest + group + QUALIFY."""
+        from logtrics_ray.functions.packing import vocab_topk_frame
+        return vocab_topk_frame(_token_dir(sf_dir), k=50)
+
     def q_lttb(sf_dir):
         """LTTB downsample of each series' 1m count curve to 24 points —
         exact-int triangle areas (area scaled by the next bucket's count),
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rollup_full_1m": q_token_full,
         "token_pack_2048": q_pack,
         "token_sample_mix": q_sample_mix,
+        "token_vocab_top50": q_vocab,
         "loglines_series_counts": q_loglines_counts,
         "events_user_distinct_1h": q_user_distinct,
         "events_user_sessions": q_sessions,
@@ -954,6 +963,11 @@ def _pack_sql(token_dir: str) -> str:
     return packing_oracle_sql(token_dir, side, 2048)
 
 
+def _vocab_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import vocab_topk_oracle_sql
+    return vocab_topk_oracle_sql(token_dir, k=50)
+
+
 def _sample_mix_sql(token_dir: str) -> str:
     from logtrics_ray.functions.packing import (sample_mix_oracle_sql,
                                                 write_sample_key_side_table)
@@ -1159,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
 "token_rollup_full_1m": _token_full_sql(token_dir, tok_td_side),
         "token_pack_2048": _pack_sql(token_dir),
         "token_sample_mix": _sample_mix_sql(token_dir),
+        "token_vocab_top50": _vocab_sql(token_dir),
         "events_meter_ewma_1m": _ewma_1m_sql(),
         "events_meter_ewma_1d": """
             WITH RECURSIVE agg AS (

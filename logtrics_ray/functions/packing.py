@@ -426,3 +426,82 @@ def sample_mix_oracle_sql(input_path: str, side_path: str,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc,
            min(skey)::BIGINT AS min_skey, max(skey)::BIGINT AS max_skey
     FROM kept GROUP BY 1"""
+
+
+# --------------------------------------------------- vocabulary stats --
+
+def vocab_counts(input_path: str, vocab_size: int = 50257):
+    """Global per-token statistics over the corpus: occurrence count and
+    document frequency.  Per-batch partials are two bincounts over the
+    flat token buffer (docs never split across rows, so per-doc distinct
+    tokens are exact per batch via one unique over doc*V+token packed
+    keys); only the NONZERO (token, n, n_docs) rows shuffle — the merge
+    is a built-in vectorized groupby sum over ≤vocab_size rows."""
+    from logtrics_ray.sources.parquet import read_parquet_clean
+
+    V = vocab_size
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = vals[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        if vals.size == 0:
+            return empty
+        if (vals < 0).any() or (vals >= V).any():
+            raise ValueError("vocab_counts: token id outside [0, vocab)")
+        n_tot = np.bincount(vals, minlength=V)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                           np.diff(offs))
+        uniq = np.unique(doc_of * V + vals)
+        n_docs = np.bincount(uniq % V, minlength=V)
+        nz = np.flatnonzero(n_tot)
+        return pa.table({"token": pa.array(nz, pa.int64()),
+                         "n": pa.array(n_tot[nz], pa.int64()),
+                         "n_docs": pa.array(n_docs[nz], pa.int64())})
+
+    return (read_parquet_clean(_top_level_shards(input_path),
+                               columns=["tokens"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("token").sum(["n", "n_docs"]))
+
+
+def vocab_topk_frame(input_path: str, k: int = 50,
+                     vocab_size: int = 50257):
+    """Top-k corpus tokens by (count desc, token asc) with ranks — the
+    deterministic head of vocab_counts (tiny sort + limit; only the k
+    result rows ever reach the driver)."""
+    import pandas as pd
+
+    counts = vocab_counts(input_path, vocab_size)
+    top = (counts.sort(["sum(n)", "token"], descending=[True, False])
+           .limit(k).take_all())
+    return pd.DataFrame({
+        "token": [int(r["token"]) for r in top],
+        "n": [int(r["sum(n)"]) for r in top],
+        "n_docs": [int(r["sum(n_docs)"]) for r in top],
+        "rank": list(range(1, len(top) + 1)),
+    })
+
+
+def vocab_topk_oracle_sql(input_path: str, k: int = 50) -> str:
+    return f"""
+    WITH x AS MATERIALIZED (
+      SELECT doc_id, unnest(tokens)::BIGINT AS token
+      FROM read_parquet('{input_path}/*.parquet')),
+    c AS (
+      SELECT token, count(*)::BIGINT AS n,
+             count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM x GROUP BY 1)
+    SELECT token, n, n_docs,
+           row_number() OVER (ORDER BY n DESC, token ASC)::BIGINT AS rank
+    FROM c QUALIFY rank <= {k}"""

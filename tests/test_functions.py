@@ -493,3 +493,28 @@ def test_pack_sequences_zero_length_docs(ray_session, tmp_path):
     assert stats.n_tok.sum() == total
     assert len(stats) == -(-total // 64)
     assert stats.bin_id.is_unique
+
+
+def test_vocab_topk_matches_counter(ray_session, t1_dir):
+    """Top-k vocabulary stats == a plain Counter over all tokens (count
+    AND document frequency), including the (n desc, token asc) tie rule."""
+    import collections
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import vocab_topk_frame
+
+    t = pq.read_table(sorted(glob.glob(f"{t1_dir}/*.parquet")),
+                      columns=["tokens"])
+    cnt = collections.Counter()
+    df = collections.Counter()
+    for row in t["tokens"].to_pylist():
+        cnt.update(row)
+        df.update(set(row))
+    want = sorted(cnt, key=lambda tok: (-cnt[tok], tok))[:50]
+    got = vocab_topk_frame(t1_dir, k=50)
+    assert list(got.token) == want
+    assert list(got.n) == [cnt[tok] for tok in want]
+    assert list(got.n_docs) == [df[tok] for tok in want]
+    assert list(got["rank"]) == list(range(1, 51))
