@@ -213,3 +213,64 @@ def test_merge_cores_exact_semantics():
     for c in key + ["count", "vmin", "vmax", "last", "last_ts", "last_tb"]:
         assert full[c].equals(merged[c]), f"col {c}"
     assert np.allclose(full["sum"], merged["sum"], rtol=1e-9)
+
+
+def test_append_after_purge(split_input):
+    """Retention purge then incremental append: the purge's lineage-
+    preserving manifests keep resume/append working — new shards merge
+    into the filtered core, purged windows stay gone (unless new data
+    re-creates them), a second append is a no-op, and the tiers'
+    window floor never dips below the cutoff for old-only series data."""
+    import numpy as np
+
+    from logtrics_ray.pipelines import rollup_pipeline as P
+    from logtrics_ray.stages.storage import purge_tier, read_tier
+    from logtrics_ray.state import manifest as M
+
+    full, grow, shards = split_input
+    out = "/tmp/lt_purge_append"
+    import shutil as sh
+    sh.rmtree(out, ignore_errors=True)
+    P.run(grow, out, input_tag="tok")
+
+    df0 = read_tier(out, "1m").to_pandas()
+    ws = np.sort(df0["window_start"].unique())
+    cutoff = int(ws[len(ws) // 3]) + 1
+    purge_tier(out, "1m", cutoff)
+
+    # append the remaining 4 shards
+    import os
+    for f in shards[4:]:
+        sh.copy(os.path.join(full, f), os.path.join(grow, f))
+    res = P.run_incremental(grow, out, input_tag="tok")
+    assert all(len(ms) for ms in res.values())
+
+    df1 = read_tier(out, "1m").to_pandas()
+    assert len(df1) > 0
+    # below the cutoff, PRESENT windows (count>0; the rest is gap-fill)
+    # must be exactly what the NEW shards alone produce there — purged
+    # old data must not resurrect into the merge
+    newonly = "/tmp/lt_purge_append_newonly"
+    sh.rmtree(newonly, ignore_errors=True)
+    new_dir = "/tmp/lt_purge_append_newshards"
+    sh.rmtree(new_dir, ignore_errors=True)
+    os.makedirs(new_dir)
+    for f in shards[4:]:
+        sh.copy(os.path.join(full, f), os.path.join(new_dir, f))
+    P.run(new_dir, newonly, input_tag="new")
+    want = read_tier(newonly, "1m").to_pandas()
+
+    def present_below(df):
+        d = df[(df.window_start < cutoff) & (df["count"] > 0)]
+        return set(zip(d.series_key, d.metric_type,
+                       d.window_start.astype(int), d["count"].astype(int)))
+
+    assert present_below(df1) == present_below(want)
+
+    # idempotent: re-append with nothing new changes no manifests
+    before = {m["bucket"]: m["content_hash"]
+              for m in M.load_manifests(out, "1m")}
+    P.run_incremental(grow, out, input_tag="tok")
+    after = {m["bucket"]: m["content_hash"]
+             for m in M.load_manifests(out, "1m")}
+    assert before == after
