@@ -226,6 +226,35 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Sequence packing: token table -> fixed-length training chunks,
+    written as partitioned parquet (resumable unit = output file)."""
+    _ensure_ray(args.num_cpus)
+    from logtrics_ray.functions.packing import pack_sequences
+    ds = pack_sequences(args.input, seq_len=args.seq_len,
+                        bucket_bits=args.bucket_bits)
+    ds.write_parquet(args.out)
+    n = ds.count()
+    print(json.dumps({"bins": n, "seq_len": args.seq_len, "out": args.out}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic training-mix sampling: per-source keep rates
+    (source=rate pairs), kept docs written as parquet."""
+    rates = {}
+    for spec in args.rate:
+        src, _, val = spec.partition("=")
+        rates[src] = float(val)
+    _ensure_ray(args.num_cpus)
+    from logtrics_ray.functions.packing import sample_mix
+    ds = sample_mix(args.input, rates)
+    ds.write_parquet(args.out)
+    print(json.dumps({"kept_docs": ds.count(), "rates": rates,
+                      "out": args.out}))
+    return 0
+
+
 def cmd_listen(args) -> int:
     """Push-ingest edge daemon: no Ray session — it only writes shard
     files; a separate `watch` (or batch `run`) consumes the spool."""
@@ -320,6 +349,24 @@ def main(argv=None) -> int:
                     help="relative: cutoff = max stored window - keep_ms")
     pg.add_argument("--num-cpus", type=int, default=None)
     pg.set_defaults(fn=cmd_purge)
+
+    pk = sub.add_parser("pack", help="sequence packing: token table -> "
+                                     "fixed-length training chunks")
+    pk.add_argument("--input", required=True, help="token table dir/file")
+    pk.add_argument("--out", required=True, help="output parquet dir")
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--bucket-bits", type=int, default=6)
+    pk.add_argument("--num-cpus", type=int, default=None)
+    pk.set_defaults(fn=cmd_pack)
+
+    sm = sub.add_parser("sample", help="deterministic training-mix "
+                                       "sampling by per-source rates")
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--rate", action="append", default=[],
+                    metavar="SOURCE=RATE", help="repeatable, e.g. web=0.35")
+    sm.add_argument("--num-cpus", type=int, default=None)
+    sm.set_defaults(fn=cmd_sample)
 
     ls = sub.add_parser(
         "listen", help="UDP/TCP line listener -> rotating .log shards "
