@@ -227,10 +227,17 @@ def test_append_after_purge(split_input):
     from logtrics_ray.stages.storage import purge_tier, read_tier
     from logtrics_ray.state import manifest as M
 
-    full, grow, shards = split_input
+    full, _, shards = split_input
     out = "/tmp/lt_purge_append"
     import shutil as sh
     sh.rmtree(out, ignore_errors=True)
+    # own staging dir: the fixture's `grow` is mutated by earlier tests
+    grow = "/tmp/lt_purge_append_grow"
+    sh.rmtree(grow, ignore_errors=True)
+    import os
+    os.makedirs(grow)
+    for f in shards[:4]:
+        sh.copy(os.path.join(full, f), os.path.join(grow, f))
     P.run(grow, out, input_tag="tok")
 
     df0 = read_tier(out, "1m").to_pandas()
