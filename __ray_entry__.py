@@ -599,7 +599,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.from_arrow(synth_media_table(200))
         return decode_features(ds, fake=True)
 
+    # Dict order == the driver's execution order.  Cheap keys and one
+    # representative of every operator family run FIRST (a time-budget
+    # truncated gate still covers every family); the three heavyweights
+    # (1m EWMA closed-form replay, full 20-column tier, packing) run
+    # LAST.  CORRECTNESS_r03 was truncated at 50/54 keys, cutting off
+    # exactly the multimodal family that used to sit at the tail.
     return {
+        "multimodal_decode": q_multimodal,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_frame_sample,
+        "multimodal_stub": q_multimodal_stub,
         "events_rollup_1m": q_rollup(MIN_MS),
         "events_rollup_1h_cascade": q_rollup_cascade([HOUR_MS]),
         "events_rollup_1d_cascade": q_rollup_cascade([HOUR_MS, DAY_MS]),
@@ -610,7 +620,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_linear_1h": q_gapfill_linear,
         "events_pctl_exact_1h": q_pctl_exact,
         "events_timer_digest_1h": q_timer_digest,
-        "events_meter_ewma_1m": q_ewma,
         "events_meter_ewma_1d": q_ewma_1d,
         "events_topk_series": q_topk,
         "events_props_rollup_1h": q_props_rollup,
@@ -619,21 +628,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_enriched_rollup_1h": q_enriched_rollup,
         "events_rollup_1h_retention": q_retention,
         "events_user_rollup_1h": q_user_rollup,
-        "lineitem_daily_revenue": q_lineitem_daily,
-        "orders_daily_totalprice": q_orders_daily,
-        "token_rollup_1m": q_token_tier("1m"),
-        "token_rollup_1h": q_token_tier("1h"),
-        "token_rollup_1d": q_token_tier("1d"),
-        "token_rollup_full_1m": q_token_full,
-        "token_pack_2048": q_pack,
-        "token_sample_mix": q_sample_mix,
-        "token_vocab_top50": q_vocab,
-        "loglines_series_counts": q_loglines_counts,
         "events_user_distinct_1h": q_user_distinct,
         "events_user_sessions": q_sessions,
         "events_gauge_delta_1h": q_gauge_delta,
         "events_window_top3_users": q_window_topk,
         "events_user_distinct_hll_1h": q_user_distinct_hll,
+        "events_asof_view_click": q_asof,
+        "events_interval_label": q_interval_label,
+        "events_anomaly_3sigma_1h": q_anomaly,
+        "events_lttb_1m_24": q_lttb,
+        "lineitem_daily_revenue": q_lineitem_daily,
+        "orders_daily_totalprice": q_orders_daily,
+        "loglines_series_counts": q_loglines_counts,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -646,14 +652,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
-        "events_asof_view_click": q_asof,
-        "events_interval_label": q_interval_label,
-        "events_anomaly_3sigma_1h": q_anomaly,
-        "events_lttb_1m_24": q_lttb,
-        "multimodal_decode": q_multimodal,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_frame_sample,
-        "multimodal_stub": q_multimodal_stub,
+        "token_rollup_1m": q_token_tier("1m"),
+        "token_rollup_1h": q_token_tier("1h"),
+        "token_rollup_1d": q_token_tier("1d"),
+        "token_sample_mix": q_sample_mix,
+        "token_vocab_top50": q_vocab,
+        "events_meter_ewma_1m": q_ewma,
+        "token_rollup_full_1m": q_token_full,
+        "token_pack_2048": q_pack,
     }
 
 

@@ -67,8 +67,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     P.read_token_table(token_dir).count()
 
     # points count for the points/sec metric: deterministic per (tag, rows),
-    # computed once and cached (untimed either way)
-    cache = f"/tmp/lt_bench_{tag}_points.txt"
+    # computed once and cached (untimed either way); cache keyed by the
+    # token dir's content tag so a generator change invalidates it
+    import hashlib
+    gen_tag = open(os.path.join(token_dir, "_DONE")).read().strip()
+    cache = (f"/tmp/lt_bench_{tag}_points_"
+             f"{hashlib.sha256(gen_tag.encode()).hexdigest()[:8]}.txt")
     if os.path.exists(cache):
         n_points = int(open(cache).read())
     else:

@@ -595,7 +595,17 @@ def write_signature_side_tables(documents_path: str, out_dir: str,
     bp = os.path.join(out_dir, "minhash_bands.parquet")
     sp = os.path.join(out_dir, "simhash.parquet")
     gp = os.path.join(out_dir, "grams.parquet")
-    if all(os.path.isfile(p) for p in (bp, sp, gp)):
+    # Content-keyed reuse: regenerate whenever the signature kernels'
+    # source or the parameters change (stale side tables across runs
+    # would silently feed the replay oracles wrong signatures).
+    import logtrics_ray.functions.dedup as _self
+    from logtrics_ray import hashing as H
+    tag = (f"{H.source_version(_self, H)}:{documents_path}:{num_perm}:"
+           f"{bands}:{shingle_n}:{mask_bits}:{gram_n}")
+    marker = os.path.join(out_dir, "_DONE")
+    if (all(os.path.isfile(p) for p in (bp, sp, gp))
+            and os.path.exists(marker)
+            and open(marker).read().strip() == tag):
         return out_dir
     t = pq.read_table(documents_path, columns=["doc_id", "text"])
     texts = t["text"].to_pylist()
@@ -622,4 +632,6 @@ def write_signature_side_tables(documents_path: str, out_dir: str,
         g_hash.append(g.astype(np.int64))
     pq.write_table(pa.table({"doc_id": np.concatenate(g_doc),
                              "gram_hash": np.concatenate(g_hash)}), gp)
+    with open(marker, "w") as f:
+        f.write(tag)
     return out_dir

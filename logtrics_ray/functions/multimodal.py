@@ -281,7 +281,11 @@ def write_video_truth_side_tables(n: int, out_dir: str, seed: int = 21,
     os.makedirs(out_dir, exist_ok=True)
     mp_ = os.path.join(out_dir, "vmeta.parquet")
     pp = os.path.join(out_dir, "vplanes.parquet")
-    if all(os.path.isfile(p) for p in (mp_, pp)):
+    import logtrics_ray.functions.multimodal as _self
+    from logtrics_ray import hashing as H
+    fresh, mark = H.fixture_cache(
+        [mp_, pp], f"{H.source_version(_self)}:{n}:{seed}:{step}")
+    if fresh:
         return out_dir
     m_id, m_w, m_h, m_n, m_s = [], [], [], [], []
     p_id, p_pl = [], []
@@ -302,6 +306,7 @@ def write_video_truth_side_tables(n: int, out_dir: str, seed: int = 21,
     pq.write_table(pa.table({
         "media_id": pa.array(np.concatenate(p_id) if p_id else [], pa.string()),
         "y": pl[:, 0], "cb": pl[:, 1], "cr": pl[:, 2]}), pp)
+    mark()
     return out_dir
 
 # ------------------------------------------ real PNG codec (stdlib zlib) --
@@ -504,7 +509,11 @@ def write_media_truth_side_tables(n: int, out_dir: str, seed: int = 9,
     mp = os.path.join(out_dir, "meta.parquet")
     pp = os.path.join(out_dir, "pixels.parquet")
     sp = os.path.join(out_dir, "samples.parquet")
-    if all(os.path.isfile(p) for p in (mp, pp, sp)):
+    import logtrics_ray.functions.multimodal as _self
+    from logtrics_ray import hashing as H
+    fresh, mark = H.fixture_cache(
+        [mp, pp, sp], f"{H.source_version(_self)}:{n}:{seed}:{resize_to}")
+    if fresh:
         return out_dir
     m_id, m_ty, m_w, m_h = [], [], [], []
     p_id, p_rgb = [], []
@@ -539,6 +548,7 @@ def write_media_truth_side_tables(n: int, out_dir: str, seed: int = 9,
         "media_id": pa.array(np.concatenate(s_id) if s_id else [], pa.string()),
         "idx": (np.concatenate(s_idx) if s_idx else np.empty(0, np.int64)),
         "v": (np.concatenate(s_v) if s_v else np.empty(0, np.float64))}), sp)
+    mark()
     return out_dir
 
 

@@ -88,6 +88,34 @@ def _bucket_token_totals(input_path: str, bucket_bits: int) -> np.ndarray:
     return totals
 
 
+# Adaptive partitioning: pass 0 counts at this FINE granularity, then
+# the exchange runs at the smallest bit width whose largest bucket fits
+# the per-task token budget.  The top-bits partition is hierarchical, so
+# coarse totals are contiguous sums of the fine vector — no second pass.
+FINE_BITS = 16
+# One bucket's tokens are materialized inside a single group call
+# (int32, 4 B/token): 2^26 tokens = 256 MB — comfortable per-task heap.
+MAX_BUCKET_TOKENS = 1 << 26
+
+
+def _adapt_bits(totals_fine: np.ndarray, bits_fine: int, bits_req: int,
+                budget: int = MAX_BUCKET_TOKENS) -> tuple[int, np.ndarray]:
+    """Smallest bits >= bits_req whose max coarse bucket <= budget.
+    Falls back to bits_fine (budget unmet) — the int32 list-offset limit
+    is the only hard failure, and only when a single FINE bucket breaks
+    it (then no coarsening can help and the corpus needs > bits_fine)."""
+    mx_fine = int(totals_fine.max()) if totals_fine.size else 0
+    if mx_fine > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"pack_sequences: a single {bits_fine}-bit bucket holds "
+            f"{mx_fine} tokens (> int32 list offsets); raise FINE_BITS")
+    for b in range(min(bits_req, bits_fine), bits_fine + 1):
+        coarse = totals_fine.reshape(1 << b, -1).sum(axis=1)
+        if int(coarse.max()) <= budget:
+            return b, coarse
+    return bits_fine, totals_fine
+
+
 class _BucketPacker:
     """Per-bucket pack: order docs by (h, doc_id), assign global offsets
     from the broadcast bucket base, flatten tokens once, slice at bin
@@ -149,8 +177,8 @@ class _BucketPacker:
         docs_per_bin = np.cumsum(docs_per_bin)[:-1]
 
         if total > np.iinfo(np.int32).max:
-            # one bucket's tokens must fit int32 list offsets — raise
-            # bucket_bits with the corpus (e.g. 16 bits at 10^12 tokens)
+            # unreachable when pack_sequences adapted bits from the pass-0
+            # totals; kept as a hard guard for direct _BucketPacker users
             raise ValueError("pack_sequences: bucket token count exceeds "
                              "int32 list offsets; increase bucket_bits")
         token_offsets = np.concatenate(
@@ -186,15 +214,24 @@ def _merge_fragments(g: pa.Table) -> pa.Table:
 
 
 def pack_sequences(input_path: str, seq_len: int = 2048,
-                   bucket_bits: int = 6):
+                   bucket_bits: int = 6,
+                   max_bucket_tokens: int = MAX_BUCKET_TOKENS):
     """Token table -> Dataset of packed training sequences:
     (bin_id, n_docs, tokens) with len(tokens) == seq_len for every bin
-    except the last.  See module docstring for the distribution shape."""
+    except the last.  See module docstring for the distribution shape.
+
+    ``bucket_bits`` is the MINIMUM exchange width; when the pass-0
+    totals show a bucket above ``max_bucket_tokens`` (hot-source skew,
+    bigger corpus), the width adapts upward automatically — the output
+    is invariant to the width (global order is (h, doc_id) regardless),
+    only task sizing changes."""
     import ray.data as rd
 
     from logtrics_ray.sources.parquet import read_parquet_clean
 
-    totals = _bucket_token_totals(input_path, bucket_bits)
+    fine = _bucket_token_totals(input_path, FINE_BITS)
+    bucket_bits, totals = _adapt_bits(fine, FINE_BITS, bucket_bits,
+                                      max_bucket_tokens)
     bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
     packer = _BucketPacker(bases, seq_len, bucket_bits)
 
@@ -300,7 +337,11 @@ def packing_oracle_sql(input_path: str, side_path: str,
                               ROWS UNBOUNDED PRECEDING) - n_tok AS off
       FROM d),
     x AS MATERIALIZED (
-      SELECT doc_id, off + generate_subscripts(tokens, 1) - 1 AS gidx,
+      -- off is a HUGEINT window sum; without the BIGINT cast bin_id
+      -- reaches pandas as float64 and a dtype-tagged hash flags it
+      -- against the engine's int64 even though every value matches
+      SELECT doc_id,
+             CAST(off + generate_subscripts(tokens, 1) - 1 AS BIGINT) AS gidx,
              unnest(tokens)::BIGINT AS tok
       FROM o)
     SELECT gidx // {seq_len} AS bin_id,

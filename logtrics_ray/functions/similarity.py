@@ -384,7 +384,12 @@ def write_lsh_bucket_side_table(embeddings_path: str, out_path: str,
 
     import pyarrow.parquet as pq
 
-    if os.path.isfile(out_path):
+    import logtrics_ray.functions.similarity as _self
+    from logtrics_ray import hashing as H
+    fresh, mark = H.fixture_cache(
+        [out_path], f"{H.source_version(_self)}:{embeddings_path}:"
+                    f"{n_planes}:{seed}:{id_col}:{vec_col}")
+    if fresh:
         return out_path
     t = pq.read_table(embeddings_path, columns=[id_col, vec_col])
     ids = t[id_col].to_numpy().astype(np.int64)
@@ -393,6 +398,7 @@ def write_lsh_bucket_side_table(embeddings_path: str, out_path: str,
     bits = (m @ planes) >= 0
     bucket = (bits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int64)
     pq.write_table(pa.table({id_col: ids, "bucket": bucket}), out_path)
+    mark()
     return out_path
 
 

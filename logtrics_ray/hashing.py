@@ -180,6 +180,45 @@ def hash64_words(words: np.ndarray, seed: int = 0) -> np.ndarray:
     return _fmix64(h ^ _U64(P * 8))
 
 
+# ------------------------------------------------------ fixture keying --
+
+def source_version(*modules) -> str:
+    """Short content hash of the given modules' SOURCE FILES.
+
+    Cache-key ingredient for /tmp fixtures (synth token tables, oracle
+    side tables): a generated artifact is only reused when the code that
+    generated it is byte-identical, so a kernel/generator change between
+    runs can never feed one side of a correctness comparison stale data."""
+    h = hashlib.sha256()
+    for m in modules:
+        path = getattr(m, "__file__", None) or str(m)
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+def fixture_cache(paths, tag: str):
+    """Content-keyed reuse check for generated /tmp fixtures.
+
+    Returns ``(fresh, mark)``: ``fresh`` is True iff every path in
+    ``paths`` exists and the sidecar ``<paths[0]>.tag`` file equals
+    ``tag`` (build the tag from ``source_version(...)`` + parameters);
+    call ``mark()`` after a successful regeneration.  Prevents a stale
+    artifact from an older code version feeding one side of a
+    correctness comparison."""
+    import os
+    marker = paths[0] + ".tag"
+    fresh = (all(os.path.exists(p) for p in paths)
+             and os.path.exists(marker)
+             and open(marker).read().strip() == tag)
+
+    def mark():
+        with open(marker, "w") as f:
+            f.write(tag)
+
+    return fresh, mark
+
+
 # ------------------------------------------------------- derived keying --
 
 def ts_for_doc_ids(doc_ids, epoch0_ms: int, horizon_ms: int) -> np.ndarray:

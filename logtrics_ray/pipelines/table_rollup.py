@@ -562,10 +562,16 @@ def write_hll_side_table(events_path: str, out_path: str, ts_col: str = "ts",
 
     import pyarrow.parquet as pq
 
+    from logtrics_ray import hashing as H
+    from logtrics_ray import state as _st
     from logtrics_ray.hashing import id_hash64_array
     from logtrics_ray.state.hll import HLL
+    import logtrics_ray.state.hll as _hllmod
 
-    if os.path.isfile(out_path):
+    fresh, mark = H.fixture_cache(
+        [out_path], f"{H.source_version(_hllmod, H)}:{events_path}:"
+                    f"{ts_col}:{key_col}:{member_col}:{width_ms}:{p}")
+    if fresh:
         return out_path
     t = pq.read_table(events_path, columns=[ts_col, key_col, member_col])
     w = window_floor(_ts_ms_numpy(t[ts_col]), width_ms)
@@ -596,6 +602,7 @@ def write_hll_side_table(events_path: str, out_path: str, ts_col: str = "ts",
                              "window_start": pa.array(out_w, pa.int64()),
                              "rank": pa.array(out_r, pa.int32())}), tmp)
     os.replace(tmp, out_path)
+    mark()
     return out_path
 
 
@@ -620,9 +627,14 @@ def write_tdigest_side_table(events_path: str, out_path: str,
 
     import pyarrow.parquet as pq
 
+    from logtrics_ray import hashing as H
     from logtrics_ray.state.tdigest import TDigest
+    import logtrics_ray.state.tdigest as _tdmod
 
-    if os.path.isfile(out_path):
+    fresh, mark = H.fixture_cache(
+        [out_path], f"{H.source_version(_tdmod, H)}:{events_path}:{ts_col}:"
+                    f"{key_col}:{id_col}:{value_col}:{width_ms}:{salt_buckets}")
+    if fresh:
         return out_path
     t = pq.read_table(events_path, columns=[id_col, ts_col, key_col, value_col])
     ts = t[ts_col]
@@ -645,6 +657,7 @@ def write_tdigest_side_table(events_path: str, out_path: str,
     v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
 
     _write_digest_cells(codes, labels, w, salt, v, out_path)
+    mark()
     return out_path
 
 
@@ -709,7 +722,18 @@ def write_token_tdigest_side_table(token_text_dir: str, out_path: str,
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    if os.path.isfile(out_path):
+    from logtrics_ray import hashing as H
+    import logtrics_ray.state.tdigest as _tdmod
+
+    src_marker = os.path.join(os.path.dirname(token_text_dir.rstrip("/")),
+                              "_DONE")
+    src_tag = (open(src_marker).read().strip()
+               if os.path.exists(src_marker) else "?")
+    fresh, mark = H.fixture_cache(
+        [out_path], f"{H.source_version(_tdmod, H)}:{token_text_dir}:"
+                    f"{src_tag}:{epoch0_ms}:{horizon_ms}:{width_ms}:"
+                    f"{salt_buckets}")
+    if fresh:
         return out_path
     names = sorted(n for n in os.listdir(token_text_dir)
                    if n.endswith(".parquet"))
@@ -733,6 +757,7 @@ def write_token_tdigest_side_table(token_text_dir: str, out_path: str,
     codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     labels = kd.dictionary.to_pylist()
     _write_digest_cells(codes, labels, w, salt, v, out_path)
+    mark()
     return out_path
 
 

@@ -58,9 +58,18 @@ def write_log_lines_fixture(token_text_dir: str, out_dir: str) -> str:
     import pyarrow.parquet as pq
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_DONE")
-    tag = token_text_dir
+    # Content-keyed: reuse only while the upstream token dir's own cache
+    # tag (which embeds its generator-source hash) is unchanged.
+    src_marker = os.path.join(os.path.dirname(token_text_dir.rstrip("/")),
+                              "_DONE")
+    src_tag = (open(src_marker).read().strip()
+               if os.path.exists(src_marker) else "?")
+    tag = f"{token_text_dir}:{src_tag}"
     if os.path.exists(marker) and open(marker).read().strip() == tag:
         return out_dir
+    for f in os.listdir(out_dir):
+        if f.endswith(".log"):
+            os.unlink(os.path.join(out_dir, f))
     for name in sorted(os.listdir(token_text_dir)):
         if not name.endswith(".parquet"):
             continue

@@ -146,10 +146,26 @@ def write_token_table(out_dir: str, n_rows: int, n_shards: int = 8, seed: int = 
     small sf only; the token pipeline itself never reads it)."""
     os.makedirs(out_dir, exist_ok=True)
     done_marker = os.path.join(out_dir, "_DONE")
-    tag = f"v2:{seed}:{n_rows}:{n_shards}:text={int(with_text)}"
+    # Content-keyed cache: the tag embeds a hash of the generator's own
+    # source (synth + vocab + hashing), so a code change between runs /
+    # driver rounds regenerates instead of serving stale shards.
+    from logtrics_ray import hashing as H
+    from logtrics_ray import vocab as _V
+    import logtrics_ray.synth as _self
+    ver = H.source_version(_self, _V, H)
+    tag = f"v3:{ver}:{seed}:{n_rows}:{n_shards}:text={int(with_text)}"
     have = open(done_marker).read().strip() if os.path.exists(done_marker) else ""
     if have == tag or (not with_text and have == tag[:-1] + "1"):
         return out_dir        # a text-bearing dir satisfies a text-free ask
+    # Stale or foreign contents: clear every parquet (shard count may have
+    # changed; leftovers would silently join the read)
+    for sub in (out_dir, os.path.join(out_dir, "text")):
+        if os.path.isdir(sub):
+            for f in os.listdir(sub):
+                if f.endswith(".parquet"):
+                    os.unlink(os.path.join(sub, f))
+    if os.path.exists(done_marker):
+        os.unlink(done_marker)
     per = n_rows // n_shards
     counts = [per + (1 if i < n_rows % n_shards else 0) for i in range(n_shards)]
     offsets = [sum(counts[:i]) for i in range(n_shards)]

@@ -36,6 +36,35 @@ def to_pandas(res) -> pd.DataFrame:
     return res.to_pandas()  # ray Dataset
 
 
+def value_hash(df: pd.DataFrame) -> str:
+    """Canonical value hash: columns sorted by name, rows sorted by all
+    columns, each column hashed as (name, dtype-class, exact value bytes)
+    — at least as strict as any order-insensitive driver hash, and
+    strictly stricter than a float64-cast compare (int64 beyond 2^53
+    and dtype flips change it)."""
+    import hashlib
+    cols = sorted(df.columns)
+    d = df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    h = hashlib.sha256()
+    for c in cols:
+        s = d[c]
+        if pd.api.types.is_float_dtype(s):
+            kind, b = "f", s.to_numpy(np.float64).tobytes()
+        elif pd.api.types.is_integer_dtype(s) and not s.isna().any():
+            kind, b = "i", s.to_numpy(np.int64).tobytes()
+        elif pd.api.types.is_bool_dtype(s) and not s.isna().any():
+            kind, b = "b", s.to_numpy(np.bool_).tobytes()
+        else:
+            kind = "s"
+            # canonicalize nulls: engine None vs DuckDB NaN for NULL
+            # booleans/strings are the same value, not a hash diff
+            b = "\x1f".join(
+                "\x00" if pd.isna(v) else str(v)
+                for v in s.tolist()).encode()
+        h.update(f"{c}:{kind}:".encode()); h.update(b)
+    return h.hexdigest()[:16]
+
+
 def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(got.columns) != sorted(exp.columns):
@@ -48,14 +77,26 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     e = exp[cols].sort_values(cols).reset_index(drop=True)
     for c in cols:
         gv, ev = g[c].to_numpy(), e[c].to_numpy()
-        try:
-            gv = gv.astype(np.float64); ev = ev.astype(np.float64)
-            same = (gv == ev) | (np.isnan(gv) & np.isnan(ev))
-        except (TypeError, ValueError):
-            same = g[c].astype(str).to_numpy() == e[c].astype(str).to_numpy()
+        g_int = pd.api.types.is_integer_dtype(g[c])
+        e_int = pd.api.types.is_integer_dtype(e[c])
+        if g_int and e_int:
+            # exact — a float64 cast would hide diffs beyond 2^53
+            same = gv.astype(np.int64) == ev.astype(np.int64)
+        else:
+            try:
+                gv = gv.astype(np.float64); ev = ev.astype(np.float64)
+                same = (gv == ev) | (np.isnan(gv) & np.isnan(ev))
+            except (TypeError, ValueError):
+                same = g[c].astype(str).to_numpy() == e[c].astype(str).to_numpy()
         if not same.all():
             i = int(np.flatnonzero(~same)[0])
             problems.append(f"col {c}: first diff row {i}: ray={g[c].iloc[i]!r} sql={e[c].iloc[i]!r} ({(~same).sum()} diffs)")
+        if g[c].dtype.kind != e[c].dtype.kind:
+            # values equal but dtype class differs across sides — a
+            # dtype-tagged driver hash could still flag this; surface it
+            # loudly (warning, not failure: value equality is the gate)
+            print(f"WARN {name}: dtype-kind col {c}: ray={g[c].dtype} "
+                  f"sql={e[c].dtype} (align engine/SQL output dtype)")
     return problems
 
 
@@ -95,8 +136,16 @@ def main():
                 print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
                 bad += 1
             else:
-                print(f"ok   {name} ({dt:.1f}s): {len(got)} rows == oracle")
-                ok += 1
+                hg, he = value_hash(got), value_hash(exp)
+                mark = "" if hg == he else f"  HASH-DIFF ray={hg} sql={he}"
+                if mark:
+                    bad += 1
+                    print(f"FAIL {name} ({dt:.1f}s): canonical hash"
+                          f" mismatch{mark}")
+                else:
+                    print(f"ok   {name} ({dt:.1f}s): {len(got)} rows == "
+                          f"oracle  [h={hg}]")
+                    ok += 1
         else:
             print(f"ok?  {name} ({dt:.1f}s): {len(got)} rows (rows-only, no oracle)")
             ok += 1

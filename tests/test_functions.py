@@ -495,6 +495,77 @@ def test_pack_sequences_zero_length_docs(ray_session, tmp_path):
     assert stats.bin_id.is_unique
 
 
+def test_pack_adaptive_bits_hot_source(ray_session, tmp_path):
+    """Skewed corpus (one source = ~60% of all tokens): with a tiny
+    per-bucket token budget the exchange width adapts upward instead of
+    raising, every bucket respects the budget, and the packed output is
+    IDENTICAL to the default-budget run (width-invariance)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import (FINE_BITS, _adapt_bits,
+                                                _bucket_token_totals,
+                                                pack_sequences,
+                                                pack_stats_frame)
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(300):
+        # every third doc is a "hot" long one
+        n = int(rng.integers(200, 400)) if i % 3 == 0 \
+            else int(rng.integers(5, 40))
+        docs.append((f"h{i:04d}", rng.integers(0, 97, n).astype(np.int32)))
+    t = pa.table({
+        "doc_id": [d for d, _ in docs],
+        "tokens": pa.array([list(v) for _, v in docs], pa.list_(pa.int32())),
+        "n_tok": pa.array([len(v) for _, v in docs], pa.int32()),
+        "source": ["hot" if i % 3 == 0 else "web"
+                   for i in range(len(docs))],
+    })
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-00000.parquet"))
+
+    fine = _bucket_token_totals(str(d), FINE_BITS)
+    # budget must exceed the largest single doc (docs are atomic) but sit
+    # below the default 6-bit max bucket so adaptation has to kick in
+    budget = int(fine.max()) + 50
+    bits, coarse = _adapt_bits(fine, FINE_BITS, 6, budget)
+    assert bits > 6 and int(coarse.max()) <= budget
+    assert coarse.sum() == fine.sum() == sum(len(v) for _, v in docs)
+
+    def canon(**kw):
+        df = pack_stats_frame(
+            pack_sequences(str(d), seq_len=128, **kw)).to_pandas()
+        return df.sort_values("bin_id").reset_index(drop=True)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        canon(max_bucket_tokens=budget), canon(), check_exact=True)
+
+
+def test_pack_stats_run_twice_byte_identical(ray_session, t1_dir):
+    """The driver hashes pack output across runs: two full
+    pack_sequences -> pack_stats_frame executions in one session must
+    canonicalize (sorted rows/columns) to byte-identical frames,
+    dtypes included — catches run-to-run nondeterminism that a single
+    oracle comparison cannot."""
+    import pandas as pd
+
+    from logtrics_ray.functions.packing import (pack_sequences,
+                                                pack_stats_frame)
+
+    def canon():
+        df = pack_stats_frame(pack_sequences(t1_dir, seq_len=256)).to_pandas()
+        cols = sorted(df.columns)
+        return (df[cols].sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    a, b = canon(), canon()
+    pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=True)
+
+
 def test_vocab_topk_matches_counter(ray_session, t1_dir):
     """Top-k vocabulary stats == a plain Counter over all tokens (count
     AND document frequency), including the (n desc, token asc) tie rule."""
