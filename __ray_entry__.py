@@ -366,17 +366,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         import pyarrow as pa
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        from logtrics_ray.functions.textstats import TOKEN_RE, WORD_RE
+        from logtrics_ray.functions.textstats import (TOKEN_RE, WORD_RE,
+                                                      ascii_text_counts)
 
         def fn(t: pa.Table) -> pa.Table:
             import numpy as np
-            texts = t["text"].to_pylist()
+            c = ascii_text_counts(t["text"])
+            if c is None:            # non-ASCII batch: regex fallback
+                texts = t["text"].to_pylist()
+                c = {"n_chars": np.array([len(s) for s in texts], np.int64),
+                     "n_words": np.array([len(WORD_RE.findall(s))
+                                          for s in texts], np.int64),
+                     "n_tokens": np.array([len(TOKEN_RE.findall(s))
+                                           for s in texts], np.int64)}
             return pa.Table.from_arrays([
                 t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray)
                 else t["doc_id"],
-                pa.array(np.array([len(s) for s in texts], dtype=np.int64)),
-                pa.array(np.array([len(WORD_RE.findall(s)) for s in texts], dtype=np.int64)),
-                pa.array(np.array([len(TOKEN_RE.findall(s)) for s in texts], dtype=np.int64)),
+                pa.array(c["n_chars"]), pa.array(c["n_words"]),
+                pa.array(c["n_tokens"]),
             ], names=["doc_id", "n_chars", "n_words", "n_tokens"])
 
         return ds.map_batches(fn, batch_format="pyarrow")

@@ -53,6 +53,39 @@ from logtrics_ray.hashing import hash64_array, hash64_words
 
 _WS = re.compile(r"\s+")
 
+
+def word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word split + hash shared by the MinHash / SimHash
+    kernels: (flat per-word id-hashes, per-doc word counts).
+
+    Arrow ``utf8_lower`` + ``utf8_split_whitespace`` (C++), boundary
+    empties dropped, then ONE ``id_hash64_array`` over the flat word
+    values — the same words in the same order as the per-doc
+    ``_WS.split(t.strip().lower())`` list-comp it replaces (byte-equal
+    signatures pinned in tests/test_functions.py)."""
+    from logtrics_ray.hashing import id_hash64_array
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    raw_cnt = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    wlen = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    keep = wlen > 0                     # split emits '' at text edges
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), raw_cnt)
+    wc = np.bincount(doc_of[keep], minlength=n).astype(np.int64)
+    if not keep.any():
+        return np.empty(0, np.uint64), wc
+    kept = flat if keep.all() else flat.filter(pa.array(keep))
+    return id_hash64_array(kept), wc
+
 # Per-worker-process cache of stateful batch callables (task-mode analog
 # of actor __init__; Ray reuses worker processes across tasks).
 _PROCESS_INSTANCES: dict = {}
@@ -135,14 +168,10 @@ class MinHasher:
         self.num_perm = num_perm
         self.n = shingle_n
 
-    def _gram_hashes(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    def _gram_hashes(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """Flat gram-hash array + per-doc gram counts."""
-        from logtrics_ray.hashing import id_hash64_array
-        words_per_doc = [[w for w in _WS.split(t.strip().lower()) if w]
-                         for t in texts]
-        wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
-        flat_words = [w for ws in words_per_doc for w in ws]
-        W = id_hash64_array(flat_words) if flat_words else np.empty(0, np.uint64)
+        W, wc = word_hashes(texts)
+        n_docs = wc.size
         n = self.n
         # every doc gets >= 1 gram (empty docs hash their zero padding)
         g_cnt = np.maximum(wc - n + 1, 1)
@@ -151,7 +180,7 @@ class MinHasher:
         g_off = np.concatenate([[0], np.cumsum(g_cnt)[:-1]])
         # gram row g of doc d covers words [start, start + n) clipped to
         # the doc -> build an (total_g, n) matrix of word hashes, 0-padded
-        g_doc = np.repeat(np.arange(len(texts)), g_cnt)
+        g_doc = np.repeat(np.arange(n_docs), g_cnt)
         g_local = np.arange(total_g) - np.repeat(g_off, g_cnt)
         mat = np.zeros((total_g, n), dtype=np.uint64)
         for j in range(n):
@@ -161,9 +190,10 @@ class MinHasher:
             mat[valid, j] = W[src[valid]]
         return hash64_words(mat), g_cnt
 
-    def signatures(self, texts: list[str]) -> np.ndarray:
-        """(len(texts), num_perm) uint64 signature matrix."""
-        if not texts:
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix.  ``texts`` may be
+        an Arrow string array (preferred, zero-copy) or list of str."""
+        if len(texts) == 0:
             return np.empty((0, self.num_perm), dtype=np.uint64)
         G, g_cnt = self._gram_hashes(texts)
         g_off = np.concatenate([[0], np.cumsum(g_cnt)[:-1]])
@@ -179,7 +209,7 @@ class MinHasher:
         return self.signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = self.signatures(batch["text"].to_pylist())
+        sigs = self.signatures(batch["text"])
         return pa.Table.from_arrays(
             [batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray)
              else batch["doc_id"],
@@ -343,15 +373,10 @@ class SimHasher:
         # mask_bits low bits zeroed -> coarser buckets (near-dup radius)
         self.mask = np.uint64(~((1 << mask_bits) - 1) & 0xFFFFFFFFFFFFFFFF)
 
-    def simhashes(self, texts: list[str]) -> np.ndarray:
-        from logtrics_ray.hashing import id_hash64_array
-        words_per_doc = [[w for w in _WS.split(t.strip().lower()) if w]
-                         for t in texts]
-        wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
-        flat = [w for ws in words_per_doc for w in ws]
-        if not flat:
+    def simhashes(self, texts) -> np.ndarray:
+        W, wc = word_hashes(texts)
+        if W.size == 0:
             return np.zeros(len(texts), dtype=np.uint64)
-        W = id_hash64_array(flat)
         bits = ((W[:, None] >> self._BITPOS[None, :]) & np.uint64(1)).astype(np.int32)
         pm = 2 * bits - 1                          # (total_words, 64) of +/-1
         off = np.concatenate([[0], np.cumsum(wc)[:-1]])
@@ -369,7 +394,7 @@ class SimHasher:
         return int(self.simhashes([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self.simhashes(batch["text"].to_pylist())
+        out = self.simhashes(batch["text"])
         return pa.Table.from_arrays(
             [batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray)
              else batch["doc_id"],

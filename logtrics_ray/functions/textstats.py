@@ -41,6 +41,110 @@ def _poly_powers(n: int) -> np.ndarray:
     return _POW_CACHE[0][:n]
 
 
+# ------------------------------------------------ byte-level fast path --
+# All counting regexes above are ASCII-class (\S, \s, [A-Za-z], [0-9],
+# [^\w\s]), so on pure-ASCII text every count is computable straight off
+# the Arrow string value buffer with numpy masks — no per-row regex.
+# Non-ASCII batches (where Python's \s also matches unicode whitespace)
+# fall back to the regex path; byte-identity of the two paths is pinned
+# in tests/test_functions.py.
+
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[9, 10, 11, 12, 13, 32]] = True          # \t \n \v \f \r ' '
+
+
+def _stop_keys() -> np.ndarray:
+    """Stopwords packed as (len << 32 | first-4-lowercase-bytes) int64
+    keys — every stopword is <= 4 chars, so membership is one np.isin."""
+    ks = []
+    for w in STOPWORDS:
+        b = w.encode()
+        assert len(b) <= 4
+        k = len(b) << 32
+        for j, c in enumerate(b):
+            k |= c << (24 - 8 * j)
+        ks.append(k)
+    return np.array(sorted(ks), dtype=np.int64)
+
+
+_STOP_KEYS = _stop_keys()
+
+
+def ascii_text_counts(col: pa.Array) -> dict | None:
+    """Vectorized per-doc counts over the flat UTF-8 buffer of an Arrow
+    string array: n_chars, n_words (\\S+ runs), n_tokens (alpha runs +
+    digit runs + other non-ws chars), n_stop (lowercased word in
+    STOPWORDS), n_punct ([^\\w\\s]), n_ws (\\s).  Returns None when any
+    byte >= 0x80 (caller falls back to the regex path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        col.offset: col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    flat = data[off[0]:off[-1]]
+    if flat.size and int(flat.max()) >= 128:
+        return None
+    rel = off - off[0]
+    lens = np.diff(rel)
+    zeros = np.zeros(n, dtype=np.int64)
+    if flat.size == 0:
+        return {"n_chars": lens.astype(np.int64), "n_words": zeros,
+                "n_tokens": zeros, "n_stop": zeros, "n_punct": zeros,
+                "n_ws": zeros}
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    ws = _WS_LUT[flat]
+    nonws = ~ws
+    upper = (flat >= 65) & (flat <= 90)
+    lower_b = np.where(upper, flat + 32, flat)
+    alpha = (lower_b >= 97) & (lower_b <= 122)
+    digit = (flat >= 48) & (flat <= 57)
+    other = nonws & ~alpha & ~digit
+
+    # run starts, reset at every doc boundary (docs are adjacent in flat)
+    def starts(mask):
+        prev = np.concatenate(([False], mask[:-1]))
+        b = rel[:-1]                 # doc starts; trailing empty docs
+        prev[b[b < mask.size]] = False   # have boundary == flat end
+        return mask & ~prev
+
+    word_start = starts(nonws)
+
+    def cnt(mask):
+        return np.bincount(doc_of[mask], minlength=n).astype(np.int64)
+
+    n_words = cnt(word_start)
+    n_tokens = cnt(starts(alpha)) + cnt(starts(digit)) + cnt(other)
+    n_ws = cnt(ws)
+    n_punct = cnt(other & (flat != 95))          # '_' is \w, not punct
+
+    # stopwords: word run ends pair with starts in order; length <= 4
+    # candidates pack (len, 4 lowercased bytes) into one int64 key
+    nxt = np.concatenate((nonws[1:], [False]))
+    ends_at = rel[1:] - 1
+    nxt[ends_at[ends_at >= 0]] = False
+    word_end = nonws & ~nxt
+    ws_pos = np.flatnonzero(word_start)
+    wl = np.flatnonzero(word_end) - ws_pos + 1
+    cand = wl <= 4
+    pos, L = ws_pos[cand], wl[cand]
+    key = L.astype(np.int64) << 32
+    for j in range(4):
+        idx = np.minimum(pos + j, max(flat.size - 1, 0))
+        byte = lower_b[idx] if flat.size else np.zeros(0, np.uint8)
+        key = key | np.where(j < L, byte.astype(np.int64) << (24 - 8 * j), 0)
+    match = np.isin(key, _STOP_KEYS)
+    n_stop = np.bincount(doc_of[pos[match]], minlength=n).astype(np.int64)
+
+    return {"n_chars": lens.astype(np.int64), "n_words": n_words,
+            "n_tokens": n_tokens, "n_stop": n_stop, "n_punct": n_punct,
+            "n_ws": n_ws}
+
+
 class TextStats:
     """Actor-pool callable: per-doc counts + quality score.
 
@@ -48,6 +152,10 @@ class TextStats:
     mean_word_len, quality).  ``quality`` is a deterministic [0,1] heuristic:
     rewards mid-length docs, normal word lengths, presence of stopwords
     (prose-ness), penalizes punctuation soup.
+
+    ASCII batches take the byte-level vectorized path
+    (``ascii_text_counts``); batches with non-ASCII text fall back to the
+    per-row regex path (identical results on ASCII, pinned in tests).
     """
 
     def __init__(self):
@@ -55,25 +163,35 @@ class TextStats:
         self.word_re = WORD_RE
         self.stop = STOPWORDS
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str)
+    def _regex_counts(self, text: pd.Series) -> dict:
         n_chars = text.str.len().to_numpy(np.int64)
         words = text.map(self.word_re.findall)
         n_words = words.map(len).to_numpy(np.int64)
-        tokens = text.map(self.token_re.findall)
-        n_tokens = tokens.map(len).to_numpy(np.int64)
+        n_tokens = text.map(self.token_re.findall).map(len).to_numpy(np.int64)
 
-        def stop_ratio(ws):
-            if not ws:
-                return 0.0
-            return sum(1 for w in ws if w.lower() in self.stop) / len(ws)
+        def stop_count(ws):
+            return sum(1 for w in ws if w.lower() in self.stop)
 
-        sratio = words.map(stop_ratio).to_numpy(np.float64)
+        n_stop = words.map(stop_count).to_numpy(np.int64)
         n_punct = text.str.count(r"[^\w\s]").to_numpy(np.int64)
-        pratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+        n_ws = text.str.count(r"\s").to_numpy(np.int64)
+        return {"n_chars": n_chars, "n_words": n_words,
+                "n_tokens": n_tokens, "n_stop": n_stop,
+                "n_punct": n_punct, "n_ws": n_ws}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        c = ascii_text_counts(pa.array(text, pa.string()))
+        if c is None:
+            c = self._regex_counts(text)
+        n_chars, n_words = c["n_chars"], c["n_words"]
+        n_tokens = c["n_tokens"]
+        sratio = np.where(n_words > 0,
+                          c["n_stop"] / np.maximum(n_words, 1), 0.0)
+        pratio = np.where(n_chars > 0,
+                          c["n_punct"] / np.maximum(n_chars, 1), 0.0)
         mwl = np.where(n_words > 0,
-                       (n_chars - text.str.count(r"\s").to_numpy(np.int64))
-                       / np.maximum(n_words, 1), 0.0)
+                       (n_chars - c["n_ws"]) / np.maximum(n_words, 1), 0.0)
         len_score = np.clip(np.log1p(n_words) / np.log(201.0), 0.0, 1.0)
         wl_score = np.exp(-0.5 * ((mwl - 5.0) / 3.0) ** 2)
         quality = np.clip(0.35 * len_score + 0.25 * np.minimum(sratio / 0.4, 1.0)

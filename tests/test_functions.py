@@ -495,6 +495,67 @@ def test_pack_sequences_zero_length_docs(ray_session, tmp_path):
     assert stats.bin_id.is_unique
 
 
+def test_ascii_text_counts_matches_regex_path():
+    """Byte-level vectorized text counts == the per-row regex path on
+    nasty ASCII corpora (the fast path the quality/stats operators take);
+    non-ASCII input returns None (fallback trigger)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from logtrics_ray.functions.textstats import (TextStats,
+                                                  ascii_text_counts)
+
+    texts = [
+        "", " ", "a", "The the THE tHe!", "  leading and trailing  ",
+        "punct... soup!!! ###", "under_score is one word_",
+        "digits 123 mixed12words 45x", "tabs\tand\nnewlines\r\nhere",
+        "a.b,c;d:e", "I i bE Been been at AT At", "x" * 500,
+        "word " * 300, "!@#$%^&*()_+", "this is a test of the system",
+    ]
+    ts = TextStats()
+    fast = ascii_text_counts(pa.array(texts, pa.string()))
+    slow = ts._regex_counts(pd.Series(texts))
+    assert fast is not None
+    for k in slow:
+        np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+
+    # non-ASCII triggers the fallback
+    assert ascii_text_counts(pa.array(["héllo"], pa.string())) is None
+    # and the full operator still runs through it
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["héllo wörld", "plain"]})
+    out = ts(df)
+    assert list(out.n_words) == [2, 1]
+
+
+def test_word_hashes_matches_python_split():
+    """The vectorized Arrow word split/hash must produce byte-identical
+    (hashes, counts) to the per-doc Python reference split it replaced —
+    including unicode case/whitespace, empties, and edge spaces (the
+    minhash/simhash signature side tables depend on this)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from logtrics_ray.functions.dedup import word_hashes
+    from logtrics_ray.hashing import id_hash64_array
+
+    _ws = re.compile(r"\s+")
+    texts = ["  Hello  WORLD ", "", "   ", "a", "x\ty\nz  w",
+             "Foö  BAR ß", " \xa0nb sp ", "one",
+             "Tabs\t\tand\nnewlines\r\nmixed "]
+    W, wc = word_hashes(pa.array(texts, pa.string()))
+
+    ref_words = [[w for w in _ws.split(t.strip().lower()) if w]
+                 for t in texts]
+    ref_wc = np.array([len(ws) for ws in ref_words], dtype=np.int64)
+    flat = [w for ws in ref_words for w in ws]
+    ref_W = id_hash64_array(flat) if flat else np.empty(0, np.uint64)
+    assert (wc == ref_wc).all()
+    assert W.dtype == ref_W.dtype and (W == ref_W).all()
+
+
 def test_pack_adaptive_bits_hot_source(ray_session, tmp_path):
     """Skewed corpus (one source = ~60% of all tokens): with a tiny
     per-bucket token budget the exchange width adapts upward instead of
