@@ -226,6 +226,16 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def _written_rows(out_dir: str) -> int:
+    """Row count summed from parquet footers — free, no lineage re-run."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(p).metadata.num_rows
+               for p in glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
 def cmd_pack(args) -> int:
     """Sequence packing: token table -> fixed-length training chunks,
     written as partitioned parquet (resumable unit = output file)."""
@@ -234,8 +244,10 @@ def cmd_pack(args) -> int:
     ds = pack_sequences(args.input, seq_len=args.seq_len,
                         bucket_bits=args.bucket_bits)
     ds.write_parquet(args.out)
-    n = ds.count()
-    print(json.dumps({"bins": n, "seq_len": args.seq_len, "out": args.out}))
+    # count from the written files' parquet metadata: a Dataset is lazy,
+    # so ds.count() after write would re-execute the whole token exchange
+    print(json.dumps({"bins": _written_rows(args.out),
+                      "seq_len": args.seq_len, "out": args.out}))
     return 0
 
 
@@ -250,7 +262,7 @@ def cmd_sample(args) -> int:
     from logtrics_ray.functions.packing import sample_mix
     ds = sample_mix(args.input, rates)
     ds.write_parquet(args.out)
-    print(json.dumps({"kept_docs": ds.count(), "rates": rates,
+    print(json.dumps({"kept_docs": _written_rows(args.out), "rates": rates,
                       "out": args.out}))
     return 0
 
@@ -265,15 +277,23 @@ def cmd_listen(args) -> int:
     udp, tcp = srv.start()
     print(json.dumps({"spool": args.spool, "udp_port": udp, "tcp_port": tcp}),
           flush=True)
+    # SIGTERM must flush the un-rotated spool buffer too, not just ^C
+    import signal
+
+    def _term(signum, frame):
+        raise SystemExit(0)
+
+    old = signal.signal(signal.SIGTERM, _term)
     try:
         if args.duration > 0:
             time.sleep(args.duration)
         else:
             while True:
                 time.sleep(1.0)
-    except KeyboardInterrupt:
+    except (KeyboardInterrupt, SystemExit):
         pass
     finally:
+        signal.signal(signal.SIGTERM, old)
         srv.stop()
     return 0
 
@@ -375,7 +395,9 @@ def main(argv=None) -> int:
     ls.add_argument("--spool", required=True, help="shard output dir")
     ls.add_argument("--udp-port", type=int, default=None)
     ls.add_argument("--tcp-port", type=int, default=None)
-    ls.add_argument("--host", default="0.0.0.0")
+    # loopback by default: an all-interfaces unauthenticated ingest port
+    # must be an explicit operator choice (--host 0.0.0.0)
+    ls.add_argument("--host", default="127.0.0.1")
     ls.add_argument("--max-lines", type=int, default=10_000,
                     help="rotate a shard after this many lines")
     ls.add_argument("--max-age", type=float, default=5.0,

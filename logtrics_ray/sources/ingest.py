@@ -150,7 +150,10 @@ class LineIngestServer:
             except OSError:
                 break
             text = data.decode("utf-8", errors="replace")
-            self.spool.add([ln for ln in text.split("\n") if ln])
+            # reference readers TrimSpace each line (readers.go:140-141):
+            # CRLF senders must not leave a stray \r in the series text
+            self.spool.add([s for ln in text.split("\n")
+                            if (s := ln.strip())])
 
     def _tcp_accept_loop(self) -> None:
         while not self._stop.is_set():
@@ -178,10 +181,12 @@ class LineIngestServer:
                 buf += chunk
                 if b"\n" in buf:
                     *done, buf = buf.split(b"\n")
-                    self.spool.add([d.decode("utf-8", errors="replace")
-                                    for d in done if d])
-        if buf:                          # trailing line without newline
-            self.spool.add([buf.decode("utf-8", errors="replace")])
+                    self.spool.add(
+                        [s for d in done
+                         if (s := d.decode("utf-8",
+                                           errors="replace").strip())])
+        if buf.strip():                  # trailing line without newline
+            self.spool.add([buf.decode("utf-8", errors="replace").strip()])
 
     def _age_loop(self) -> None:
         while not self._stop.wait(0.1):

@@ -58,6 +58,14 @@ def anomaly_frame(core_ds, k: int = 24):
         w = g["window_start"].to_numpy()[order]
         n = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
         sz = n.size
+        # numpy int64 wraps silently; the DuckDB replay promotes to
+        # HUGEINT — guard the exact cumsums (sum n, sum n*n) loudly so a
+        # 10^12-scale count skew can never pick a wrong baseline quietly
+        if sz and float(n.max()) ** 2 * sz >= 2.0 ** 62:
+            raise OverflowError(
+                "anomaly_frame: sum(count^2) may exceed int64 for this "
+                f"scan bucket (max count {int(n.max())}, {sz} windows); "
+                "narrow the window width or shard the series")
         idx = np.arange(sz, dtype=np.int64)
         seg_of = (np.searchsorted(starts, idx, side="right") - 1
                   if sz else idx)
@@ -156,6 +164,19 @@ def lttb_frame(core_ds, n_out: int = 24):
             b_st = starts[big]                    # segment start rows
             b_len = lens[big]
             M = b_len - 2                         # interior point count
+            # exact-int area term (m*px - Sx)*(y - py) - (px - x)*(Sy - m*py)
+            # must stay inside int64 (the SQL replay promotes to HUGEINT;
+            # numpy would wrap silently and pick wrong points) — bound it
+            # with the largest bucket size, coordinate and count
+            m_max = float(int(M.max()) // B + 2)
+            x_max = float(x.max()) if x.size else 0.0
+            y_max = float(y.max()) if y.size else 0.0
+            if 8.0 * m_max * max(x_max, 1.0) * max(y_max, 1.0) >= 2.0 ** 62:
+                raise OverflowError(
+                    "lttb_frame: exact-int triangle area may exceed int64 "
+                    f"(bucket ~{int(m_max)} pts, x span {int(x_max)} ms, "
+                    f"max count {int(y_max)}); raise n_out or split the "
+                    "time range")
             last = b_st + b_len - 1
             # exact prefix sums of interior coords for bucket centroids
             c1x = np.concatenate(([0], np.cumsum(x)))

@@ -27,7 +27,9 @@ def test_line_ingest_udp_tcp_to_shards(tmp_path):
     try:
         # UDP: one datagram carrying several lines (size-triggered rotate)
         s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        s.sendto(b'hello "abc" x\nlatency_ms=7 y\nGET /api/users z\n'
+        # CRLF and padded lines must arrive trimmed (reference readers
+        # TrimSpace each line, readers.go:140-141)
+        s.sendto(b'hello "abc" x\r\nlatency_ms=7 y\r\n  GET /api/users z \n'
                  b"bytes=99 w\n", ("127.0.0.1", udp))
         s.close()
         assert _wait_for(lambda: any(f.endswith(".log")
@@ -36,9 +38,9 @@ def test_line_ingest_udp_tcp_to_shards(tmp_path):
         # TCP: lines split across sends, partial line completed later,
         # trailing unterminated line flushed on close (age-triggered rotate)
         c = socket.create_connection(("127.0.0.1", tcp))
-        c.sendall(b"status=200 a\nstatus=4")
+        c.sendall(b"status=200 a\r\nstatus=4")
         time.sleep(0.05)
-        c.sendall(b"04 b\ntail-no-newline")
+        c.sendall(b"04 b\ntail-no-newline\r")
         c.close()
         assert _wait_for(lambda: sum(1 for f in os.listdir(spool)
                                      if f.endswith(".log")) >= 2)
