@@ -267,6 +267,19 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_push(args) -> int:
+    """Graphite sink: decoded tier rows rendered to the carbon plaintext
+    protocol and streamed to the endpoint (reference graphite.go:66-90)."""
+    _ensure_ray(args.num_cpus)
+    from logtrics_ray.stages.graphite import push_tier
+    n = push_tier(args.out, args.tier, args.graphite_host,
+                  args.graphite_port, prefix=args.prefix)
+    print(json.dumps({"lines": n, "tier": args.tier,
+                      "endpoint": f"{args.graphite_host}:"
+                                  f"{args.graphite_port}"}))
+    return 0
+
+
 def cmd_listen(args) -> int:
     """Push-ingest edge daemon: no Ray session — it only writes shard
     files; a separate `watch` (or batch `run`) consumes the spool."""
@@ -387,6 +400,18 @@ def main(argv=None) -> int:
                     metavar="SOURCE=RATE", help="repeatable, e.g. web=0.35")
     sm.add_argument("--num-cpus", type=int, default=None)
     sm.set_defaults(fn=cmd_sample)
+
+    gp = sub.add_parser(
+        "push", help="stream a stored tier to a Graphite/carbon endpoint "
+                     "(plaintext protocol; distributed render, edge socket)")
+    gp.add_argument("--out", required=True, help="tier output root")
+    gp.add_argument("--tier", default="1m")
+    gp.add_argument("--graphite-host", required=True)
+    gp.add_argument("--graphite-port", type=int, default=2003)
+    gp.add_argument("--prefix", default="",
+                    help="metric path prefix (joined with a dot)")
+    gp.add_argument("--num-cpus", type=int, default=None)
+    gp.set_defaults(fn=cmd_push)
 
     ls = sub.add_parser(
         "listen", help="UDP/TCP line listener -> rotating .log shards "
