@@ -20,6 +20,11 @@ MIN_MS = 60_000
 HOUR_MS = 3_600_000
 DAY_MS = 86_400_000
 
+# upsampling mix (rates > 1 emit epoch-tagged duplicates) — ONE constant
+# shared by the Ray query and the SQL replay so the plan cannot diverge
+MIX_UP_RATES_CONST = (("web", 0.5), ("books", 1.5),
+                      ("code", 2.25), ("wiki", 1.0))
+
 # epoch-ms composite order key for SQL arg_max (ts, event_id):
 _ORD = "epoch_ms(ts)::HUGEINT * 4294967296 + event_id"
 
@@ -540,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                seq_len=2048))
 
     MIX_RATES = {"web": 0.35, "books": 0.9, "code": 0.6, "wiki": 1.0}
+    MIX_UP_RATES = dict(MIX_UP_RATES_CONST)
 
     def q_sample_mix(sf_dir):
         """Deterministic training-mix sampling: per-source keep rates
@@ -550,6 +556,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                     sample_mix_stats_frame)
         return sample_mix_stats_frame(
             sample_mix(_token_dir(sf_dir), MIX_RATES))
+
+    def q_sample_mix_up(sf_dir):
+        """Training-mix sampling WITH UPSAMPLING: rates above 1 emit
+        floor(rate) deterministic copies per doc (epoch-tagged doc_ids)
+        plus a hash-decided fractional epoch — real mixes upsample
+        high-quality sources, not only downsample."""
+        from logtrics_ray.functions.packing import (
+            sample_mix_epochs, sample_mix_epochs_stats_frame)
+        return sample_mix_epochs_stats_frame(
+            sample_mix_epochs(_token_dir(sf_dir), MIX_UP_RATES))
 
     def q_vocab(sf_dir):
         """Global vocabulary stats: top-50 corpus tokens by count
@@ -663,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rollup_1h": q_token_tier("1h"),
         "token_rollup_1d": q_token_tier("1d"),
         "token_sample_mix": q_sample_mix,
+        "token_sample_mix_up": q_sample_mix_up,
         "token_vocab_top50": q_vocab,
         "events_meter_ewma_1m": q_ewma,
         "token_rollup_full_1m": q_token_full,
@@ -981,6 +998,15 @@ def _vocab_sql(token_dir: str) -> str:
     return vocab_topk_oracle_sql(token_dir, k=50)
 
 
+def _sample_mix_up_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import (
+        sample_mix_epochs_oracle_sql, write_sample_key_side_table)
+    side = write_sample_key_side_table(token_dir,
+                                       "/tmp/lt_mixkey_0.01.parquet")
+    return sample_mix_epochs_oracle_sql(token_dir, side,
+                                        dict(MIX_UP_RATES_CONST))
+
+
 def _sample_mix_sql(token_dir: str) -> str:
     from logtrics_ray.functions.packing import (sample_mix_oracle_sql,
                                                 write_sample_key_side_table)
@@ -1186,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
 "token_rollup_full_1m": _token_full_sql(token_dir, tok_td_side),
         "token_pack_2048": _pack_sql(token_dir),
         "token_sample_mix": _sample_mix_sql(token_dir),
+        "token_sample_mix_up": _sample_mix_up_sql(token_dir),
         "token_vocab_top50": _vocab_sql(token_dir),
         "events_meter_ewma_1m": _ewma_1m_sql(),
         "events_meter_ewma_1d": """

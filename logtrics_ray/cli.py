@@ -259,8 +259,12 @@ def cmd_sample(args) -> int:
         src, _, val = spec.partition("=")
         rates[src] = float(val)
     _ensure_ray(args.num_cpus)
-    from logtrics_ray.functions.packing import sample_mix
-    ds = sample_mix(args.input, rates)
+    if args.epochs:
+        from logtrics_ray.functions.packing import sample_mix_epochs
+        ds = sample_mix_epochs(args.input, rates)
+    else:
+        from logtrics_ray.functions.packing import sample_mix
+        ds = sample_mix(args.input, rates)
     ds.write_parquet(args.out)
     print(json.dumps({"kept_docs": _written_rows(args.out), "rates": rates,
                       "out": args.out}))
@@ -398,6 +402,9 @@ def main(argv=None) -> int:
     sm.add_argument("--out", required=True)
     sm.add_argument("--rate", action="append", default=[],
                     metavar="SOURCE=RATE", help="repeatable, e.g. web=0.35")
+    sm.add_argument("--epochs", action="store_true",
+                    help="allow rates > 1: emit floor(rate) epoch-tagged "
+                         "copies per doc plus a hash-decided fraction")
     sm.add_argument("--num-cpus", type=int, default=None)
     sm.set_defaults(fn=cmd_sample)
 

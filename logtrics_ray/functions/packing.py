@@ -469,6 +469,135 @@ def sample_mix_oracle_sql(input_path: str, side_path: str,
     FROM kept GROUP BY 1"""
 
 
+def upsample_plan(rates: dict[str, float]) -> dict[str, tuple[int, int]]:
+    """Per-source (base_copies, frac_threshold): rate r emits floor(r)
+    copies of every doc plus one more iff skey < (r - floor(r)) * 2^53.
+    Like ``sample_thresholds``, computed ONCE and embedded literally in
+    both the engine filter and the SQL oracle."""
+    plan = {}
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {s!r} must be >= 0")
+        base = int(r)
+        plan[s] = (base, int((r - base) * (1 << SAMPLE_BITS)))
+    return plan
+
+
+def sample_mix_epochs(input_path: str, rates: dict[str, float]):
+    """Deterministic training-mix sampling WITH UPSAMPLING: rates may
+    exceed 1 — a doc from a rate-r source is emitted floor(r) times
+    (epochs 0..floor(r)-1) plus one fractional epoch decided by the same
+    per-doc hash key ``_sample_key`` uses for downsampling.  Duplicates
+    carry epoch-tagged doc_ids (``<doc_id>#e<k>``) so downstream packing
+    treats them as distinct rows while ``base_doc_id`` keeps lineage.
+
+    RNG-free and stateless per batch: any worker, any partition layout,
+    any rerun emits exactly the same multiset — no shuffle, no state.
+
+    Returns (doc_id, base_doc_id, source, n_tok, skey, epoch).
+    """
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    plan = upsample_plan(rates)
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "base_doc_id": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_tok": pa.array([], pa.int64()),
+            "skey": pa.array([], pa.int64()),
+            "epoch": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        key = _sample_key(t["doc_id"])
+        src = t["source"].to_numpy(zero_copy_only=False)
+        copies = np.zeros(t.num_rows, dtype=np.int64)
+        for s, (base, frac_thr) in plan.items():
+            m = src == s
+            copies[m] = base + (key[m] < frac_thr)
+        total = int(copies.sum())
+        if total == 0:
+            return empty
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), copies)
+        epoch = (np.arange(total, dtype=np.int64)
+                 - np.repeat(np.cumsum(copies) - copies, copies))
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)[idx]
+        tagged = np.char.add(np.char.add(ids.astype(str), "#e"),
+                             epoch.astype(str))
+        ntok = pc.cast(t["n_tok"], pa.int64()).to_numpy(
+            zero_copy_only=False)[idx]
+        return pa.table({
+            "doc_id": pa.array(tagged, pa.string()),
+            "base_doc_id": pa.array(ids, pa.string()),
+            "source": pa.array(src[idx], pa.string()),
+            "n_tok": pa.array(ntok, pa.int64()),
+            "skey": pa.array(key[idx], pa.int64()),
+            "epoch": pa.array(epoch, pa.int64())})
+
+    return read_parquet_clean(_top_level_shards(input_path),
+                              columns=["doc_id", "source", "n_tok"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+def sample_mix_epochs_stats_frame(kept_ds):
+    """Per-source verification stats over the (possibly upsampled)
+    emission: row count, token mass, distinct base docs (= epoch-0 rows:
+    every emitted doc emits epoch 0), deepest epoch."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        is_base = pc.cast(pc.equal(t["epoch"], 0), pa.int64())
+        return pa.Table.from_arrays(
+            [t["source"], t["n_tok"], is_base, t["epoch"], t["doc_id"]],
+            names=["source", "n_tok", "is_base", "epoch", "doc_id"])
+
+    return (kept_ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Count(alias_name="n_rows"),
+                       Sum("n_tok", alias_name="sum_ntok"),
+                       Sum("is_base", alias_name="n_base"),
+                       Max("epoch", alias_name="max_epoch"),
+                       Min("doc_id", alias_name="first_doc"),
+                       Max("doc_id", alias_name="last_doc")))
+
+
+def sample_mix_epochs_oracle_sql(input_path: str, side_path: str,
+                                 rates: dict[str, float]) -> str:
+    """SQL replay of the upsampling rule with the SAME integer plan:
+    copies = base + (skey < frac_thr), one row per epoch via unnest."""
+    plan = upsample_plan(rates)
+    base_cases = " ".join(f"WHEN '{s}' THEN {b}"
+                          for s, (b, _) in sorted(plan.items()))
+    frac_cases = " ".join(f"WHEN '{s}' THEN {f}"
+                          for s, (_, f) in sorted(plan.items()))
+    return f"""
+    WITH ks AS (SELECT * FROM read_parquet('{side_path}')),
+    d AS (
+      SELECT t.doc_id, t.source, t.n_tok::BIGINT AS n_tok, ks.skey
+      FROM read_parquet('{input_path}/*.parquet') t JOIN ks USING (doc_id)),
+    c AS (
+      SELECT *, CASE source {base_cases} ELSE 0 END
+                + CASE WHEN skey < CASE source {frac_cases} ELSE 0 END
+                       THEN 1 ELSE 0 END AS copies
+      FROM d),
+    x AS (
+      SELECT doc_id, source, n_tok, skey,
+             unnest(range(copies))::BIGINT AS epoch
+      FROM c WHERE copies > 0),
+    tagged AS (
+      SELECT doc_id || '#e' || epoch AS doc_id, source, n_tok, epoch
+      FROM x)
+    SELECT source,
+           count(*)::BIGINT AS n_rows,
+           sum(n_tok)::BIGINT AS sum_ntok,
+           sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END)::BIGINT AS n_base,
+           max(epoch)::BIGINT AS max_epoch,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM tagged GROUP BY 1"""
+
+
 # --------------------------------------------------- vocabulary stats --
 
 def vocab_counts(input_path: str, vocab_size: int = 50257,

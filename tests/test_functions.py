@@ -606,6 +606,48 @@ def test_pack_adaptive_bits_hot_source(ray_session, tmp_path):
         canon(max_bucket_tokens=budget), canon(), check_exact=True)
 
 
+def test_sample_mix_epochs_upsamples_deterministically(ray_session, t1_dir):
+    """Upsampling mix: every doc of a rate-r source appears exactly
+    floor(r) or ceil(r) times (fraction decided by the shared hash key),
+    epoch tags are dense 0..copies-1, and reruns emit the same multiset."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import (_sample_key,
+                                                sample_mix_epochs,
+                                                upsample_plan)
+
+    rates = {"web": 0.5, "books": 1.5, "code": 2.25, "wiki": 1.0}
+    got = sample_mix_epochs(t1_dir, rates).to_pandas()
+    got2 = sample_mix_epochs(t1_dir, rates).to_pandas()
+    assert sorted(got.doc_id) == sorted(got2.doc_id)
+
+    t = pq.read_table(sorted(glob.glob(f"{t1_dir}/*.parquet")),
+                      columns=["doc_id", "source"])
+    key = _sample_key(t["doc_id"])
+    plan = upsample_plan(rates)
+    ids = np.asarray(t["doc_id"].to_pylist())
+    src = np.asarray(t["source"].to_pylist())
+    counts = got.groupby("base_doc_id").size()
+    for i, (d, s) in enumerate(zip(ids, src)):
+        base, frac = plan.get(s, (0, 0))
+        want = base + (1 if key[i] < frac else 0)
+        assert counts.get(d, 0) == want, (d, s, want)
+    # epoch tags dense per base doc, doc_id carries the tag
+    for d, g in got.groupby("base_doc_id"):
+        assert sorted(g.epoch) == list(range(len(g)))
+        assert set(g.doc_id) == {f"{d}#e{k}" for k in g.epoch}
+    # wiki at exactly 1.0 emits exactly once, epoch 0
+    wiki = got[got.source == "wiki"]
+    assert len(wiki) == int((src == "wiki").sum())
+    assert (wiki.epoch == 0).all()
+    # code at 2.25 averages >= 2 copies per doc
+    n_code = int((src == "code").sum())
+    assert len(got[got.source == "code"]) >= 2 * n_code
+
+
 def test_pack_stats_run_twice_byte_identical(ray_session, t1_dir):
     """The driver hashes pack output across runs: two full
     pack_sequences -> pack_stats_frame executions in one session must
