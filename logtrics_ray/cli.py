@@ -54,11 +54,11 @@ def _load_rules(path: str | None):
         return default_rules()
     import os
     if os.path.isdir(path):
-        return load_rules(path)  # directory of *.toml rule files
+        return load_rules(path)  # dir of *.toml / *.lua rule files
     if path.endswith(".json"):
         with open(path) as f:
             return load_rules(json.load(f))
-    return load_rules(path)  # TOML [[rule]] array
+    return load_rules(path)  # TOML [[rule]] array or *.lua script
 
 
 def _cfg_from_args(args):
@@ -326,8 +326,8 @@ def main(argv=None) -> int:
         sp.add_argument("--input", required=True, help="token-table parquet dir")
         sp.add_argument("--out", required=True, help="tier output root")
         sp.add_argument("--rules", default=None,
-                        help="rule spec: TOML/JSON file OR a directory of "
-                             "*.toml files")
+                        help="rule spec: TOML/JSON file, reference *.lua "
+                             "script, OR a directory of *.toml/*.lua files")
         sp.add_argument("--tiers", default="1m,1h,1d")
         sp.add_argument("--gap-fill", default="locf",
                         choices=["null", "locf", "linear"])

@@ -206,9 +206,11 @@ def load_rules(spec: list[dict] | str) -> tuple[RuleSpec, ...]:
     Duplicate rule names across files are fatal (strict like the
     reference's config merge, /root/reference/logtrics.go:100-101)."""
     if isinstance(spec, str) and os.path.isdir(spec):
-        files = sorted(f for f in os.listdir(spec) if f.endswith(".toml"))
+        files = sorted(f for f in os.listdir(spec)
+                       if f.endswith((".toml", ".lua")))
         if not files:
-            raise ValueError(f"rules dir {spec!r} contains no *.toml files")
+            raise ValueError(
+                f"rules dir {spec!r} contains no *.toml or *.lua files")
         rules: list[RuleSpec] = []
         seen: dict[str, str] = {}
         for f in files:
@@ -220,6 +222,10 @@ def load_rules(spec: list[dict] | str) -> tuple[RuleSpec, ...]:
                 seen[r.name] = f
                 rules.append(r)
         return tuple(rules)
+    if isinstance(spec, str) and spec.endswith(".lua"):
+        # reference scripts unchanged (script.go:23-36 evals *.lua)
+        from logtrics_ray.luacompat import load_lua_rules
+        return load_lua_rules(spec)
     if isinstance(spec, str):
         import tomllib
         with open(spec, "rb") as f:
