@@ -669,6 +669,29 @@ def test_pack_stats_run_twice_byte_identical(ray_session, t1_dir):
     pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=True)
 
 
+def test_pack_hash_and_sort_exchange_identical(ray_session, t1_dir):
+    """The token exchange under HASH_SHUFFLE (key repartition +
+    per-group apply) and under the sort-based grouped map canonicalize
+    to byte-identical stats frames — both group fns impose their own
+    internal total order, so the exchange strategy never reaches the
+    output bits."""
+    import pandas as pd
+
+    from logtrics_ray.functions.packing import (pack_sequences,
+                                                pack_stats_frame)
+
+    def canon(impl):
+        df = pack_stats_frame(
+            pack_sequences(t1_dir, seq_len=256, shuffle_impl=impl)
+        ).to_pandas()
+        cols = sorted(df.columns)
+        return (df[cols].sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(canon("hash"), canon("sort"),
+                                  check_exact=True, check_dtype=True)
+
+
 def test_vocab_topk_matches_counter(ray_session, t1_dir):
     """Top-k vocabulary stats == a plain Counter over all tokens (count
     AND document frequency), including the (n desc, token asc) tie rule."""
