@@ -367,6 +367,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return exact_dedup(ds)
 
+    def q_decontaminate(sf_dir):
+        # Benchmark = every doc with doc_id % 37 == 5 (deterministic,
+        # shared literally with the SQL replay — the SQL recomputes the
+        # grams themselves from raw text, so the gram kernel, broadcast
+        # membership, and flag logic are all independently verified).
+        # (a real pipeline ships the eval set as its own small file; the
+        # pull here is bounded to the benchmark rows)
+        import duckdb
+        from logtrics_ray.functions.dedup import decontaminate
+        bench = [r[0] for r in duckdb.sql(
+            "SELECT text FROM read_parquet("
+            f"'{sf_dir}/documents.parquet') WHERE doc_id % 37 = 5 "
+            "ORDER BY doc_id").fetchall()]
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return decontaminate(ds, bench, n=8)
+
     def q_text_stats(sf_dir):
         import ray.data as rd
         import pyarrow as pa
@@ -664,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_daily_totalprice": q_orders_daily,
         "loglines_series_counts": q_loglines_counts,
         "dedup_exact": q_dedup_exact,
+        "decontaminate_8gram": q_decontaminate,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1424,6 +1441,37 @@ def oracle_sql() -> dict[str, str]:
         "token_rollup_1h": _token_tier_sql(HOUR_MS, token_dir),
         "token_rollup_1d": _token_tier_sql(DAY_MS, token_dir),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # Full SQL gram recomputation from raw text (no side table): the
+        # engine's hash-membership result must equal string-membership
+        # up to 64-bit gram-hash collisions (none in this corpus).
+        # Benchmark rule (doc_id % 37 = 5) is shared literally with
+        # q_decontaminate; normalization mirrors ngram_set (lowercase,
+        # whitespace split, docs shorter than n words -> whole text).
+        "decontaminate_8gram": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []
+                          WHEN len(ws) < 8
+                            THEN [array_to_string(ws, ' ')]
+                          ELSE [array_to_string(ws[i:i+7], ' ')
+                                FOR i IN generate_series(1, len(ws) - 7)]
+                     END AS gs
+              FROM w),
+            gu AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM g),
+            bench AS (SELECT DISTINCT gram FROM gu WHERE doc_id % 37 = 5),
+            hits AS (
+              SELECT gu.doc_id, count(*) AS n_hits
+              FROM gu JOIN bench USING (gram) GROUP BY gu.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)""",
         "text_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

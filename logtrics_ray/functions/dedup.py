@@ -660,3 +660,61 @@ def write_signature_side_tables(documents_path: str, out_dir: str,
     with open(marker, "w") as f:
         f.write(tag)
     return out_dir
+
+
+# ----------------------------------------------- benchmark decontamination --
+
+def benchmark_gram_hashes(texts, n: int = 8) -> np.ndarray:
+    """Sorted unique uint64 word-n-gram hash set of a benchmark/eval
+    corpus.  Driver-side by design: an eval set is small by definition
+    (thousands of prompts), and the result is broadcast once."""
+    hs = [hash64_array(sorted(ngram_set(s, n)))
+          for s in texts if s]
+    return (np.unique(np.concatenate(hs)) if hs
+            else np.empty(0, np.uint64))
+
+
+def decontaminate(ds, benchmark_texts, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination: per document, how many of its distinct
+    word ``n``-grams appear in the benchmark set, and a contamination
+    flag (>=1 shared gram) — the standard train/eval overlap check a
+    training-data pipeline runs before mixing.
+
+    Returns a Dataset of ``(id_col, n_hits: int64, contaminated: bool)``.
+
+    Scale shape: the benchmark gram set crosses the cluster ONCE
+    (``ray.put`` broadcast; every task reads the shared-memory numpy
+    array zero-copy), membership is one vectorized ``np.isin`` per
+    batch against the sorted benchmark side, and there is NO shuffle —
+    a stateless per-batch map over the corpus.  The reference has no
+    analog; gram normalization is shared with the n-gram dedup family
+    (``ngram_set``: lowercase, whitespace split, ``" "``-joined
+    n-grams; docs shorter than ``n`` words contribute their whole text
+    as one gram)."""
+    import ray
+
+    bench = np.sort(benchmark_gram_hashes(benchmark_texts, n))
+    ref = ray.put(bench)
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        grams = [np.unique(hash64_array(sorted(ngram_set(s, n))))
+                 if s else np.empty(0, np.uint64)
+                 for s in texts]
+        cnt = np.array([g.size for g in grams], dtype=np.int64)
+        flat = (np.concatenate(grams) if grams
+                else np.empty(0, np.uint64))
+        rows = np.repeat(np.arange(len(texts), dtype=np.int64), cnt)
+        hit = np.isin(flat, b)
+        n_hits = (np.bincount(rows[hit], minlength=len(texts))
+                  .astype(np.int64))
+        gids = t[id_col].combine_chunks() \
+            if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.Table.from_arrays(
+            [gids, pa.array(n_hits, pa.int64()),
+             pa.array(n_hits > 0, pa.bool_())],
+            names=[id_col, "n_hits", "contaminated"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -715,3 +715,40 @@ def test_vocab_topk_matches_counter(ray_session, t1_dir):
     assert list(got.n) == [cnt[tok] for tok in want]
     assert list(got.n_docs) == [df[tok] for tok in want]
     assert list(got["rank"]) == list(range(1, 51))
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    """Engine flags == a plain-Python gram-set membership check, hit
+    counts included; docs sharing no gram stay clean, the benchmark
+    docs self-flag, and a short doc (< n words) matches via its
+    whole-text gram."""
+    import ray.data as rd
+
+    from logtrics_ray.functions.dedup import decontaminate, ngram_set
+
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog tonight",
+        1: "a completely different document about ray data pipelines",
+        2: "the quick brown fox jumps over the lazy dog tonight again",
+        3: "short doc",
+        4: "unrelated words entirely here nothing shared with anyone",
+    }
+    bench = [docs[0], "short doc"]
+    t = pa.Table.from_arrays(
+        [pa.array(list(docs), pa.int64()),
+         pa.array([docs[k] for k in docs], pa.string())],
+        names=["doc_id", "text"])
+
+    got = (decontaminate(rd.from_arrow(t), bench, n=8)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    bench_grams = set().union(*(ngram_set(s, 8) for s in bench))
+    for i, s in docs.items():
+        hits = len(ngram_set(s, 8) & bench_grams)
+        assert got.loc[i, "n_hits"] == hits, (i, s)
+        assert bool(got.loc[i, "contaminated"]) == (hits > 0)
+    assert got.loc[0, "contaminated"]          # benchmark doc self-flags
+    assert got.loc[2, "contaminated"]          # shares 8-gram window
+    assert got.loc[3, "contaminated"]          # whole-short-doc gram
+    assert not got.loc[1, "contaminated"] and not got.loc[4, "contaminated"]
+    assert got["n_hits"].dtype == "int64"
