@@ -101,8 +101,10 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    write_json = "--json" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -118,6 +120,7 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     ok = bad = 0
+    record: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -126,30 +129,50 @@ def main():
             got = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            record[name] = {"error": f"{type(ex).__name__}: {ex}"}
             bad += 1
             continue
         dt = time.time() - t0
         if name in oracles:
             exp = con.sql(oracles[name]).df()
             problems = compare(name, got, exp)
+            hg, he = value_hash(got), value_hash(exp)
+            rec = {"rows": len(got), "oracle_rows": len(exp),
+                   "rows_match": len(got) == len(exp),
+                   "schema_match": sorted(got.columns) == sorted(exp.columns),
+                   "hash_match": hg == he, "seconds": round(dt, 2)}
+            record[name] = rec
             if problems:
                 print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
                 bad += 1
+            elif hg != he:
+                bad += 1
+                print(f"FAIL {name} ({dt:.1f}s): canonical hash"
+                      f" mismatch  HASH-DIFF ray={hg} sql={he}")
             else:
-                hg, he = value_hash(got), value_hash(exp)
-                mark = "" if hg == he else f"  HASH-DIFF ray={hg} sql={he}"
-                if mark:
-                    bad += 1
-                    print(f"FAIL {name} ({dt:.1f}s): canonical hash"
-                          f" mismatch{mark}")
-                else:
-                    print(f"ok   {name} ({dt:.1f}s): {len(got)} rows == "
-                          f"oracle  [h={hg}]")
-                    ok += 1
+                print(f"ok   {name} ({dt:.1f}s): {len(got)} rows == "
+                      f"oracle  [h={hg}]")
+                ok += 1
         else:
+            record[name] = {"rows": len(got), "rows_only": True,
+                            "seconds": round(dt, 2)}
             print(f"ok?  {name} ({dt:.1f}s): {len(got)} rows (rows-only, no oracle)")
             ok += 1
     print(f"\n{ok} ok, {bad} fail")
+    if write_json:
+        import json as _json
+        import subprocess
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.dirname(
+                                  os.path.abspath(__file__)))).stdout.strip()
+        out = {"sf_dir": sf_dir, "git_head": head,
+               "ok": ok, "fail": bad, "queries": record}
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+        with open(path, "w") as f:
+            _json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {path}")
     ray.shutdown()
     sys.exit(1 if bad else 0)
 
