@@ -367,6 +367,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return exact_dedup(ds)
 
+    # default_rules() re-expressed as a reference-style Lua script: the
+    # SAME regexes, series templates and values, but emitted by Lua
+    # handlers through the luacompat interpreter — so the whole Lua path
+    # (parse -> cloudpickle into workers -> per-event execution ->
+    # graphite() emission) is oracle-checked against the identical SQL
+    # as the declarative-rules key.
+    LUA_DEFAULT_RULES = r'''
+logtrics {
+    name = "hello-gauge",
+    parser = { type = "re2",
+               expression = 'hello "(?P<first>[a-zA-Z0-9]+)"' },
+    handler = function(e)
+        graphite().gauge("lt.hello." .. e.first).update(string.len(e.first))
+    end,
+}
+logtrics {
+    name = "latency-timer",
+    parser = { type = "re2", expression = [[latency_ms=(?P<ms>\d+)]] },
+    handler = function(e)
+        graphite().timer("lt.latency." .. e._source).update(tonumber(e.ms))
+    end,
+}
+logtrics {
+    name = "req-counter",
+    parser = { type = "re2", expression = 'GET /api/(?P<ep>[a-z]+)' },
+    handler = function(e)
+        graphite().counter("lt.req." .. e.ep).inc(1)
+    end,
+}
+logtrics {
+    name = "bytes-meter",
+    parser = { type = "re2", expression = [[bytes=(?P<b>\d+)]] },
+    handler = function(e)
+        graphite().meter("lt.bytes.total").mark(tonumber(e.b))
+    end,
+}
+logtrics {
+    name = "never-matches",
+    parser = { type = "re2", expression = [[zz_never_matches_(?P<x>\d+)]] },
+    handler = function(e)
+        graphite().counter("lt.never." .. e.x).inc(1)
+    end,
+}
+logtrics {
+    name = "status-multi",
+    parser = { type = "re2", expression = [[status=(?P<code>\d{3})]] },
+    handler = function(e)
+        graphite().counter("lt.status." .. e.code).inc(1)
+        graphite().meter("lt.status.all").mark(1)
+    end,
+}
+'''
+
+    def q_loglines_lua(sf_dir):
+        import pyarrow as pa
+        import numpy as np
+        from logtrics_ray.luacompat import load_lua_rules
+        from logtrics_ray.pipelines.table_rollup import _round6
+        from logtrics_ray.sources.text import (read_log_lines,
+                                               write_log_lines_fixture)
+        from logtrics_ray.stages.extract import extract_points
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+        logs = write_log_lines_fixture(os.path.join(_token_dir(sf_dir), "text"),
+                                       f"/tmp/lt_lines_{tag}")
+        pts = extract_points(read_log_lines(logs), load_lua_rules(LUA_DEFAULT_RULES),
+                             _cfg(), text_column="text")
+
+        def agg(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            v = g["value"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays([
+                pa.array([g["series_key"][0].as_py()], pa.string()),
+                pa.array([g["metric_type"][0].as_py()], pa.string()),
+                pa.array([g.num_rows], pa.int64()),
+                pa.array(_round6(np.array([v.sum()])), pa.float64()),
+            ], names=["series_key", "metric_type", "n", "sum_value"])
+
+        return pts.groupby(["series_key", "metric_type"]).map_groups(
+            agg, batch_format="pyarrow")
+
     def q_decontaminate(sf_dir):
         # Benchmark = every doc with doc_id % 37 == 5 (deterministic,
         # shared literally with the SQL replay — the SQL recomputes the
@@ -679,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
         "loglines_series_counts": q_loglines_counts,
+        "loglines_lua_series_counts": q_loglines_lua,
         "dedup_exact": q_dedup_exact,
         "decontaminate_8gram": q_decontaminate,
         "text_stats": q_text_stats,
@@ -1426,6 +1507,20 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1, 2""",
         "loglines_series_counts": f"""
+            WITH files AS (
+              SELECT filename, content
+              FROM read_text('/tmp/lt_lines_0.01/*.log')),
+            docs AS (
+              SELECT regexp_extract(filename, '[^/]+$') AS source,
+                     unnest(string_split(content, chr(10))) AS text
+              FROM files),
+            pts AS ({_extract_arms_sql("")})
+            SELECT series_key, metric_type, count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM pts GROUP BY 1, 2""",
+        # Identical SQL: the Lua-handler path must emit the exact same
+        # points as the declarative rules it re-expresses.
+        "loglines_lua_series_counts": f"""
             WITH files AS (
               SELECT filename, content
               FROM read_text('/tmp/lt_lines_0.01/*.log')),

@@ -934,28 +934,48 @@ class LuaHandler:
         self.fn = fn
         self.interp = interp
         self.graphite_conf: dict | None = None
+        # Per-call state reached through stable closures: the stdlib and
+        # binding dicts are built ONCE per handler here, not per event —
+        # the hot path only swaps what they point at (the reference
+        # re-binds per state too, logtrics.go:162-173, but per-event
+        # rebuilding is pure overhead at batch scale).  Bindings live on
+        # the handler, NOT in the shared interp.globals: several rules
+        # in one script share an interp, so installing closures at
+        # construction time would leave the last-built handler's
+        # closures active for every rule.  __call__ installs them only
+        # when the active handler changes.
+        self._sink: list[tuple] = []
+        self._line = ""
+        self._log = None
+        self._bindings = _stdlib(self._rand)
+        self._bindings["graphite"] = lambda: _GraphiteAPI(self._sink)
+        for lvl in ("trace", "debug", "info", "warn", "error", "fatal"):
+            self._bindings[lvl] = (lambda L: lambda msg, *a: getattr(
+                self._log, L)("%s", _go_format(str(msg), list(a))))(lvl)
+
+    def _rand(self):
+        import hashlib
+        h = hashlib.sha256(
+            f"{self.rule_name}\x00{self._line}\x00{len(self._sink)}".encode()
+        ).digest()
+        return int.from_bytes(h[:7], "big") / float(1 << 56)
+
+    def __getstate__(self):
+        # the closures over self survive cloudpickle; sink/log are
+        # per-call and reset on arrival
+        d = self.__dict__.copy()
+        d["_sink"], d["_line"], d["_log"] = [], "", None
+        return d
 
     def __call__(self, event: dict, log) -> list[tuple]:
         sink: list[tuple] = []
-        g = self.interp.globals
-        # per-call bindings (the reference re-binds per state too,
-        # logtrics.go:162-173)
-        line = str(event.get("_line", ""))
-
-        def _rand():
-            import hashlib
-            h = hashlib.sha256(
-                f"{self.rule_name}\x00{line}\x00{len(sink)}".encode()
-            ).digest()
-            return int.from_bytes(h[:7], "big") / float(1 << 56)
-
-        std = _stdlib(_rand)
-        g.update(std)
-        g["graphite"] = lambda: _GraphiteAPI(sink)
-        for lvl in ("trace", "debug", "info", "warn", "error", "fatal"):
-            g[lvl] = (lambda L: lambda msg, *a:
-                      getattr(log, L)("%s", _go_format(str(msg), list(a))))(lvl)
-        tbl = LuaTable({k: v for k, v in event.items()})
+        self._sink = sink
+        self._line = str(event.get("_line", ""))
+        self._log = log
+        if getattr(self.interp, "bound_handler", None) is not self:
+            self.interp.globals.update(self._bindings)
+            self.interp.bound_handler = self
+        tbl = LuaTable(dict(event))
         self.interp.steps = 0
         self.fn(tbl)
         return sink

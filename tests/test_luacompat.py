@@ -183,6 +183,52 @@ def test_math_random_is_per_event_deterministic():
     assert 1.0 <= a[0][2] <= 10.0 and 1.0 <= c[0][2] <= 10.0
 
 
+def test_interleaved_handlers_keep_their_own_bindings():
+    """Handlers from one script share an interp; the once-per-handler
+    binding install must swap on every handler switch, or rule A would
+    run with rule B's math.random stream / log sink / graphite sink."""
+    rules = load_lua_rules("""
+        logtrics {
+            name = "a",
+            parser = { type = "re2", expression = "(?P<x>x)" },
+            handler = function(e)
+                info("from-a")
+                graphite().gauge("a").update(math.random())
+            end,
+        }
+        logtrics {
+            name = "b",
+            parser = { type = "re2", expression = "(?P<x>x)" },
+            handler = function(e)
+                info("from-b")
+                graphite().gauge("b").update(math.random())
+            end,
+        }
+    """)
+
+    class Log:
+        def __init__(self):
+            self.msgs = []
+
+        def __getattr__(self, lvl):
+            return lambda fmt, *a: self.msgs.append(fmt % a)
+
+    ev = {"x": "x", "_line": "same"}
+    # solo baselines (fresh logs so attribution is unambiguous)
+    a_solo = rules[0].handler(dict(ev), Log())
+    b_solo = rules[1].handler(dict(ev), Log())
+    # interleave: a, b, a — each must reproduce its solo emission and
+    # write only to the log handed to THAT call
+    la, lb, la2 = Log(), Log(), Log()
+    assert rules[0].handler(dict(ev), la) == a_solo
+    assert rules[1].handler(dict(ev), lb) == b_solo
+    assert rules[0].handler(dict(ev), la2) == a_solo
+    assert la.msgs == ["from-a"] and la2.msgs == ["from-a"]
+    assert lb.msgs == ["from-b"]
+    # the two rules' deterministic random streams are keyed by rule name
+    assert a_solo[0][2] != b_solo[0][2]
+
+
 def test_strict_load_failures():
     with pytest.raises(LuaError, match="unknown keys"):
         load_lua_rules("""logtrics { name = "n", bogus = 1,
