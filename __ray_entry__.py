@@ -671,6 +671,16 @@ logtrics {
         from logtrics_ray.functions.packing import vocab_topk_frame
         return vocab_topk_frame(_token_dir(sf_dir), k=50)
 
+    def q_bigram(sf_dir):
+        """Top-50 corpus BIGRAMS (within-doc consecutive token pairs) by
+        count.  The vocab² key domain rules out the dense bincount tree:
+        sparse np.unique per-batch partials -> one hash groupby -> exact
+        block-local top-k merge (post-groupby keys are globally final,
+        so per-block candidates + tiny driver merge is exact, no full
+        sort).  Oracle = SQL lateral pair unnest + group + QUALIFY."""
+        from logtrics_ray.functions.packing import bigram_topk_frame
+        return bigram_topk_frame(_token_dir(sf_dir), k=50)
+
     def q_lttb(sf_dir):
         """LTTB downsample of each series' 1m count curve to 24 points —
         exact-int triangle areas (area scaled by the next bucket's count),
@@ -779,6 +789,7 @@ logtrics {
         "token_sample_mix": q_sample_mix,
         "token_sample_mix_up": q_sample_mix_up,
         "token_vocab_top50": q_vocab,
+        "token_bigram_top50": q_bigram,
         "events_meter_ewma_1m": q_ewma,
         "token_rollup_full_1m": q_token_full,
         "token_pack_2048": q_pack,
@@ -1096,6 +1107,11 @@ def _vocab_sql(token_dir: str) -> str:
     return vocab_topk_oracle_sql(token_dir, k=50)
 
 
+def _bigram_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import bigram_topk_oracle_sql
+    return bigram_topk_oracle_sql(token_dir, k=50)
+
+
 def _sample_mix_up_sql(token_dir: str) -> str:
     from logtrics_ray.functions.packing import (
         sample_mix_epochs_oracle_sql, write_sample_key_side_table)
@@ -1312,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "token_sample_mix": _sample_mix_sql(token_dir),
         "token_sample_mix_up": _sample_mix_up_sql(token_dir),
         "token_vocab_top50": _vocab_sql(token_dir),
+        "token_bigram_top50": _bigram_sql(token_dir),
         "events_meter_ewma_1m": _ewma_1m_sql(),
         "events_meter_ewma_1d": """
             WITH RECURSIVE agg AS (

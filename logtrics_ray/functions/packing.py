@@ -731,6 +731,145 @@ def vocab_topk_frame(input_path: str, k: int = 50,
     })
 
 
+def bigram_counts(input_path: str, vocab_size: int = 50257):
+    """Global BIGRAM statistics: count and document frequency of every
+    within-document consecutive token pair.
+
+    Unlike :func:`vocab_counts`, the key domain (vocab² ≈ 2.5e9) is far
+    too wide for a dense bincount tree — the sparse path is the scale
+    design: per-batch ``np.unique`` partials collapse each block to its
+    distinct (a·V+b) keys first (corpus → ≤distinct-bigrams rows before
+    anything shuffles), then ONE hash groupby sums the partials.  Doc
+    frequency is exact because documents never split across input rows:
+    per-batch unique over (local_doc · V², bigram) packed keys — both
+    factors bounded (batch rows × V² < 2⁶³)."""
+    from logtrics_ray.sources.parquet import read_parquet_clean
+
+    V = vocab_size
+    VV = V * V
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bg": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = vals[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        if vals.size < 2:
+            return empty
+        if (vals < 0).any() or (vals >= V).any():
+            raise ValueError("bigram_counts: token id outside [0, vocab)")
+        # pair i = (vals[i], vals[i+1]); kill pairs straddling a doc
+        # boundary (pair index offs[j]-1 for every interior boundary;
+        # empty docs make boundaries repeat / hit the array edges)
+        valid = np.ones(vals.size - 1, bool)
+        cut = offs[1:-1] - 1
+        cut = cut[(cut >= 0) & (cut < vals.size - 1)]
+        valid[cut] = False
+        key = vals[:-1][valid] * V + vals[1:][valid]
+        if key.size == 0:
+            return empty
+        uk, cnt = np.unique(key, return_counts=True)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                           np.diff(offs))[:-1][valid]
+        dpairs = np.unique(doc_of * VV + key)
+        _, dcnt = np.unique(dpairs % VV, return_counts=True)
+        # unique(dpairs % VV) == uk (every bigram occurs in ≥1 doc;
+        # both are sorted uniques of the same key set), so dcnt aligns
+        # with uk elementwise
+        return pa.table({"bg": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt, pa.int64()),
+                         "n_docs": pa.array(dcnt, pa.int64())})
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        # one hash-partition's partials: complete bg groups, summed with
+        # a vectorized unique+scatter-add (no per-group Python)
+        if t.num_rows == 0:
+            return t
+        t = t.combine_chunks()
+        bg = t["bg"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(bg, return_inverse=True)
+        acc_n = np.zeros(uk.size, np.int64)
+        acc_d = np.zeros(uk.size, np.int64)
+        np.add.at(acc_n, inv, t["n"].to_numpy(zero_copy_only=False))
+        np.add.at(acc_d, inv, t["n_docs"].to_numpy(zero_copy_only=False))
+        return pa.table({"bg": pa.array(uk, pa.int64()),
+                         "n": pa.array(acc_n, pa.int64()),
+                         "n_docs": pa.array(acc_d, pa.int64())})
+
+    from logtrics_ray.exchange import default_partitions, hash_shuffle_ctx
+
+    paths = _top_level_shards(input_path)
+    with hash_shuffle_ctx():
+        return (read_parquet_clean(paths, columns=["tokens"])
+                .map_batches(partial, batch_format="pyarrow")
+                .repartition(default_partitions(), keys=["bg"])
+                .map_batches(merge_block, batch_format="pyarrow",
+                             batch_size=None))
+
+
+def bigram_topk_frame(input_path: str, k: int = 50,
+                      vocab_size: int = 50257):
+    """Top-k corpus bigrams by (count desc, token_a asc, token_b asc).
+
+    After the groupby every key is globally final, so block-local top-k
+    candidates followed by one tiny driver merge is EXACT — no full
+    distributed sort; only ≤ k rows per block ever leave a worker."""
+    import pandas as pd
+
+    V = vocab_size
+    counts = bigram_counts(input_path, vocab_size)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        n = t["n"].to_numpy(zero_copy_only=False)
+        bg = t["bg"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bg, -n))[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    cand = counts.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=None).take_all()
+    bg = np.array([r["bg"] for r in cand], np.int64)
+    n = np.array([r["n"] for r in cand], np.int64)
+    nd = np.array([r["n_docs"] for r in cand], np.int64)
+    order = np.lexsort((bg, -n))[:k]
+    return pd.DataFrame({
+        "token_a": bg[order] // V,
+        "token_b": bg[order] % V,
+        "n": n[order],
+        "n_docs": nd[order],
+        "rank": np.arange(1, order.size + 1, dtype=np.int64),
+    })
+
+
+def bigram_topk_oracle_sql(input_path: str, k: int = 50) -> str:
+    return f"""
+    WITH x AS MATERIALIZED (
+      SELECT doc_id, tokens FROM read_parquet('{input_path}/*.parquet')),
+    pairs AS (
+      SELECT doc_id, tokens[i]::BIGINT AS token_a,
+             tokens[i + 1]::BIGINT AS token_b
+      FROM (SELECT doc_id, tokens,
+                   unnest(generate_series(1, len(tokens) - 1)) AS i
+            FROM x)),
+    c AS (
+      SELECT token_a, token_b, count(*)::BIGINT AS n,
+             count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM pairs GROUP BY 1, 2)
+    SELECT token_a, token_b, n, n_docs,
+           row_number() OVER (ORDER BY n DESC, token_a ASC,
+                              token_b ASC)::BIGINT AS rank
+    FROM c QUALIFY rank <= {k}"""
+
+
 def vocab_topk_oracle_sql(input_path: str, k: int = 50) -> str:
     return f"""
     WITH x AS MATERIALIZED (

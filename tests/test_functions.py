@@ -717,6 +717,57 @@ def test_vocab_topk_matches_counter(ray_session, t1_dir):
     assert list(got["rank"]) == list(range(1, 51))
 
 
+def test_bigram_topk_matches_counter(ray_session, t1_dir):
+    """Top-k bigram stats == a plain Counter over within-doc consecutive
+    pairs (count AND document frequency), incl. the tie rule."""
+    import collections
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import bigram_topk_frame
+
+    t = pq.read_table(sorted(glob.glob(f"{t1_dir}/*.parquet")),
+                      columns=["tokens"])
+    cnt = collections.Counter()
+    df = collections.Counter()
+    for row in t["tokens"].to_pylist():
+        pairs = list(zip(row, row[1:]))
+        cnt.update(pairs)
+        df.update(set(pairs))
+    want = sorted(cnt, key=lambda p: (-cnt[p], p))[:50]
+    got = bigram_topk_frame(t1_dir, k=50)
+    assert list(zip(got.token_a, got.token_b)) == want
+    assert list(got.n) == [cnt[p] for p in want]
+    assert list(got.n_docs) == [df[p] for p in want]
+    assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_bigram_boundary_and_degenerate_docs(ray_session, tmp_path):
+    """Pairs never straddle documents; empty and single-token docs are
+    pair-free (incl. an empty FIRST and LAST doc — the boundary-mask
+    edge cases)."""
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import bigram_topk_frame
+
+    docs = [[], [7], [1, 2, 1, 2], [2, 1], [], [3], [1, 2], []]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "source": pa.array(["s"] * len(docs), pa.string()),
+        "tokens": pa.array(docs, pa.list_(pa.int32())),
+    })
+    d = tmp_path / "bg"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+    got = bigram_topk_frame(str(d), k=10)
+    rows = {(a, b): (n, nd) for a, b, n, nd in
+            zip(got.token_a, got.token_b, got.n, got.n_docs)}
+    # (1,2): twice in doc 2, once in doc 6 -> n=3, n_docs=2
+    assert rows == {(1, 2): (3, 2), (2, 1): (2, 2)}
+    assert list(got["rank"]) == [1, 2]
+
+
 def test_decontaminate_matches_bruteforce(ray_session):
     """Engine flags == a plain-Python gram-set membership check, hit
     counts included; docs sharing no gram stay clean, the benchmark
