@@ -489,6 +489,38 @@ logtrics {
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    def q_scrub_pii(sf_dir):
+        """PII redaction over documents text.  The synthetic corpus has
+        no natural PII, so a deterministic doc_id-keyed suffix injects
+        emails / IPs / phone numbers first (rule shared literally with
+        the SQL, same pattern as decontaminate's benchmark rule); the
+        OPERATOR under test — scrub_pii's sequential RE2 count+replace —
+        runs fully vectorized on the composed text."""
+        import pandas as pd
+        from logtrics_ray.functions.textstats import scrub_pii
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def inject(df: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            ids = df["doc_id"].to_numpy()
+            s = pd.Series(ids.astype(str), index=df.index)
+            suffix = pd.Series(np.select(
+                [ids % 5 == 0, ids % 5 == 1, ids % 5 == 2, ids % 5 == 3],
+                [" contact a" + s + "@mail.example.org for access",
+                 " node 10." + pd.Series((ids % 200).astype(str),
+                                         index=df.index)
+                 + ".3." + pd.Series((ids % 250).astype(str), index=df.index)
+                 + " responded",
+                 " call +14155550" + pd.Series(
+                     (ids % 100).astype(str), index=df.index).str.zfill(2)
+                 + " today",
+                 " mail a@b.io or c@d.org"],
+                default=""), index=df.index)
+            return pd.DataFrame({"doc_id": ids,
+                                 "text": df["text"] + suffix})
+
+        return scrub_pii(ds.map_batches(inject, batch_format="pandas"))
+
     def q_text_quality(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.dedup import process_cached
@@ -535,6 +567,17 @@ logtrics {
         from logtrics_ray.functions.dedup import minhash_dedup_survivors
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return minhash_dedup_survivors(ds)
+
+    def q_minhash_clusters(sf_dir):
+        """Near-duplicate CLUSTER labels (connected components over the
+        minhash-LSH candidate graph) for every doc — the iterative
+        distributed op: hash-min label propagation, one join + one
+        groupby-min per round, label-sum as the monotone convergence
+        witness.  Oracle = recursive-CTE transitive closure over the
+        band side table's bucket-star pairs."""
+        from logtrics_ray.functions.dedup import minhash_dup_clusters
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_dup_clusters(ds)
 
     def q_ngram_jaccard_dedup(sf_dir):
         import ray.data as rd
@@ -774,9 +817,11 @@ logtrics {
         "decontaminate_8gram": q_decontaminate,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "scrub_pii": q_scrub_pii,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dup_clusters": q_minhash_clusters,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "knn_bruteforce": q_knn,
@@ -1105,6 +1150,43 @@ def _pack_sql(token_dir: str) -> str:
 def _vocab_sql(token_dir: str) -> str:
     from logtrics_ray.functions.packing import vocab_topk_oracle_sql
     return vocab_topk_oracle_sql(token_dir, k=50)
+
+
+def _scrub_sql() -> str:
+    """PII-scrub replay: the injection rule AND the redaction rules are
+    shared literally (PII_RULES is the single source of truth; DuckDB's
+    regexp_* are RE2 like Arrow's, so the same pattern strings replay
+    exactly).  Counts are taken stage-by-stage, each on the text as the
+    previous rule left it — mirroring scrub_pii's sequential semantics."""
+    from logtrics_ray.functions.textstats import PII_RULES
+    (em_n, em_p, em_r), (ip_n, ip_p, ip_r), (ph_n, ph_p, ph_r) = PII_RULES
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text || CASE doc_id % 5
+            WHEN 0 THEN ' contact a' || doc_id
+                        || '@mail.example.org for access'
+            WHEN 1 THEN ' node 10.' || (doc_id % 200) || '.3.'
+                        || (doc_id % 250) || ' responded'
+            WHEN 2 THEN ' call +14155550'
+                        || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' today'
+            WHEN 3 THEN ' mail a@b.io or c@d.org'
+            ELSE '' END AS t
+          FROM documents),
+        s0 AS (
+          SELECT doc_id, t,
+                 len(regexp_extract_all(t, '{em_p}'))::BIGINT AS n_{em_n},
+                 regexp_replace(t, '{em_p}', '{em_r}', 'g') AS t1
+          FROM d),
+        s1 AS (
+          SELECT doc_id, n_{em_n},
+                 len(regexp_extract_all(t1, '{ip_p}'))::BIGINT AS n_{ip_n},
+                 regexp_replace(t1, '{ip_p}', '{ip_r}', 'g') AS t2
+          FROM s0)
+        SELECT doc_id,
+               regexp_replace(t2, '{ph_p}', '{ph_r}', 'g') AS text,
+               n_{em_n}, n_{ip_n},
+               len(regexp_extract_all(t2, '{ph_p}'))::BIGINT AS n_{ph_n}
+        FROM s1"""
 
 
 def _bigram_sql(token_dir: str) -> str:
@@ -1591,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                        AS n_tokens
             FROM documents""",
+        "scrub_pii": _scrub_sql(),
         "text_quality": r"""
             WITH s AS (
               SELECT doc_id,
@@ -1694,6 +1777,29 @@ def oracle_sql() -> dict[str, str]:
                    FROM bands b JOIN mins m USING (band_id, band_hash)
                    GROUP BY 1)
             SELECT doc_id FROM pd WHERE doc_id = mn""",
+        # cluster labels = connected components of the SAME bucket-star
+        # candidate pairs the engine derives (member—bucket-min edges);
+        # the closure is replayed independently as a recursive CTE, the
+        # component label as least(own id, min reachable id)
+        "minhash_dup_clusters": f"""
+            WITH RECURSIVE bands AS (
+              SELECT * FROM read_parquet('{sig_dir}/minhash_bands.parquet')),
+            mins AS (SELECT band_id, band_hash, min(doc_id) AS bm
+                     FROM bands GROUP BY 1, 2),
+            pairs AS (SELECT DISTINCT m.bm AS a, b.doc_id AS b
+                      FROM bands b JOIN mins m USING (band_id, band_hash)
+                      WHERE b.doc_id != m.bm),
+            und AS (SELECT a AS x, b AS y FROM pairs
+                    UNION SELECT b, a FROM pairs),
+            reach(x, y) AS (
+              SELECT x, y FROM und
+              UNION
+              SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+            lab AS (SELECT x AS doc_id, least(x, min(y)) AS cl
+                    FROM reach GROUP BY x)
+            SELECT d.doc_id,
+                   CAST(COALESCE(l.cl, d.doc_id) AS BIGINT) AS cluster_id
+            FROM documents d LEFT JOIN lab l USING (doc_id)""",
         "simhash_dedup": f"""
             SELECT min(doc_id) AS doc_id
             FROM read_parquet('{sig_dir}/simhash.parquet')

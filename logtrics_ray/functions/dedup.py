@@ -360,6 +360,94 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
                                 batch_format="pyarrow")
 
 
+# ----------------------------------------- duplicate-cluster components --
+
+def connected_components(pairs, all_ids, num_partitions: int | None = None,
+                         max_iter: int = 64):
+    """Connected components of the undirected pair graph by distributed
+    hash-min label propagation: label(x) starts as x; each round every
+    node takes the min of its own label and its neighbors' labels (one
+    hash join edges⋈labels + one groupby-min), until the global label
+    sum stops changing.  Labels only ever DECREASE, so the sum is a
+    monotone convergence witness costing one tiny aggregate per round —
+    no distributed old-vs-new diff.
+
+    Rounds = graph diameter.  LSH candidate graphs are unions of
+    bucket STARS (member—bucket-min edges), so the diameter is the
+    number of overlapping stars on a chain — small in practice; the
+    ``max_iter`` guard raises loudly rather than spin.  Per round the
+    payload is |edges| + |nodes| rows of two int64s: nothing driver-side
+    ever holds ids.
+
+    ``pairs``: Dataset (a, b).  ``all_ids``: Dataset with ``doc_id``
+    (isolated docs become their own singleton cluster).  Returns a
+    Dataset (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component."""
+    P = num_partitions or _default_join_partitions()
+
+    def und(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"node": t["a"], "dst": t["b"]}),
+            pa.table({"node": t["b"], "dst": t["a"]}),
+        ]).combine_chunks()
+
+    edges, n_edges = _schema_stable(
+        pairs.map_batches(und, batch_format="pyarrow"), P)
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"node": ids, "label": ids})
+
+    labels, _ = _schema_stable(
+        all_ids.map_batches(init, batch_format="pyarrow"), P)
+    total = labels.sum("label")
+
+    def relabel(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["dst"], "label": t["label"]})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "label"])
+
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        msg = (edges.join(labels, join_type="inner", num_partitions=P,
+                          on=("node",))
+               .map_batches(relabel, batch_format="pyarrow"))
+        labels, _ = _schema_stable(
+            labels.union(msg).groupby("node", num_partitions=P).min("label")
+            .map_batches(rename, batch_format="pyarrow"), P)
+        new_total = labels.sum("label")
+        if new_total == total:
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds")
+
+    def out(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "cluster_id"])
+
+    return labels.map_batches(out, batch_format="pyarrow")
+
+
+def minhash_dup_clusters(ds, num_perm: int = 64, bands: int = 16,
+                         shingle_n: int = 3,
+                         num_partitions: int | None = None):
+    """Near-duplicate CLUSTER labels for every document: connected
+    components over the minhash-LSH candidate-pair graph.  Extends
+    keep-earliest dedup (which only marks survivors) with the full
+    cluster structure a curation pipeline needs — pick-best-per-cluster,
+    cluster-size caps, dedup audit trails."""
+    ids = ds.map_batches(lambda t: t.select(["doc_id"]),
+                         batch_format="pyarrow")
+    pairs = minhash_lsh_candidates(ds, num_perm, bands, shingle_n,
+                                   num_partitions)
+    return connected_components(pairs, ids, num_partitions)
+
+
 # ---------------------------------------------------------------- simhash --
 
 class SimHasher:

@@ -717,6 +717,65 @@ def test_vocab_topk_matches_counter(ray_session, t1_dir):
     assert list(got["rank"]) == list(range(1, 51))
 
 
+def test_connected_components_label_propagation(ray_session):
+    """Hash-min label prop == brute-force union-find on a graph with a
+    chain (needs several propagation rounds), a separate 2-node
+    component, and isolated nodes."""
+    import ray.data as rd
+
+    from logtrics_ray.functions.dedup import connected_components
+
+    # chain 9-7-5-3-1 (worst case for min-propagation: min at one end),
+    # pair (2, 8), isolated 0, 4, 6
+    edges = [(9, 7), (7, 5), (5, 3), (3, 1), (2, 8)]
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64())}))
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(range(10), pa.int64())}))
+    got = connected_components(pairs, ids).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6, 7: 1, 8: 2, 9: 1}
+    assert dict(zip(got.doc_id, got.cluster_id)) == want
+
+
+def test_connected_components_no_edges(ray_session):
+    import ray.data as rd
+
+    from logtrics_ray.functions.dedup import connected_components
+
+    pairs = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array([3, 1, 2], pa.int64())}))
+    got = connected_components(pairs, ids).to_pandas()
+    assert dict(zip(got.doc_id, got.cluster_id)) == {1: 1, 2: 2, 3: 3}
+
+
+def test_scrub_pii_redacts_and_counts(ray_session):
+    """Sequential redaction semantics: emails first, then IPs, then
+    phones — counts taken on the text as the previous rule left it;
+    non-PII text passes through byte-identical."""
+    import ray.data as rd
+
+    from logtrics_ray.functions.textstats import scrub_pii
+
+    rows = [
+        ("mail bob.smith+x@sub.example.co.uk now", "mail <EMAIL> now", 1, 0, 0),
+        ("from 192.168.0.1 to 10.0.0.255 end", "from <IP> to <IP> end", 0, 2, 0),
+        ("call +441234567890 or +14155550101", "call <PHONE> or <PHONE>", 0, 0, 2),
+        ("a@b.io at 1.2.3.4 via +12345678", "<EMAIL> at <IP> via <PHONE>", 1, 1, 1),
+        ("plain text, no pii at all", "plain text, no pii at all", 0, 0, 0),
+        ("", "", 0, 0, 0),
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                  "text": pa.array([r[0] for r in rows], pa.string())})
+    got = scrub_pii(rd.from_arrow(t)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert list(got.text) == [r[1] for r in rows]
+    assert list(got.n_email) == [r[2] for r in rows]
+    assert list(got.n_ip) == [r[3] for r in rows]
+    assert list(got.n_phone) == [r[4] for r in rows]
+
+
 def test_bigram_topk_matches_counter(ray_session, t1_dir):
     """Top-k bigram stats == a plain Counter over within-doc consecutive
     pairs (count AND document frequency), incl. the tie rule."""
