@@ -521,6 +521,24 @@ logtrics {
 
         return scrub_pii(ds.map_batches(inject, batch_format="pandas"))
 
+    def q_repetition(sf_dir):
+        """Intra-doc repetition stats (Gopher-style quality signals).
+        The corpus is single-line, so ' merge ' -> newline substitution
+        (shared literally with the SQL) first makes the line signals
+        non-trivial; the operator itself is flat-buffer vectorized."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from logtrics_ray.functions.textstats import repetition_stats
+        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def nl(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("text"), "text",
+                pc.replace_substring(t["text"], pattern=" merge ",
+                                     replacement="\n"))
+
+        return repetition_stats(ds.map_batches(nl, batch_format="pyarrow"))
+
     def q_text_quality(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.dedup import process_cached
@@ -818,6 +836,7 @@ logtrics {
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "scrub_pii": q_scrub_pii,
+        "repetition_stats": q_repetition,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
@@ -1674,6 +1693,46 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens
             FROM documents""",
         "scrub_pii": _scrub_sql(),
+        # repetition signals replayed wholly in SQL from raw text: the
+        # same lowercase/whitespace word rule and newline line rule,
+        # list_distinct for dup fractions, pair-unnest + group for the
+        # modal-bigram fraction; the ' merge ' -> newline substitution
+        # is the shared injection (replace() and Arrow replace_substring
+        # share left-to-right non-overlapping semantics)
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(
+                         replace(text, ' merge ', chr(10))), '\s+'),
+                         x -> x != '') AS ws,
+                     string_split(replace(text, ' merge ', chr(10)),
+                                  chr(10)) AS ls
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(ls)::BIGINT AS n_lines,
+                     len(ws)::BIGINT AS n_words,
+                     len(list_distinct(ls))::BIGINT AS d_lines,
+                     len(list_distinct(ws))::BIGINT AS d_words
+              FROM w),
+            bg AS (
+              SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM w)),
+            bgc AS (SELECT doc_id, count(*)::BIGINT AS c
+                    FROM bg GROUP BY doc_id, a, b),
+            tops AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot
+                     FROM bgc GROUP BY doc_id)
+            SELECT b.doc_id, b.n_lines, b.n_words,
+                   round(CASE WHEN n_lines > 0
+                         THEN (n_lines - d_lines) / n_lines::DOUBLE
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN n_words > 0
+                         THEN (n_words - d_words) / n_words::DOUBLE
+                         ELSE 0.0 END, 6) AS dup_word_frac,
+                   round(COALESCE(t.topc / t.tot::DOUBLE, 0.0), 6)
+                       AS top_bigram_frac
+            FROM base b LEFT JOIN tops t USING (doc_id)""",
         "text_quality": r"""
             WITH s AS (
               SELECT doc_id,

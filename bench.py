@@ -113,7 +113,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "events_gauge_last_1h", "events_gapfill_locf_1h",
                      "events_pctl_exact_1h", "dedup_exact", "knn_bruteforce",
                      "minhash_dedup", "text_quality", "decontaminate_8gram",
-                     "token_pack_2048", "events_anomaly_3sigma_1h"):
+                     "token_pack_2048", "events_anomaly_3sigma_1h",
+                     "minhash_dup_clusters"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

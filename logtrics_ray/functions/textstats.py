@@ -236,6 +236,108 @@ class LangId:
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "lang_pred": pred})
 
 
+# ------------------------------------------- intra-doc repetition stats --
+
+def _segment_distinct(keys: np.ndarray, doc_of: np.ndarray,
+                      counts: np.ndarray) -> np.ndarray:
+    """Per-doc distinct-count over a flat (key, doc) layout: one lexsort,
+    then total minus equal-adjacent-within-doc."""
+    n = counts.size
+    if keys.size == 0:
+        return np.zeros(n, np.int64)
+    order = np.lexsort((keys, doc_of))
+    ks, ds_ = keys[order], doc_of[order]
+    same = np.zeros(keys.size, bool)
+    same[1:] = (ks[1:] == ks[:-1]) & (ds_[1:] == ds_[:-1])
+    return counts - np.bincount(ds_[same], minlength=n).astype(np.int64)
+
+
+def repetition_stats(ds, text_col: str = "text"):
+    """Gopher/MassiveText-style intra-document repetition signals (public
+    quality-filter heuristics): per doc —
+
+      n_lines, n_words,
+      dup_line_frac   = (lines - distinct lines) / lines,
+      dup_word_frac   = (words - distinct words) / words,
+      top_bigram_frac = occurrences of the most frequent word bigram
+                        / total bigrams (0 when the doc has < 2 words).
+
+    Words are the whitespace split of the lowercased text (empties
+    dropped — exactly ``word_hashes``); lines are the '\\n' split of the
+    raw text (empties KEPT, matching SQL string_split).  Everything is
+    flat-buffer vectorized: one lexsort per signal over 64-bit hashes,
+    run-length maxima via ``np.maximum.at`` — no per-doc Python.  Ratios
+    are exact-int divisions rounded half-away at 6dp on BOTH sides so
+    the SQL replay is hash-exact."""
+    import pyarrow.compute as pc
+
+    from logtrics_ray.functions.dedup import word_hashes
+    from logtrics_ray.hashing import id_hash64_array
+    from logtrics_ray.pipelines.table_rollup import _round6
+
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        ids = t["doc_id"]
+
+        # words
+        wh, wc = word_hashes(texts)
+        doc_w = np.repeat(np.arange(n, dtype=np.int64), wc)
+        distinct_w = _segment_distinct(wh, doc_w, wc)
+        dup_word_frac = np.where(
+            wc > 0, (wc - distinct_w) / np.maximum(wc, 1), 0.0)
+
+        # word bigrams: flat hashes are in doc order, pairs must not
+        # straddle docs
+        top = np.zeros(n, np.int64)
+        nbg = np.zeros(n, np.int64)
+        if wh.size >= 2:
+            valid = doc_w[1:] == doc_w[:-1]
+            with np.errstate(over="ignore"):
+                bk = wh[:-1][valid] * C1 + wh[1:][valid] * C2
+            bd = doc_w[:-1][valid]
+            nbg = np.bincount(bd, minlength=n).astype(np.int64)
+            if bk.size:
+                order = np.lexsort((bk, bd))
+                bks, bds = bk[order], bd[order]
+                new_run = np.ones(bk.size, bool)
+                new_run[1:] = (bks[1:] != bks[:-1]) | (bds[1:] != bds[:-1])
+                starts = np.flatnonzero(new_run)
+                lens = np.diff(np.append(starts, bk.size))
+                np.maximum.at(top, bds[starts], lens)
+        top_bigram_frac = np.where(nbg > 0, top / np.maximum(nbg, 1), 0.0)
+
+        # lines (raw text, empties kept)
+        lines = pc.split_pattern(texts, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        lc = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lh = id_hash64_array(pc.list_flatten(lines))
+        doc_l = np.repeat(np.arange(n, dtype=np.int64), lc)
+        distinct_l = _segment_distinct(lh, doc_l, lc)
+        dup_line_frac = np.where(
+            lc > 0, (lc - distinct_l) / np.maximum(lc, 1), 0.0)
+
+        return pa.table({
+            "doc_id": ids,
+            "n_lines": pa.array(lc, pa.int64()),
+            "n_words": pa.array(wc, pa.int64()),
+            "dup_line_frac": pa.array(_round6(dup_line_frac), pa.float64()),
+            "dup_word_frac": pa.array(_round6(dup_word_frac), pa.float64()),
+            "top_bigram_frac": pa.array(_round6(top_bigram_frac),
+                                        pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # --------------------------------------------------- PII scrubbing --
 # Redaction rules applied IN ORDER (each counts matches on the text as
 # it stands after the previous rule, then replaces them).  Both Arrow's

@@ -717,6 +717,43 @@ def test_vocab_topk_matches_counter(ray_session, t1_dir):
     assert list(got["rank"]) == list(range(1, 51))
 
 
+def test_repetition_stats_matches_bruteforce(ray_session):
+    """Flat-buffer repetition signals == a per-doc Python recompute on
+    crafted docs: duplicate lines, repeated words, a dominant bigram,
+    single-word and empty docs."""
+    import collections
+
+    import ray.data as rd
+
+    from logtrics_ray.functions.textstats import repetition_stats
+
+    docs = [
+        "a b a b a b c",                      # dominant bigram (a,b)
+        "x\ny\nx\ny\nz",                      # duplicate lines
+        "Hello HELLO hello world",            # case-folded dup words
+        "one",                                # single word: no bigrams
+        "",                                   # empty doc
+        "line\n\nline\n\n",                   # empty lines are lines too
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    got = repetition_stats(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    for i, s in enumerate(docs):
+        lines = s.split("\n")
+        words = [w for w in s.lower().split() if w]
+        bgs = collections.Counter(zip(words, words[1:]))
+        assert got.n_lines[i] == len(lines)
+        assert got.n_words[i] == len(words)
+        assert got.dup_line_frac[i] == round(
+            (len(lines) - len(set(lines))) / len(lines), 6)
+        wf = (len(words) - len(set(words))) / len(words) if words else 0.0
+        assert got.dup_word_frac[i] == round(wf, 6)
+        bf = max(bgs.values()) / sum(bgs.values()) if bgs else 0.0
+        assert abs(got.top_bigram_frac[i] - bf) < 1e-6  # engine rounds 6dp
+
+
 def test_connected_components_label_propagation(ray_session):
     """Hash-min label prop == brute-force union-find on a graph with a
     chain (needs several propagation rounds), a separate 2-node
