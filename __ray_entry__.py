@@ -597,6 +597,19 @@ logtrics {
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return minhash_dup_clusters(ds)
 
+    def q_cluster_reps(sf_dir):
+        """Keep-BEST dedup: the longest doc (tie: smallest id) per
+        near-dup cluster + cluster size — clusters ⋈ lengths, one keyed
+        exchange, single-lexsort per-block pick.  Read + build sit
+        inside hash_shuffle_ctx (the keyed repartition validates against
+        the context captured at dataset creation)."""
+        from logtrics_ray.exchange import hash_shuffle_ctx
+        from logtrics_ray.functions.dedup import cluster_representatives
+        with hash_shuffle_ctx():
+            ds = _rp(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+            return cluster_representatives(ds)
+
     def q_ngram_jaccard_dedup(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.dedup import ngram_jaccard_dedup_survivors
@@ -841,6 +854,7 @@ logtrics {
         "doc_fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dup_clusters": q_minhash_clusters,
+        "cluster_best_doc": q_cluster_reps,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "knn_bruteforce": q_knn,
@@ -1859,6 +1873,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(l.cl, d.doc_id) AS BIGINT) AS cluster_id
             FROM documents d LEFT JOIN lab l USING (doc_id)""",
+        # keep-best replay: same component closure, then the pick rule
+        # (longest doc, tie smallest id) + cluster size as window funcs
+        "cluster_best_doc": f"""
+            WITH RECURSIVE bands AS (
+              SELECT * FROM read_parquet('{sig_dir}/minhash_bands.parquet')),
+            mins AS (SELECT band_id, band_hash, min(doc_id) AS bm
+                     FROM bands GROUP BY 1, 2),
+            pairs AS (SELECT DISTINCT m.bm AS a, b.doc_id AS b
+                      FROM bands b JOIN mins m USING (band_id, band_hash)
+                      WHERE b.doc_id != m.bm),
+            und AS (SELECT a AS x, b AS y FROM pairs
+                    UNION SELECT b, a FROM pairs),
+            reach(x, y) AS (
+              SELECT x, y FROM und
+              UNION
+              SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+            lab AS (SELECT x AS doc_id, least(x, min(y)) AS cl
+                    FROM reach GROUP BY x),
+            m AS (SELECT d.doc_id,
+                         CAST(COALESCE(l.cl, d.doc_id) AS BIGINT)
+                             AS cluster_id,
+                         length(d.text)::BIGINT AS n_chars
+                  FROM documents d LEFT JOIN lab l USING (doc_id)),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                         count(*) OVER (PARTITION BY cluster_id)::BIGINT
+                             AS cluster_size
+                  FROM m)
+            SELECT cluster_id, doc_id, n_chars, cluster_size
+            FROM r WHERE rn = 1""",
         "simhash_dedup": f"""
             SELECT min(doc_id) AS doc_id
             FROM read_parquet('{sig_dir}/simhash.parquet')

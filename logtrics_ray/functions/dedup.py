@@ -448,6 +448,63 @@ def minhash_dup_clusters(ds, num_perm: int = 64, bands: int = 16,
     return connected_components(pairs, ids, num_partitions)
 
 
+def cluster_representatives(ds, num_perm: int = 64, bands: int = 16,
+                            shingle_n: int = 3,
+                            num_partitions: int | None = None):
+    """Keep-BEST dedup: one representative per near-dup cluster — the
+    longest doc (chars), ties to the smallest doc_id — plus the cluster
+    size.  Composition showcase: minhash_dup_clusters ⋈ doc lengths,
+    then ONE keyed exchange on cluster_id and a per-block pick that is
+    a single lexsort + boundary take (blocks hold complete clusters, so
+    no per-group Python and no second pass).
+
+    Emits (cluster_id, doc_id, n_chars, cluster_size).
+
+    CONTRACT (same as exchange.grouped_apply): build the input ``ds``
+    and call this inside ``exchange.hash_shuffle_ctx()`` — the keyed
+    repartition validates against the DataContext captured when the
+    SOURCE dataset was created, so the read itself must sit inside the
+    ctx."""
+    P = num_partitions or _default_join_partitions()
+    clusters = minhash_dup_clusters(ds, num_perm, bands, shingle_n, P)
+
+    def meta(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_chars": pc.cast(pc.utf8_length(t["text"]),
+                                            pa.int64())})
+
+    lens, _ = _schema_stable(
+        ds.map_batches(meta, batch_format="pyarrow"), P)
+
+    def pick(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "n_chars": pa.array([], pa.int64()),
+                          "cluster_size": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        di = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((di, -nc, cl))
+        cls = cl[order]
+        first = np.ones(cls.size, bool)
+        first[1:] = cls[1:] != cls[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, cls.size))
+        idx = order[starts]
+        return pa.table({"cluster_id": pa.array(cl[idx], pa.int64()),
+                         "doc_id": pa.array(di[idx], pa.int64()),
+                         "n_chars": pa.array(nc[idx], pa.int64()),
+                         "cluster_size": pa.array(sizes, pa.int64())})
+
+    joined = clusters.join(lens, join_type="inner", num_partitions=P,
+                           on=("doc_id",))
+    return (joined.repartition(P, keys=["cluster_id"])
+            .map_batches(pick, batch_format="pyarrow", batch_size=None))
+
+
 # ---------------------------------------------------------------- simhash --
 
 class SimHasher:

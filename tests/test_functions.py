@@ -787,6 +787,31 @@ def test_connected_components_no_edges(ray_session):
     assert dict(zip(got.doc_id, got.cluster_id)) == {1: 1, 2: 2, 3: 3}
 
 
+def test_cluster_representatives_pick_rule(ray_session):
+    """Keep-best dedup: longest doc wins its cluster, ties to smallest
+    id; singletons represent themselves with size 1."""
+    import ray.data as rd
+
+    from logtrics_ray.exchange import hash_shuffle_ctx
+    from logtrics_ray.functions.dedup import cluster_representatives
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = {
+        0: base,                      # near-dup cluster {0,1,2}
+        1: base + " x",               # longest -> representative
+        2: base + " y",               # same length as 1: id 1 wins
+        7: "a completely different document about ray data pipelines",
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string())})
+    with hash_shuffle_ctx():
+        got = cluster_representatives(rd.from_arrow(t)).to_pandas()
+    rows = {r.cluster_id: (r.doc_id, r.n_chars, r.cluster_size)
+            for r in got.itertuples()}
+    assert rows[0] == (1, len(base) + 2, 3)
+    assert rows[7] == (7, len(docs[7]), 1)
+
+
 def test_scrub_pii_redacts_and_counts(ray_session):
     """Sequential redaction semantics: emails first, then IPs, then
     phones — counts taken on the text as the previous rule left it;
