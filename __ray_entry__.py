@@ -755,6 +755,12 @@ logtrics {
         from logtrics_ray.functions.packing import bigram_topk_frame
         return bigram_topk_frame(_token_dir(sf_dir), k=50)
 
+    def q_len_hist(sf_dir):
+        """Doc-length histogram over the token table — pruned (n_tok)
+        read, sparse bincount partials, tiny groupby."""
+        from logtrics_ray.functions.packing import doc_length_histogram
+        return doc_length_histogram(_token_dir(sf_dir), width=128)
+
     def q_lttb(sf_dir):
         """LTTB downsample of each series' 1m count curve to 24 points —
         exact-int triangle areas (area scaled by the next bucket's count),
@@ -868,6 +874,7 @@ logtrics {
         "token_sample_mix_up": q_sample_mix_up,
         "token_vocab_top50": q_vocab,
         "token_bigram_top50": q_bigram,
+        "token_len_hist_128": q_len_hist,
         "events_meter_ewma_1m": q_ewma,
         "token_rollup_full_1m": q_token_full,
         "token_pack_2048": q_pack,
@@ -1227,6 +1234,11 @@ def _bigram_sql(token_dir: str) -> str:
     return bigram_topk_oracle_sql(token_dir, k=50)
 
 
+def _len_hist_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import doc_length_histogram_oracle_sql
+    return doc_length_histogram_oracle_sql(token_dir, width=128)
+
+
 def _sample_mix_up_sql(token_dir: str) -> str:
     from logtrics_ray.functions.packing import (
         sample_mix_epochs_oracle_sql, write_sample_key_side_table)
@@ -1444,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "token_sample_mix_up": _sample_mix_up_sql(token_dir),
         "token_vocab_top50": _vocab_sql(token_dir),
         "token_bigram_top50": _bigram_sql(token_dir),
+        "token_len_hist_128": _len_hist_sql(token_dir),
         "events_meter_ewma_1m": _ewma_1m_sql(),
         "events_meter_ewma_1d": """
             WITH RECURSIVE agg AS (

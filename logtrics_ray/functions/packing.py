@@ -850,6 +850,48 @@ def bigram_topk_frame(input_path: str, k: int = 50,
     })
 
 
+def doc_length_histogram(input_path: str, width: int = 128):
+    """Document-length distribution over the token table: per length
+    bucket (n_tok // width), the doc count and token total.  Per-batch
+    sparse bincount partials over the pruned (n_tok) column — the token
+    payload is never read — then one tiny groupby (the bucket domain is
+    max-doc-len/width keys, hundreds at most)."""
+    from logtrics_ray.sources.parquet import read_parquet_clean
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = n_tok // width
+        uk, inv = np.unique(b, return_inverse=True)
+        docs = np.bincount(inv).astype(np.int64)
+        toks = np.zeros(uk.size, np.int64)
+        np.add.at(toks, inv, n_tok)
+        return pa.table({"bucket": pa.array(uk, pa.int64()),
+                         "n_docs": pa.array(docs, pa.int64()),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["bucket", "n_docs", "n_tokens"])
+
+    paths = _top_level_shards(input_path)
+    return (read_parquet_clean(paths, columns=["n_tok"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").sum(["n_docs", "n_tokens"])
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def doc_length_histogram_oracle_sql(input_path: str, width: int = 128) -> str:
+    return f"""
+    SELECT (n_tok // {width})::BIGINT AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens
+    FROM read_parquet('{input_path}/*.parquet')
+    GROUP BY 1"""
+
+
 def bigram_topk_oracle_sql(input_path: str, k: int = 50) -> str:
     return f"""
     WITH x AS MATERIALIZED (
