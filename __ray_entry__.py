@@ -768,6 +768,14 @@ logtrics {
         from logtrics_ray.stages.analytics import lttb_frame
         return lttb_frame(_events_core(sf_dir, MIN_MS), n_out=24)
 
+    def q_m4(sf_dir):
+        """M4 downsample (Jugel et al., VLDB 2014) of each series' 1m
+        count curve to 32 pixel spans: first/last/min/max per span, all
+        fields exact int64 with earliest-window extremum tiebreaks, so
+        the SQL GROUP BY replay is bit-identical."""
+        from logtrics_ray.stages.analytics import m4_frame
+        return m4_frame(_events_core(sf_dir, MIN_MS), pixels=32)
+
     def q_multimodal(sf_dir):
         """REAL decode kernels (PPM + PNG + WAV, stdlib/numpy only):
         features from actual pixel/sample planes, oracle-replayed by SQL
@@ -846,6 +854,7 @@ logtrics {
         "events_interval_label": q_interval_label,
         "events_anomaly_3sigma_1h": q_anomaly,
         "events_lttb_1m_24": q_lttb,
+        "events_m4_1m_p32": q_m4,
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
         "loglines_series_counts": q_loglines_counts,
@@ -1261,6 +1270,11 @@ def _sample_mix_sql(token_dir: str) -> str:
 def _lttb_sql(width_ms: int, n_out: int) -> str:
     from logtrics_ray.stages.analytics import lttb_oracle_sql
     return lttb_oracle_sql(width_ms, n_out)
+
+
+def _m4_sql(width_ms: int, pixels: int) -> str:
+    from logtrics_ray.stages.analytics import m4_oracle_sql
+    return m4_oracle_sql(width_ms, pixels)
 
 
 def _media_feature_sql(d: str) -> str:
@@ -2118,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
               END AS is_anomaly
             FROM roll""",
         "events_lttb_1m_24": _lttb_sql(MIN_MS, 24),
+        "events_m4_1m_p32": _m4_sql(MIN_MS, 32),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),
         # frame-sample replay: features of the SAMPLED frames recomputed

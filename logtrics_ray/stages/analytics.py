@@ -104,6 +104,115 @@ def anomaly_frame(core_ds, k: int = 24):
         scan, batch_format="pyarrow")
 
 
+def m4_frame(core_ds, pixels: int = 32):
+    """M4 DOWNSAMPLE of each series' count curve (Jugel et al., VLDB
+    2014): split the series' time RANGE into ``pixels`` equal spans and
+    keep, per span, the first / last / min / max points — the four
+    points per pixel column that make a line rendering of the
+    downsample pixel-identical to the full series.
+
+    Per series over PRESENT windows sorted ascending:
+
+        pixel(w) = (w - w_first) * P // (w_last - w_first + 1)
+
+    (pure int64; empty pixels simply emit no row).  Per (series, pixel)
+    the output carries t_first/n_first, t_min/n_min, t_max/n_max,
+    t_last/n_last where t_min / t_max are the EARLIEST window achieving
+    the extremum — every field exact int64, so the SQL GROUP BY replay
+    is bit-identical with no float tiebreaks.
+
+    Output: (series_key, pixel, t_first, n_first, t_min, n_min,
+    t_max, n_max, t_last, n_last), one row per non-empty pixel.
+    """
+    if pixels < 1:
+        raise ValueError("pixels must be >= 1")
+    P = int(pixels)
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()[order]
+        y = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        sz = w.size
+        if sz == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t) for t in
+                 (pa.string(),) + (pa.int64(),) * 9],
+                names=["series_key", "pixel", "t_first", "n_first",
+                       "t_min", "n_min", "t_max", "n_max",
+                       "t_last", "n_last"])
+        lens = np.diff(bounds)
+        w0 = np.repeat(w[starts], lens)                  # series first w
+        span = np.repeat(w[bounds[1:] - 1] - w[starts] + 1, lens)
+        # (w - w0) * P stays far inside int64 for ms timestamps (span
+        # <= ~3e13 ms per century x P) — same expression the SQL runs
+        px = (w - w0) * P // span
+        seg_of = np.searchsorted(starts, np.arange(sz), side="right") - 1
+        # group = (segment, pixel) change points; px is nondecreasing
+        # within a segment, so one diff pass finds every group start
+        gkey = seg_of * P + px
+        gst = np.flatnonzero(np.diff(gkey, prepend=gkey[0] - 1))
+        gend = np.append(gst[1:], sz)
+        n_min = np.minimum.reduceat(y, gst)
+        n_max = np.maximum.reduceat(y, gst)
+        # earliest window achieving the extremum: mask non-extreme rows
+        # to +inf sentinel, then a min-reduceat over w (exact, no keys)
+        big = np.iinfo(np.int64).max
+        grp_of = np.searchsorted(gst, np.arange(sz), side="right") - 1
+        t_min = np.minimum.reduceat(
+            np.where(y == n_min[grp_of], w, big), gst)
+        t_max = np.minimum.reduceat(
+            np.where(y == n_max[grp_of], w, big), gst)
+        series = labels["series_key"][seg_of[gst]]
+        return pa.Table.from_arrays([
+            pa.array(series, pa.string()),
+            pa.array(px[gst], pa.int64()),
+            pa.array(w[gst], pa.int64()),
+            pa.array(y[gst], pa.int64()),
+            pa.array(t_min, pa.int64()),
+            pa.array(n_min, pa.int64()),
+            pa.array(t_max, pa.int64()),
+            pa.array(n_max, pa.int64()),
+            pa.array(w[gend - 1], pa.int64()),
+            pa.array(y[gend - 1], pa.int64()),
+        ], names=["series_key", "pixel", "t_first", "n_first",
+                  "t_min", "n_min", "t_max", "n_max",
+                  "t_last", "n_last"])
+
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def m4_oracle_sql(width_ms: int, pixels: int = 32, k_table: str = "events",
+                  key_col: str = "event_type", ts_col: str = "ts") -> str:
+    """DuckDB replay of ``m4_frame`` — pure int GROUP BY, no floats."""
+    return f"""
+    WITH agg AS (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             count(*)::BIGINT AS y
+      FROM {k_table} GROUP BY 1, 2),
+    ext AS (
+      SELECT sk, w, y,
+             min(w) OVER (PARTITION BY sk) AS w0,
+             max(w) OVER (PARTITION BY sk) AS w1
+      FROM agg),
+    px AS (
+      SELECT sk, w, y, ((w - w0) * {pixels}) // (w1 - w0 + 1) AS pixel
+      FROM ext),
+    px2 AS (
+      SELECT *, min(y) OVER (PARTITION BY sk, pixel) AS gmin,
+                max(y) OVER (PARTITION BY sk, pixel) AS gmax
+      FROM px)
+    SELECT sk AS series_key, pixel,
+           min(w) AS t_first, arg_min(y, w) AS n_first,
+           min(w) FILTER (WHERE y = gmin) AS t_min, min(y) AS n_min,
+           min(w) FILTER (WHERE y = gmax) AS t_max, max(y) AS n_max,
+           max(w) AS t_last, arg_max(y, w) AS n_last
+    FROM px2 GROUP BY 1, 2"""
+
+
 def lttb_frame(core_ds, n_out: int = 24):
     """Largest-Triangle-Three-Buckets DOWNSAMPLE of each series' count
     curve to ``n_out`` points (the standard visual-fidelity downsampler

@@ -126,3 +126,50 @@ def test_lttb_frame_matches_scalar_reference(ray_session):
 def test_lttb_frame_rejects_tiny_n_out(ray_session):
     with pytest.raises(ValueError):
         lttb_frame(rd.from_arrow(_core_table({"a": ([0], [1])})), n_out=2)
+
+
+def _m4_reference(ws: np.ndarray, cnt: np.ndarray, P: int):
+    """Scalar per-pixel reference: dict pixel -> 8-field tuple."""
+    out = {}
+    span = int(ws[-1] - ws[0] + 1)
+    for w, y in zip(ws.tolist(), cnt.tolist()):
+        p = (w - int(ws[0])) * P // span
+        if p not in out:
+            out[p] = [w, y, w, y, w, y, w, y]   # first, min, max, last
+        else:
+            r = out[p]
+            if y < r[3]:
+                r[2], r[3] = w, y
+            if y > r[5]:
+                r[4], r[5] = w, y
+            r[6], r[7] = w, y
+    return out
+
+
+def test_m4_frame_matches_scalar_reference(ray_session):
+    from logtrics_ray.stages.analytics import m4_frame
+    rng = np.random.default_rng(13)
+    series = {}
+    for key, sz in (("big", 400), ("sparse", 40), ("one", 1), ("two", 2)):
+        ws = (np.sort(rng.choice(90_000, sz, replace=False)).astype(np.int64)
+              * 60_000)
+        cnt = rng.integers(1, 50, sz).astype(np.int64)  # narrow: forces ties
+        series[key] = (ws, cnt)
+    P = 16
+    got = m4_frame(rd.from_arrow(_core_table(series)), pixels=P).to_pandas()
+    for key, (ws, cnt) in series.items():
+        ref = _m4_reference(ws, cnt, P)
+        g = got[got.series_key == key].sort_values("pixel")
+        assert list(g.pixel) == sorted(ref)
+        for _, row in g.iterrows():
+            assert [row.t_first, row.n_first, row.t_min, row.n_min,
+                    row.t_max, row.n_max, row.t_last, row.n_last] \
+                == ref[int(row.pixel)]
+    # every point lands in exactly one pixel; pixel ids within range
+    assert got.pixel.between(0, P - 1).all()
+
+
+def test_m4_frame_rejects_zero_pixels(ray_session):
+    from logtrics_ray.stages.analytics import m4_frame
+    with pytest.raises(ValueError):
+        m4_frame(rd.from_arrow(_core_table({"a": ([0], [1])})), pixels=0)
