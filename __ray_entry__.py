@@ -776,6 +776,22 @@ logtrics {
         from logtrics_ray.stages.analytics import m4_frame
         return m4_frame(_events_core(sf_dir, MIN_MS), pixels=32)
 
+    def q_seasonal(sf_dir):
+        """Seasonal (hour-of-day) baseline residuals over the 1h tier:
+        mean = exact-int S/m per (series, hod), residual computed before
+        rounding — the SQL window-aggregate replay evaluates the same
+        two expressions, bit-exact."""
+        from logtrics_ray.stages.analytics import seasonal_frame
+        return seasonal_frame(_events_core(sf_dir, HOUR_MS), HOUR_MS)
+
+    def q_threshold_cross(sf_dir):
+        """Threshold-crossing alert edges over the 1h tier: emit only
+        windows where the count crosses T=4 up or down vs the lagged
+        window — pure int64 compares, SQL lag() replay."""
+        from logtrics_ray.stages.analytics import threshold_cross_frame
+        return threshold_cross_frame(_events_core(sf_dir, HOUR_MS),
+                                     threshold=4)
+
     def q_multimodal(sf_dir):
         """REAL decode kernels (PPM + PNG + WAV, stdlib/numpy only):
         features from actual pixel/sample planes, oracle-replayed by SQL
@@ -855,6 +871,8 @@ logtrics {
         "events_anomaly_3sigma_1h": q_anomaly,
         "events_lttb_1m_24": q_lttb,
         "events_m4_1m_p32": q_m4,
+        "events_seasonal_hod_1h": q_seasonal,
+        "events_threshold_cross_1h": q_threshold_cross,
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
         "loglines_series_counts": q_loglines_counts,
@@ -1275,6 +1293,16 @@ def _lttb_sql(width_ms: int, n_out: int) -> str:
 def _m4_sql(width_ms: int, pixels: int) -> str:
     from logtrics_ray.stages.analytics import m4_oracle_sql
     return m4_oracle_sql(width_ms, pixels)
+
+
+def _seasonal_sql(width_ms: int) -> str:
+    from logtrics_ray.stages.analytics import seasonal_oracle_sql
+    return seasonal_oracle_sql(width_ms)
+
+
+def _threshold_sql(width_ms: int, threshold: int) -> str:
+    from logtrics_ray.stages.analytics import threshold_cross_oracle_sql
+    return threshold_cross_oracle_sql(width_ms, threshold)
 
 
 def _media_feature_sql(d: str) -> str:
@@ -2133,6 +2161,8 @@ def oracle_sql() -> dict[str, str]:
             FROM roll""",
         "events_lttb_1m_24": _lttb_sql(MIN_MS, 24),
         "events_m4_1m_p32": _m4_sql(MIN_MS, 32),
+        "events_seasonal_hod_1h": _seasonal_sql(HOUR_MS),
+        "events_threshold_cross_1h": _threshold_sql(HOUR_MS, 4),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),
         # frame-sample replay: features of the SAMPLED frames recomputed

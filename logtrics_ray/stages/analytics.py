@@ -184,6 +184,163 @@ def m4_frame(core_ds, pixels: int = 32):
         scan, batch_format="pyarrow")
 
 
+def seasonal_frame(core_ds, width_ms: int):
+    """SEASONAL BASELINE residuals: each window's count vs the series'
+    hour-of-day average (the classic seasonal-naive decomposition a
+    rollup store runs for "is this hour unusual *for this hour*?").
+
+    Per series, hod = (window_start // 3_600_000) % 24 and the baseline
+    for a window is mean(count) over the series' PRESENT windows sharing
+    that hod.  The mean is ONE float division over exact int64 sums
+    (S/m), and residual = n - S/m is computed before rounding — both
+    single expressions the SQL window-aggregate replay evaluates in the
+    identical order, so the match is bit-exact.
+
+    Output: (series_key, window_start, hod, n, hod_mean, residual),
+    one row per present window; floats rounded to 6dp.
+    """
+    from logtrics_ray.pipelines.table_rollup import _round6
+    HOUR = 3_600_000
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()[order]
+        n = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        sz = w.size
+        if sz == 0:
+            return pa.Table.from_arrays([
+                pa.array([], pa.string()), pa.array([], pa.int64()),
+                pa.array([], pa.int64()), pa.array([], pa.int64()),
+                pa.array([], pa.float64()), pa.array([], pa.float64()),
+            ], names=["series_key", "window_start", "hod", "n",
+                      "hod_mean", "residual"])
+        hod = (w // HOUR) % 24
+        seg_of = np.searchsorted(starts, np.arange(sz), side="right") - 1
+        # exact int64 per-(segment, hod) sums: sort rows by the combined
+        # key once, reduceat group sums, then scatter means back per row
+        gkey = seg_of * 24 + hod
+        o2 = np.argsort(gkey, kind="stable")
+        gk_s = gkey[o2]
+        gst = np.flatnonzero(np.diff(gk_s, prepend=gk_s[0] - 1))
+        S = np.add.reduceat(n[o2], gst)
+        m = np.diff(np.append(gst, sz))
+        grp_of_sorted = np.searchsorted(gst, np.arange(sz),
+                                        side="right") - 1
+        mean_sorted = S[grp_of_sorted].astype(np.float64) / m[grp_of_sorted]
+        mean = np.empty(sz, dtype=np.float64)
+        mean[o2] = mean_sorted
+        resid = n - mean
+        series = labels["series_key"][seg_of]
+        return pa.Table.from_arrays([
+            pa.array(series, pa.string()),
+            pa.array(w, pa.int64()),
+            pa.array(hod, pa.int64()),
+            pa.array(n, pa.int64()),
+            pa.array(_round6(mean), pa.float64()),
+            pa.array(_round6(resid), pa.float64()),
+        ], names=["series_key", "window_start", "hod", "n",
+                  "hod_mean", "residual"])
+
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def seasonal_oracle_sql(width_ms: int, k_table: str = "events",
+                        key_col: str = "event_type",
+                        ts_col: str = "ts") -> str:
+    """DuckDB replay of ``seasonal_frame`` — identical S/m expression."""
+    return f"""
+    WITH agg AS (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             count(*)::BIGINT AS n
+      FROM {k_table} GROUP BY 1, 2),
+    h AS (SELECT sk, w, n, (w // 3600000) % 24 AS hod FROM agg)
+    SELECT sk AS series_key, w AS window_start, hod, n,
+           round(sum(n) OVER g / (count(*) OVER g * 1.0), 6) AS hod_mean,
+           round(n - sum(n) OVER g / (count(*) OVER g * 1.0), 6)
+             AS residual
+    FROM h
+    WINDOW g AS (PARTITION BY sk, hod)"""
+
+
+def threshold_cross_frame(core_ds, threshold: int):
+    """THRESHOLD-CROSSING detector: emit one row per window where a
+    series' count crosses the threshold — up (prev < T <= cur) or down
+    (prev >= T > cur) — the alert-edge primitive a rollup store feeds
+    to notification routing (fire on edges, not on every breaching
+    window).  Pure int64 compares against the lagged neighbour inside
+    each sorted series segment; bit-identical to the SQL lag() replay.
+
+    Output: (series_key, window_start, n, prev_n, direction) for
+    crossing windows only; a series' first window never fires.
+    """
+    T = int(threshold)
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()[order]
+        n = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        sz = w.size
+        empty = pa.Table.from_arrays([
+            pa.array([], pa.string()), pa.array([], pa.int64()),
+            pa.array([], pa.int64()), pa.array([], pa.int64()),
+            pa.array([], pa.string()),
+        ], names=["series_key", "window_start", "n", "prev_n",
+                  "direction"])
+        if sz == 0:
+            return empty
+        prev = np.empty(sz, dtype=np.int64)
+        prev[1:] = n[:-1]
+        prev[0] = n[0]
+        has_prev = np.ones(sz, dtype=bool)
+        has_prev[starts] = False                 # segment firsts: no lag
+        up = has_prev & (prev < T) & (n >= T)
+        down = has_prev & (prev >= T) & (n < T)
+        hit = np.flatnonzero(up | down)
+        if hit.size == 0:
+            return empty
+        seg_of = np.searchsorted(starts, hit, side="right") - 1
+        return pa.Table.from_arrays([
+            pa.array(labels["series_key"][seg_of], pa.string()),
+            pa.array(w[hit], pa.int64()),
+            pa.array(n[hit], pa.int64()),
+            pa.array(prev[hit], pa.int64()),
+            pa.array(np.where(up[hit], "up", "down"), pa.string()),
+        ], names=["series_key", "window_start", "n", "prev_n",
+                  "direction"])
+
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def threshold_cross_oracle_sql(width_ms: int, threshold: int,
+                               k_table: str = "events",
+                               key_col: str = "event_type",
+                               ts_col: str = "ts") -> str:
+    """DuckDB replay of ``threshold_cross_frame`` (lag window)."""
+    T = int(threshold)
+    return f"""
+    WITH agg AS (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             count(*)::BIGINT AS n
+      FROM {k_table} GROUP BY 1, 2),
+    l AS (
+      SELECT sk, w, n,
+             lag(n) OVER (PARTITION BY sk ORDER BY w) AS pn
+      FROM agg)
+    SELECT sk AS series_key, w AS window_start, n, pn AS prev_n,
+           CASE WHEN n >= {T} THEN 'up' ELSE 'down' END AS direction
+    FROM l
+    WHERE pn IS NOT NULL
+      AND ((pn < {T} AND n >= {T}) OR (pn >= {T} AND n < {T}))"""
+
+
 def m4_oracle_sql(width_ms: int, pixels: int = 32, k_table: str = "events",
                   key_col: str = "event_type", ts_col: str = "ts") -> str:
     """DuckDB replay of ``m4_frame`` — pure int GROUP BY, no floats."""

@@ -173,3 +173,45 @@ def test_m4_frame_rejects_zero_pixels(ray_session):
     from logtrics_ray.stages.analytics import m4_frame
     with pytest.raises(ValueError):
         m4_frame(rd.from_arrow(_core_table({"a": ([0], [1])})), pixels=0)
+
+
+def test_seasonal_frame_matches_pandas_groupby(ray_session):
+    from logtrics_ray.stages.analytics import seasonal_frame
+    rng = np.random.default_rng(17)
+    H = 3_600_000
+    series = {}
+    for key, sz in (("a", 200), ("b", 30), ("one", 1)):
+        ws = np.sort(rng.choice(1000, sz, replace=False)).astype(np.int64) * H
+        cnt = rng.integers(1, 40, sz).astype(np.int64)
+        series[key] = (ws, cnt)
+    got = seasonal_frame(rd.from_arrow(_core_table(series)), H).to_pandas()
+    for key, (ws, cnt) in series.items():
+        g = (got[got.series_key == key]
+             .sort_values("window_start").reset_index(drop=True))
+        df = pd.DataFrame({"w": ws, "n": cnt})
+        df["hod"] = (df.w // H) % 24
+        mean = df.groupby("hod").n.transform("mean")
+        assert list(g.window_start) == list(ws)
+        assert list(g.hod) == list(df.hod)
+        assert np.allclose(g.hod_mean, mean.round(6), atol=1e-9)
+        assert np.allclose(g.residual, (df.n - mean).round(6), atol=1e-9)
+
+
+def test_threshold_cross_frame_edges_only(ray_session):
+    from logtrics_ray.stages.analytics import threshold_cross_frame
+    H = 3_600_000
+    ws = np.arange(8, dtype=np.int64) * H
+    #       n:  1  5  6  2  4  4  1  9   (T=4)
+    cnt = np.array([1, 5, 6, 2, 4, 4, 1, 9], dtype=np.int64)
+    got = threshold_cross_frame(
+        rd.from_arrow(_core_table({"s": (ws, cnt)})), threshold=4
+    ).to_pandas().sort_values("window_start").reset_index(drop=True)
+    # crossings: 1->5 up@1, 6->2 down@3, 2->4 up@4, 4->1 down@6, 1->9 up@7
+    assert list(got.window_start) == [H, 3 * H, 4 * H, 6 * H, 7 * H]
+    assert list(got.direction) == ["up", "down", "up", "down", "up"]
+    assert list(got.prev_n) == [1, 6, 2, 4, 1]
+    # a series starting at/above T never fires on its first window
+    got2 = threshold_cross_frame(
+        rd.from_arrow(_core_table({"s": (ws[:1], np.array([99]))})),
+        threshold=4).to_pandas()
+    assert len(got2) == 0
