@@ -737,6 +737,14 @@ logtrics {
         return sample_mix_epochs_stats_frame(
             sample_mix_epochs(_token_dir(sf_dir), MIX_UP_RATES))
 
+    def q_tfidf(sf_dir):
+        """Top-50 tokens by TF-IDF (total_tf * ln(N/df)): vocab_counts'
+        bincount tree-reduce + bounded-frame scoring with glibc math.log
+        per distinct df (bit-identical to DuckDB's ln; numpy's SIMD log
+        drifts 2 ulp), ordered by the unrounded score."""
+        from logtrics_ray.functions.packing import tfidf_topk_frame
+        return tfidf_topk_frame(_token_dir(sf_dir), k=50)
+
     def q_vocab(sf_dir):
         """Global vocabulary stats: top-50 corpus tokens by count
         (tie: token asc) with document frequencies — per-batch bincount
@@ -900,6 +908,7 @@ logtrics {
         "token_sample_mix": q_sample_mix,
         "token_sample_mix_up": q_sample_mix_up,
         "token_vocab_top50": q_vocab,
+        "token_tfidf_top50": q_tfidf,
         "token_bigram_top50": q_bigram,
         "token_len_hist_128": q_len_hist,
         "events_meter_ewma_1m": q_ewma,
@@ -1219,6 +1228,11 @@ def _vocab_sql(token_dir: str) -> str:
     return vocab_topk_oracle_sql(token_dir, k=50)
 
 
+def _tfidf_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import tfidf_topk_oracle_sql
+    return tfidf_topk_oracle_sql(token_dir, k=50)
+
+
 def _scrub_sql() -> str:
     """PII-scrub replay: the injection rule AND the redaction rules are
     shared literally (PII_RULES is the single source of truth; DuckDB's
@@ -1497,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "token_sample_mix": _sample_mix_sql(token_dir),
         "token_sample_mix_up": _sample_mix_up_sql(token_dir),
         "token_vocab_top50": _vocab_sql(token_dir),
+        "token_tfidf_top50": _tfidf_sql(token_dir),
         "token_bigram_top50": _bigram_sql(token_dir),
         "token_len_hist_128": _len_hist_sql(token_dir),
         "events_meter_ewma_1m": _ewma_1m_sql(),

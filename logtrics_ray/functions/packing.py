@@ -731,6 +731,79 @@ def vocab_topk_frame(input_path: str, k: int = 50,
     })
 
 
+def tfidf_topk_frame(input_path: str, k: int = 50,
+                     vocab_size: int = 50257):
+    """Top-k corpus tokens by TF-IDF: score = total_tf * ln(N / df)
+    with N = corpus document count — the distinctiveness ranking that
+    surfaces corpus-characteristic tokens instead of raw stopword-like
+    heads (:func:`vocab_topk_frame`).
+
+    Distributed part = :func:`vocab_counts` (bincount partials, dense
+    tree-reduce); scoring runs on the <= vocab-size counts frame.  The
+    ln is computed with ``math.log`` per DISTINCT df value: glibc's
+    log(), which DuckDB's ln() also calls, is bit-identical to it,
+    while numpy's vectorized SIMD log drifts up to 2 ulp — enough to
+    flip a rank near ties.  Ordering is by the UNROUNDED score (same
+    double product both sides), tiebreak token asc; published tfidf is
+    rounded to 6dp.
+
+    Output: (token, n, n_docs, tfidf, rank), k rows.
+    """
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    paths = _top_level_shards(input_path)
+    n_corpus = sum(pq.ParquetFile(p).metadata.num_rows for p in
+                   (paths if isinstance(paths, list) else [paths]))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("score", pa.array([], pa.float64()))
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t["n_docs"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(df)
+        ln = {int(d): math.log(n_corpus / (int(d) * 1.0)) for d in uniq}
+        idf = np.array([ln[int(d)] for d in df], dtype=np.float64)
+        return t.append_column("score", pa.array(n * idf, pa.float64()))
+
+    counts = vocab_counts(input_path, vocab_size) \
+        .map_batches(score, batch_format="pyarrow")
+    top = (counts.sort(["score", "token"], descending=[True, False])
+           .limit(k).take_all())
+    from logtrics_ray.pipelines.table_rollup import _round6
+    return pd.DataFrame({
+        "token": [int(r["token"]) for r in top],
+        "n": [int(r["n"]) for r in top],
+        "n_docs": [int(r["n_docs"]) for r in top],
+        "tfidf": _round6(np.array([r["score"] for r in top])),
+        "rank": list(range(1, len(top) + 1)),
+    })
+
+
+def tfidf_topk_oracle_sql(input_path: str, k: int = 50) -> str:
+    return f"""
+    WITH x AS MATERIALIZED (
+      SELECT doc_id, unnest(tokens)::BIGINT AS token
+      FROM read_parquet('{input_path}/*.parquet')),
+    c AS (
+      SELECT token, count(*)::BIGINT AS n,
+             count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM x GROUP BY 1),
+    tot AS (
+      SELECT count(*)::BIGINT AS nd
+      FROM read_parquet('{input_path}/*.parquet')),
+    s AS (
+      SELECT token, n, n_docs,
+             n * ln((SELECT nd FROM tot) / (n_docs * 1.0)) AS score
+      FROM c)
+    SELECT token, n, n_docs, round(score, 6) AS tfidf,
+           row_number() OVER (ORDER BY score DESC, token ASC)::BIGINT
+             AS rank
+    FROM s QUALIFY rank <= {k}"""
+
+
 def bigram_counts(input_path: str, vocab_size: int = 50257):
     """Global BIGRAM statistics: count and document frequency of every
     within-document consecutive token pair.

@@ -924,3 +924,34 @@ def test_decontaminate_matches_bruteforce(ray_session):
     assert got.loc[3, "contaminated"]          # whole-short-doc gram
     assert not got.loc[1, "contaminated"] and not got.loc[4, "contaminated"]
     assert got["n_hits"].dtype == "int64"
+
+
+def test_tfidf_topk_matches_counter(ray_session, t1_dir):
+    """Top-k TF-IDF == a Counter-based recompute with math.log: score,
+    df, ordering by unrounded score with token-asc tiebreak."""
+    import collections
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import tfidf_topk_frame
+
+    t = pq.read_table(sorted(glob.glob(f"{t1_dir}/*.parquet")),
+                      columns=["tokens"])
+    rows = t["tokens"].to_pylist()
+    cnt = collections.Counter()
+    df = collections.Counter()
+    for row in rows:
+        cnt.update(row)
+        df.update(set(row))
+    N = len(rows)
+    score = {tok: cnt[tok] * math.log(N / (df[tok] * 1.0)) for tok in cnt}
+    want = sorted(cnt, key=lambda tok: (-score[tok], tok))[:50]
+    got = tfidf_topk_frame(t1_dir, k=50)
+    assert list(got.token) == want
+    assert list(got.n) == [cnt[tok] for tok in want]
+    assert list(got.n_docs) == [df[tok] for tok in want]
+    assert np.allclose(got.tfidf, [round(score[tok], 6) for tok in want],
+                       atol=1e-9)
+    assert list(got["rank"]) == list(range(1, 51))
