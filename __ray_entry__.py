@@ -489,6 +489,15 @@ logtrics {
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    def q_len_band(sf_dir):
+        """Per-source doc-length band filter: exact distributed
+        percentiles from a (source, n_chars) histogram (no sort),
+        quantile_disc index convention replicated float-for-float,
+        broadcast band + stateless filter stats."""
+        from logtrics_ray.functions.textstats import (
+            doc_len_band_filter_frame)
+        return doc_len_band_filter_frame(f"{sf_dir}/documents.parquet")
+
     def q_scrub_pii(sf_dir):
         """PII redaction over documents text.  The synthetic corpus has
         no natural PII, so a deterministic doc_id-keyed suffix injects
@@ -890,6 +899,7 @@ logtrics {
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "scrub_pii": q_scrub_pii,
+        "doc_len_band_filter": q_len_band,
         "repetition_stats": q_repetition,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1231,6 +1241,12 @@ def _vocab_sql(token_dir: str) -> str:
 def _tfidf_sql(token_dir: str) -> str:
     from logtrics_ray.functions.packing import tfidf_topk_oracle_sql
     return tfidf_topk_oracle_sql(token_dir, k=50)
+
+
+def _len_band_sql() -> str:
+    from logtrics_ray.functions.textstats import (
+        doc_len_band_filter_oracle_sql)
+    return doc_len_band_filter_oracle_sql()
 
 
 def _scrub_sql() -> str:
@@ -1777,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens
             FROM documents""",
         "scrub_pii": _scrub_sql(),
+        "doc_len_band_filter": _len_band_sql(),
         # repetition signals replayed wholly in SQL from raw text: the
         # same lowercase/whitespace word rule and newline line rule,
         # list_distinct for dup fractions, pair-unnest + group for the

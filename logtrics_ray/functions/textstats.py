@@ -409,3 +409,127 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
          else batch["doc_id"],
          pa.array(out, pa.uint64())],
         names=["doc_id", "fingerprint"])
+
+
+def doc_len_band_filter_frame(doc_path: str, q_lo: float = 0.05,
+                              q_hi: float = 0.95):
+    """Per-source DOC-LENGTH BAND FILTER: keep documents whose n_chars
+    falls inside the source's [q_lo, q_hi] discrete quantile band — the
+    outlier-trim every web-corpus pipeline runs before training (drop
+    truncated fragments and boilerplate mega-pages per source, not
+    globally, because length distributions differ by source).
+
+    Exact distributed percentiles WITHOUT sorting the data: stage 1
+    collapses the corpus to a (source, n_chars) -> count histogram
+    (per-batch np.unique partials over dict-coded packed keys, one tiny
+    groupby — distinct lengths per source are bounded by the length
+    domain, not the corpus size); the driver computes the discrete
+    quantile from the histogram's cumulative counts and broadcasts the
+    band; stage 2 is a stateless filter + per-batch stats partials.
+
+    The quantile is DuckDB's quantile_disc convention — 0-based sorted
+    index ceil(q * n) - 1, evaluated with the identical float multiply
+    — so the SQL replay is bit-identical.
+
+    Output: (source, lo, hi, n_kept, n_dropped, sum_chars_kept).
+    """
+    import pandas as pd
+
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    from logtrics_ray.stages.seriesscan import dict_codes
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_chars": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        codes, labels = dict_codes(t["source"])
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (nc < 0).any() or (nc >= 1 << 32).any():
+            raise ValueError("doc_len_band_filter: n_chars outside "
+                             "[0, 2^32) breaks the packed histogram key")
+        key = codes.astype(np.int64) * (1 << 32) + nc
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": pa.array(labels[uk >> 32], pa.string()),
+            "n_chars": pa.array(uk & 0xFFFFFFFF, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64())})
+
+    hist = (read_parquet_clean(doc_path, columns=["source", "n_chars"])
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["source", "n_chars"]).sum("cnt"))
+    # the histogram is length-domain-bounded (distinct lengths x sources),
+    # independent of corpus size — safe to pull
+    h = hist.to_pandas().sort_values(["source", "n_chars"])
+
+    band: dict[str, tuple[int, int]] = {}
+    for src, g in h.groupby("source", sort=False):
+        c = g["sum(cnt)"].to_numpy(np.int64)
+        v = g["n_chars"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo_i = max(int(np.ceil(q_lo * n)) - 1, 0)  # same float multiply
+        hi_i = max(int(np.ceil(q_hi * n)) - 1, 0)  # as the SQL replay
+        band[str(src)] = (
+            int(v[np.searchsorted(cum, lo_i, side="right")]),
+            int(v[np.searchsorted(cum, hi_i, side="right")]))
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_kept": pa.array([], pa.int64()),
+                          "n_dropped": pa.array([], pa.int64()),
+                          "sum_chars_kept": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        codes, labels = dict_codes(t["source"])
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.array([band[str(s)][0] for s in labels], np.int64)[codes]
+        hi = np.array([band[str(s)][1] for s in labels], np.int64)[codes]
+        keep = (nc >= lo) & (nc <= hi)
+        nsrc = len(labels)
+        kept = np.bincount(codes[keep], minlength=nsrc)
+        drop = np.bincount(codes[~keep], minlength=nsrc)
+        schars = np.zeros(nsrc, np.int64)
+        np.add.at(schars, codes[keep], nc[keep])
+        return pa.table({
+            "source": pa.array(labels, pa.string()),
+            "n_kept": pa.array(kept, pa.int64()),
+            "n_dropped": pa.array(drop, pa.int64()),
+            "sum_chars_kept": pa.array(schars, pa.int64())})
+
+    agg = (read_parquet_clean(doc_path, columns=["source", "n_chars"])
+           .map_batches(stats_partial, batch_format="pyarrow")
+           .groupby("source")
+           .sum(["n_kept", "n_dropped", "sum_chars_kept"]))
+    out = agg.to_pandas()
+    out = out.rename(columns={"sum(n_kept)": "n_kept",
+                              "sum(n_dropped)": "n_dropped",
+                              "sum(sum_chars_kept)": "sum_chars_kept"})
+    out["lo"] = [band[str(s)][0] for s in out["source"]]
+    out["hi"] = [band[str(s)][1] for s in out["source"]]
+    return out[["source", "lo", "hi", "n_kept", "n_dropped",
+                "sum_chars_kept"]]
+
+
+def doc_len_band_filter_oracle_sql(q_lo: float = 0.05,
+                                   q_hi: float = 0.95) -> str:
+    """DuckDB replay: quantile_disc band + filtered aggregates."""
+    return f"""
+    WITH d AS (SELECT source, n_chars FROM documents),
+    q AS (
+      SELECT source,
+             quantile_disc(n_chars, {q_lo!r}) AS lo,
+             quantile_disc(n_chars, {q_hi!r}) AS hi
+      FROM d GROUP BY 1)
+    SELECT d.source, q.lo, q.hi,
+           count(*) FILTER (WHERE n_chars BETWEEN lo AND hi)::BIGINT
+             AS n_kept,
+           count(*) FILTER (WHERE n_chars < lo OR n_chars > hi)::BIGINT
+             AS n_dropped,
+           COALESCE(sum(n_chars) FILTER (
+             WHERE n_chars BETWEEN lo AND hi), 0)::BIGINT
+             AS sum_chars_kept
+    FROM d JOIN q USING (source) GROUP BY 1, 2, 3"""

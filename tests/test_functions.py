@@ -955,3 +955,39 @@ def test_tfidf_topk_matches_counter(ray_session, t1_dir):
     assert np.allclose(got.tfidf, [round(score[tok], 6) for tok in want],
                        atol=1e-9)
     assert list(got["rank"]) == list(range(1, 51))
+
+
+def test_doc_len_band_filter_matches_bruteforce(ray_session, tmp_path):
+    """Histogram-derived per-source percentile band + filter stats == a
+    plain sorted-array recompute with DuckDB's quantile_disc index
+    convention (ceil(q*n) - 1), including a single-doc source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.textstats import doc_len_band_filter_frame
+
+    rng = np.random.default_rng(23)
+    srcs, lens = [], []
+    for s, n in (("a", 500), ("b", 40), ("solo", 1)):
+        srcs += [s] * n
+        lens += rng.integers(10, 5000, n).tolist()
+    p = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"source": srcs,
+                             "n_chars": pa.array(lens, pa.int64())}), p)
+    got = (doc_len_band_filter_frame(str(p))
+           .sort_values("source").reset_index(drop=True))
+    import pandas as pd
+    df = pd.DataFrame({"source": srcs, "n_chars": lens})
+    for _, row in got.iterrows():
+        v = np.sort(df[df.source == row.source].n_chars.to_numpy())
+        n = len(v)
+        lo = v[max(int(np.ceil(0.05 * n)) - 1, 0)]
+        hi = v[max(int(np.ceil(0.95 * n)) - 1, 0)]
+        keep = (v >= lo) & (v <= hi)
+        assert (row.lo, row.hi) == (lo, hi)
+        assert row.n_kept == int(keep.sum())
+        assert row.n_dropped == int((~keep).sum())
+        assert row.sum_chars_kept == int(v[keep].sum())
+    # the solo source keeps its only doc (band collapses to the value)
+    solo = got[got.source == "solo"].iloc[0]
+    assert solo.n_kept == 1 and solo.n_dropped == 0
