@@ -489,6 +489,15 @@ logtrics {
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    def q_para_dedup(sf_dir):
+        """Paragraph-level exact dedup with page reassembly (CCNet
+        boilerplate-removal shape): keep-first by (content_hash ->
+        min doc_id), narrow keyed exchange for the decision, bucket-major
+        vectorized string_agg reassembly; pages composed deterministically
+        from consecutive doc_ids (rule shared literally with the SQL)."""
+        from logtrics_ray.functions.dedup import paragraph_dedup_pages
+        return paragraph_dedup_pages(f"{sf_dir}/documents.parquet")
+
     def q_len_band(sf_dir):
         """Per-source doc-length band filter: exact distributed
         percentiles from a (source, n_chars) histogram (no sort),
@@ -900,6 +909,7 @@ logtrics {
         "text_quality": q_text_quality,
         "scrub_pii": q_scrub_pii,
         "doc_len_band_filter": q_len_band,
+        "paragraph_dedup_pages": q_para_dedup,
         "repetition_stats": q_repetition,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1241,6 +1251,11 @@ def _vocab_sql(token_dir: str) -> str:
 def _tfidf_sql(token_dir: str) -> str:
     from logtrics_ray.functions.packing import tfidf_topk_oracle_sql
     return tfidf_topk_oracle_sql(token_dir, k=50)
+
+
+def _para_dedup_sql() -> str:
+    from logtrics_ray.functions.dedup import paragraph_dedup_oracle_sql
+    return paragraph_dedup_oracle_sql()
 
 
 def _len_band_sql() -> str:
@@ -1794,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "scrub_pii": _scrub_sql(),
         "doc_len_band_filter": _len_band_sql(),
+        "paragraph_dedup_pages": _para_dedup_sql(),
         # repetition signals replayed wholly in SQL from raw text: the
         # same lowercase/whitespace word rule and newline line rule,
         # list_distinct for dup fractions, pair-unnest + group for the

@@ -863,3 +863,154 @@ def decontaminate(ds, benchmark_texts, n: int = 8,
             names=[id_col, "n_hits", "contaminated"])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------- paragraph-level dedup --
+
+BOILER_MOD = 7          # paragraphs with doc_id % BOILER_MOD == BOILER_RES
+BOILER_RES = 3          # become shared boilerplate text ...
+BOILER_VARIANTS = 3     # ... in one of BOILER_VARIANTS variants
+
+
+def paragraph_dedup_pages(doc_path: str, paras_per_page: int = 4,
+                          num_partitions: int | None = None,
+                          inject_boiler: bool = True):
+    """PARAGRAPH-LEVEL exact dedup with page reassembly — the
+    CCNet/RefinedWeb boilerplate-removal shape: drop every repeated
+    paragraph except its first occurrence in global order, then rebuild
+    each page's text from its surviving paragraphs.
+
+    The synthetic corpus has no intra-document paragraph breaks, so
+    pages are COMPOSED deterministically from the document table itself
+    (page = ``paras_per_page`` consecutive doc_ids, paragraph order =
+    doc_id within the page — rule shared literally with the SQL oracle,
+    the scrub_pii fixture pattern); the OPERATOR under test is the
+    distributed keep-first + reassembly.  The corpus also has no exact
+    duplicate texts, so with ``inject_boiler`` every paragraph with
+    doc_id % BOILER_MOD == BOILER_RES is rewritten to one of
+    BOILER_VARIANTS shared "cookie-banner" strings BEFORE dedup — the
+    realistic repeated-boilerplate load, rule shared literally with the
+    SQL oracle.
+
+    Scale shape: the keep decision shuffles only (content_hash, doc_id)
+    pairs (built-in groupby.min, the exact_dedup kernel); paragraph text
+    crosses two keyed exchanges — the flag hash-join and the page
+    groupby, both inherent to "reassemble pages from globally-deduped
+    paragraphs".  Reassembly is bucket-major: one map_groups call per
+    page bucket, pages joined vectorized via offsets + pc.binary_join —
+    never per-page Python.  The keep rule compares 64-bit content
+    hashes where the SQL compares full text (the dedup_exact contract:
+    collision-free on any real corpus slice, and any collision shows up
+    as an oracle mismatch, never silently).
+
+    Output: (page_id, n_paras, n_kept, text) — text joined by blank
+    lines from surviving paragraphs in idx order ('' if none survive).
+    """
+    from logtrics_ray.sources.parquet import read_parquet_clean
+
+    PP = int(paras_per_page)
+    NB = 64                                      # reassembly buckets
+    num_partitions = num_partitions or _default_join_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        para = t["text"]
+        if inject_boiler and t.num_rows:
+            m = d % BOILER_MOD == BOILER_RES
+            if m.any():
+                variants = np.array(
+                    [f"boilerplate cookie banner variant {v}"
+                     for v in range(BOILER_VARIANTS)], dtype=object)
+                txt = para.to_numpy(zero_copy_only=False).copy()
+                txt[m] = variants[d[m] % BOILER_VARIANTS]
+                para = pa.array(txt, pa.string())
+        h = hash64_array(para).astype(np.int64)
+        return pa.Table.from_arrays([
+            pa.array(d // PP, pa.int64()),
+            pa.array(d % PP, pa.int64()),
+            pa.array(d, pa.int64()),
+            pa.array(h, pa.int64()),
+            para,
+        ], names=["page_id", "idx", "doc_id", "content_hash", "para"])
+
+    ds = read_parquet_clean(doc_path, columns=["doc_id", "text"]) \
+        .map_batches(tag, batch_format="pyarrow")
+
+    minima, _ = _schema_stable(
+        ds.select_columns(["content_hash", "doc_id"])
+          .groupby("content_hash").min("doc_id"),
+        num_partitions)
+
+    flagged = ds.join(minima, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("content_hash",), right_on=("content_hash",))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        pg = t["page_id"].to_numpy(zero_copy_only=False)
+        keep = (t["doc_id"].to_numpy(zero_copy_only=False)
+                == t["min(doc_id)"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays([
+            t["page_id"], t["idx"], t["para"],
+            pa.array(keep, pa.bool_()),
+            pa.array(pg % NB, pa.int64()),
+        ], names=["page_id", "idx", "para", "keep", "_pg_bucket"])
+
+    def assemble(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        pg = g["page_id"].to_numpy(zero_copy_only=False)
+        ix = g["idx"].to_numpy(zero_copy_only=False)
+        keep = g["keep"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ix, pg))
+        pg_s, keep_s = pg[order], keep[order]
+        starts = np.flatnonzero(np.diff(pg_s, prepend=pg_s[0] - 1))
+        bounds = np.append(starts, pg_s.size)
+        n_paras = np.diff(bounds)
+        # kept rows only, page-ordered; list offsets via cumsum of
+        # per-page kept counts, then ONE vectorized binary_join
+        kept_cum = np.concatenate(([0], np.cumsum(keep_s)))
+        n_kept = kept_cum[bounds[1:]] - kept_cum[starts]
+        offsets = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int32)
+        kept_idx = order[np.flatnonzero(keep_s)]   # original rows, page order
+        paras_sorted = g["para"].take(pa.array(kept_idx, pa.int64()))
+        if isinstance(paras_sorted, pa.ChunkedArray):
+            paras_sorted = paras_sorted.combine_chunks()
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      paras_sorted)
+        joined = pc.binary_join(la, "\n\n")
+        return pa.Table.from_arrays([
+            pa.array(pg_s[starts], pa.int64()),
+            pa.array(n_paras, pa.int64()),
+            pa.array(n_kept, pa.int64()),
+            joined,
+        ], names=["page_id", "n_paras", "n_kept", "text"])
+
+    return (flagged.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_pg_bucket").map_groups(assemble,
+                                              batch_format="pyarrow"))
+
+
+def paragraph_dedup_oracle_sql(paras_per_page: int = 4) -> str:
+    """DuckDB replay: same page composition + boilerplate injection,
+    keep-first by min doc_id over identical paragraph TEXT (the engine
+    compares 64-bit hashes — a collision breaks this match), string_agg
+    reassembly in idx order."""
+    PP = int(paras_per_page)
+    return f"""
+    WITH p AS (
+      SELECT doc_id // {PP} AS page_id, doc_id % {PP} AS idx, doc_id,
+             CASE WHEN doc_id % {BOILER_MOD} = {BOILER_RES}
+                  THEN 'boilerplate cookie banner variant '
+                       || (doc_id % {BOILER_VARIANTS})::VARCHAR
+                  ELSE text END AS para
+      FROM documents),
+    f AS (SELECT para, min(doc_id) AS keeper FROM p GROUP BY 1),
+    sel AS (
+      SELECT p.page_id, p.idx, p.para, (p.doc_id = f.keeper) AS keep
+      FROM p JOIN f USING (para))
+    SELECT page_id, count(*)::BIGINT AS n_paras,
+           count(*) FILTER (keep)::BIGINT AS n_kept,
+           COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY idx)
+                      FILTER (keep), '') AS text
+    FROM sel GROUP BY 1"""

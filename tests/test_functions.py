@@ -991,3 +991,46 @@ def test_doc_len_band_filter_matches_bruteforce(ray_session, tmp_path):
     # the solo source keeps its only doc (band collapses to the value)
     solo = got[got.source == "solo"].iloc[0]
     assert solo.n_kept == 1 and solo.n_dropped == 0
+
+
+def test_paragraph_dedup_pages_matches_bruteforce(ray_session, tmp_path):
+    """Distributed keep-first paragraph dedup + page reassembly == a
+    plain dict-based recompute, with heavy crafted duplication (one
+    page losing EVERY paragraph) and a tail page shorter than
+    paras_per_page."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.dedup import paragraph_dedup_pages
+
+    texts = ["alpha", "beta", "gamma", "delta",      # page 0: all first
+             "alpha", "beta", "gamma", "delta",      # page 1: all dupes
+             "epsilon", "alpha", "zeta", "beta",     # page 2: half dupes
+             "eta", "theta"]                         # page 3: short tail
+    p = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}), p)
+    got = (paragraph_dedup_pages(str(p), paras_per_page=4,
+                                 inject_boiler=False)
+           .to_pandas().sort_values("page_id").reset_index(drop=True))
+
+    seen: set[str] = set()
+    keep = []
+    for t in texts:
+        keep.append(t not in seen)
+        seen.add(t)
+    want = {}
+    for i, t in enumerate(texts):
+        pg = i // 4
+        want.setdefault(pg, [0, 0, []])
+        want[pg][0] += 1
+        if keep[i]:
+            want[pg][1] += 1
+            want[pg][2].append(t)
+    assert list(got.page_id) == sorted(want)
+    for _, row in got.iterrows():
+        np_, nk, paras = want[int(row.page_id)]
+        assert (row.n_paras, row.n_kept) == (np_, nk)
+        assert row.text == "\n\n".join(paras)
+    assert got[got.page_id == 1].iloc[0].text == ""
