@@ -755,6 +755,15 @@ logtrics {
         return sample_mix_epochs_stats_frame(
             sample_mix_epochs(_token_dir(sf_dir), MIX_UP_RATES))
 
+    def q_chunk(sf_dir):
+        """Sliding-window context chunking (len 512, stride 384) over
+        the token table: per-batch chunk arithmetic from list offsets +
+        first-token gathers (position-pinned), tiny per-source groupby;
+        chunking rule shared literally with the SQL replay."""
+        from logtrics_ray.functions.packing import chunk_stats_frame
+        return chunk_stats_frame(_token_dir(sf_dir), chunk_len=512,
+                                 stride=384)
+
     def q_tfidf(sf_dir):
         """Top-50 tokens by TF-IDF (total_tf * ln(N/df)): vocab_counts'
         bincount tree-reduce + bounded-frame scoring with glibc math.log
@@ -929,6 +938,7 @@ logtrics {
         "token_sample_mix_up": q_sample_mix_up,
         "token_vocab_top50": q_vocab,
         "token_tfidf_top50": q_tfidf,
+        "token_chunk_512_s384": q_chunk,
         "token_bigram_top50": q_bigram,
         "token_len_hist_128": q_len_hist,
         "events_meter_ewma_1m": q_ewma,
@@ -1253,6 +1263,11 @@ def _tfidf_sql(token_dir: str) -> str:
     return tfidf_topk_oracle_sql(token_dir, k=50)
 
 
+def _chunk_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import chunk_stats_oracle_sql
+    return chunk_stats_oracle_sql(token_dir, chunk_len=512, stride=384)
+
+
 def _para_dedup_sql() -> str:
     from logtrics_ray.functions.dedup import paragraph_dedup_oracle_sql
     return paragraph_dedup_oracle_sql()
@@ -1543,6 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         "token_sample_mix_up": _sample_mix_up_sql(token_dir),
         "token_vocab_top50": _vocab_sql(token_dir),
         "token_tfidf_top50": _tfidf_sql(token_dir),
+        "token_chunk_512_s384": _chunk_sql(token_dir),
         "token_bigram_top50": _bigram_sql(token_dir),
         "token_len_hist_128": _len_hist_sql(token_dir),
         "events_meter_ewma_1m": _ewma_1m_sql(),

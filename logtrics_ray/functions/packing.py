@@ -731,6 +731,121 @@ def vocab_topk_frame(input_path: str, k: int = 50,
     })
 
 
+def chunk_stats_frame(input_path: str, chunk_len: int = 512,
+                      stride: int = 384):
+    """SLIDING-WINDOW CONTEXT CHUNKING stats: split every document's
+    token sequence into overlapping windows of ``chunk_len`` starting
+    every ``stride`` tokens (the long-document pattern that, unlike
+    :func:`pack_sequences`, preserves local context across boundaries).
+
+    Chunking rule (shared literally with the SQL replay): a doc with n
+    tokens emits k = 0..K-1 chunks where K = 1 for 0 < n <= chunk_len
+    else 1 + ceil((n - chunk_len) / stride); chunk k covers
+    [k*stride, min(k*stride + chunk_len, n)) — the final chunk may be
+    short, empty docs emit none.
+
+    Fully stateless per batch (chunk arithmetic from the list offsets,
+    first-token gather from the flat buffer — no per-doc Python), then
+    one tiny per-source groupby.  ``sum_first_tokens`` pins every
+    chunk's start position to the actual token VALUES, so an off-by-one
+    in the stride math breaks the oracle, not just the counts.
+
+    Output: (source, n_docs, n_chunks, sum_chunk_tokens,
+    sum_first_tokens).
+    """
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    from logtrics_ray.stages.seriesscan import dict_codes
+
+    CL, S = int(chunk_len), int(stride)
+    if CL < 1 or S < 1 or S > CL:
+        raise ValueError("need 1 <= stride <= chunk_len (a stride past "
+                         "the window would skip tokens)")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_chunks": pa.array([], pa.int64()),
+            "sum_chunk_tokens": pa.array([], pa.int64()),
+            "sum_first_tokens": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offs[:-1] - offs[0]
+        vals = vals[offs[0]:offs[-1]]
+        n = np.diff(offs)
+        codes, labels = dict_codes(t["source"])
+        K = np.where(n == 0, 0,
+                     1 + np.maximum(n - CL + S - 1, 0) // S)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), K)
+        tot = int(K.sum())
+        k = (np.arange(tot, dtype=np.int64)
+             - np.repeat(np.cumsum(K) - K, K))
+        st = k * S
+        en = np.minimum(st + CL, n[doc_of])
+        nsrc = len(labels)
+        cc = codes[doc_of]
+        n_chunks = np.bincount(cc, minlength=nsrc)
+        sum_len = np.zeros(nsrc, np.int64)
+        np.add.at(sum_len, cc, en - st)
+        sum_first = np.zeros(nsrc, np.int64)
+        np.add.at(sum_first, cc, vals[base[doc_of] + st])
+        return pa.table({
+            "source": pa.array(labels, pa.string()),
+            "n_docs": pa.array(np.bincount(codes, minlength=nsrc),
+                               pa.int64()),
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "sum_chunk_tokens": pa.array(sum_len, pa.int64()),
+            "sum_first_tokens": pa.array(sum_first, pa.int64())})
+
+    paths = _top_level_shards(input_path)
+    agg = (read_parquet_clean(paths, columns=["tokens", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .sum(["n_docs", "n_chunks", "sum_chunk_tokens",
+                 "sum_first_tokens"]))
+    out = agg.to_pandas()
+    return out.rename(columns={
+        "sum(n_docs)": "n_docs", "sum(n_chunks)": "n_chunks",
+        "sum(sum_chunk_tokens)": "sum_chunk_tokens",
+        "sum(sum_first_tokens)": "sum_first_tokens"})
+
+
+def chunk_stats_oracle_sql(input_path: str, chunk_len: int = 512,
+                           stride: int = 384) -> str:
+    CL, S = int(chunk_len), int(stride)
+    return f"""
+    WITH d AS (
+      SELECT source, tokens, len(tokens)::BIGINT AS n
+      FROM read_parquet('{input_path}/*.parquet')),
+    c AS (
+      SELECT source, tokens, n,
+             unnest(generate_series(0,
+               CASE WHEN n = 0 THEN -1
+                    WHEN n <= {CL} THEN 0
+                    ELSE (n - {CL} + {S} - 1) // {S} END)) AS k
+      FROM d),
+    ch AS (
+      SELECT source, k * {S} AS st,
+             LEAST(k * {S} + {CL}, n) AS en,
+             tokens[k * {S} + 1]::BIGINT AS first_tok
+      FROM c)
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           (SELECT count(*) FROM ch WHERE ch.source = d.source)::BIGINT
+             AS n_chunks,
+           (SELECT COALESCE(sum(en - st), 0) FROM ch
+            WHERE ch.source = d.source)::BIGINT AS sum_chunk_tokens,
+           (SELECT COALESCE(sum(first_tok), 0) FROM ch
+            WHERE ch.source = d.source)::BIGINT AS sum_first_tokens
+    FROM d GROUP BY 1"""
+
+
 def tfidf_topk_frame(input_path: str, k: int = 50,
                      vocab_size: int = 50257):
     """Top-k corpus tokens by TF-IDF: score = total_tf * ln(N / df)

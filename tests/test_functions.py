@@ -1034,3 +1034,40 @@ def test_paragraph_dedup_pages_matches_bruteforce(ray_session, tmp_path):
         assert (row.n_paras, row.n_kept) == (np_, nk)
         assert row.text == "\n\n".join(paras)
     assert got[got.page_id == 1].iloc[0].text == ""
+
+
+def test_chunk_stats_matches_bruteforce(ray_session, t1_dir):
+    """Sliding-window chunk stats == a per-doc Python recompute of the
+    chunking rule, including short docs (one chunk), exact-multiple
+    lengths, and empty docs (no chunks)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.packing import chunk_stats_frame
+
+    CL, S = 64, 48
+    t = pq.read_table(sorted(glob.glob(f"{t1_dir}/*.parquet")),
+                      columns=["tokens", "source"])
+    want = {}
+    for toks, src in zip(t["tokens"].to_pylist(), t["source"].to_pylist()):
+        w = want.setdefault(src, [0, 0, 0, 0])
+        w[0] += 1
+        n = len(toks)
+        if n == 0:
+            continue
+        k = 0
+        while True:
+            st, en = k * S, min(k * S + CL, n)
+            w[1] += 1
+            w[2] += en - st
+            w[3] += toks[st]
+            if en >= n:
+                break
+            k += 1
+    got = chunk_stats_frame(t1_dir, chunk_len=CL, stride=S)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        nd, nc, sl, sf = want[r.source]
+        assert (r.n_docs, r.n_chunks, r.sum_chunk_tokens,
+                r.sum_first_tokens) == (nd, nc, sl, sf)
