@@ -819,6 +819,14 @@ logtrics {
         from logtrics_ray.stages.analytics import seasonal_frame
         return seasonal_frame(_events_core(sf_dir, HOUR_MS), HOUR_MS)
 
+    def q_holt(sf_dir):
+        """Holt linear (level+trend) smoothing over the 1d tier: step
+        recurrence vectorized across series, identical float expressions
+        and literal coefficients as the recursive-CTE SQL replay —
+        bit-identical doubles at tier step counts."""
+        from logtrics_ray.stages.analytics import holt_frame
+        return holt_frame(_events_core(sf_dir, DAY_MS))
+
     def q_threshold_cross(sf_dir):
         """Threshold-crossing alert edges over the 1h tier: emit only
         windows where the count crosses T=4 up or down vs the lagged
@@ -907,6 +915,7 @@ logtrics {
         "events_lttb_1m_24": q_lttb,
         "events_m4_1m_p32": q_m4,
         "events_seasonal_hod_1h": q_seasonal,
+        "events_holt_1d": q_holt,
         "events_threshold_cross_1h": q_threshold_cross,
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
@@ -1358,6 +1367,11 @@ def _m4_sql(width_ms: int, pixels: int) -> str:
 def _seasonal_sql(width_ms: int) -> str:
     from logtrics_ray.stages.analytics import seasonal_oracle_sql
     return seasonal_oracle_sql(width_ms)
+
+
+def _holt_sql(width_ms: int) -> str:
+    from logtrics_ray.stages.analytics import holt_oracle_sql
+    return holt_oracle_sql(width_ms)
 
 
 def _threshold_sql(width_ms: int, threshold: int) -> str:
@@ -2226,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lttb_1m_24": _lttb_sql(MIN_MS, 24),
         "events_m4_1m_p32": _m4_sql(MIN_MS, 32),
         "events_seasonal_hod_1h": _seasonal_sql(HOUR_MS),
+        "events_holt_1d": _holt_sql(DAY_MS),
         "events_threshold_cross_1h": _threshold_sql(HOUR_MS, 4),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),

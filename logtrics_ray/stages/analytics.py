@@ -266,6 +266,111 @@ def seasonal_oracle_sql(width_ms: int, k_table: str = "events",
     WINDOW g AS (PARTITION BY sk, hod)"""
 
 
+def holt_frame(core_ds, alpha: float = 0.5, beta: float = 0.3):
+    """HOLT LINEAR (double-exponential) smoothing of each series' count
+    curve — level + trend state, the classic short-horizon forecaster a
+    rollup store runs beside plain EWMA when series drift:
+
+        l_0 = y_0,  b_0 = 0
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    over PRESENT windows sorted ascending.  The recurrence is evaluated
+    step-by-step with the SAME float expressions (and literal a, 1-a,
+    B, 1-B coefficients) the SQL recursive-CTE replay uses, in the same
+    order, so raw doubles are bit-identical — no closed form needed at
+    tier widths (the 1d tier is a few hundred steps; the 1m-tier
+    closed-form trick lives in _ewma_1m_sql).  The step loop is
+    vectorized ACROSS series of the scan bucket (state = (l, b) pair
+    per series), never per-series Python.
+
+    Output: (series_key, window_start, n, level, trend, forecast_next)
+    with floats rounded to 6dp; forecast_next = l + b (the one-step
+    forecast for the NEXT window).
+    """
+    from logtrics_ray.pipelines.table_rollup import _round6
+    a, be = float(alpha), float(beta)
+    oma, omb = 1.0 - a, 1.0 - be
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()[order]
+        n = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        sz = w.size
+        if sz == 0:
+            return pa.Table.from_arrays([
+                pa.array([], pa.string()), pa.array([], pa.int64()),
+                pa.array([], pa.int64()), pa.array([], pa.float64()),
+                pa.array([], pa.float64()), pa.array([], pa.float64()),
+            ], names=["series_key", "window_start", "n", "level",
+                      "trend", "forecast_next"])
+        y = n.astype(np.float64)
+        lens = np.diff(bounds)
+        lv = np.empty(sz, np.float64)
+        tr = np.empty(sz, np.float64)
+        l = y[starts].copy()
+        b = np.zeros(starts.size, np.float64)
+        lv[starts], tr[starts] = l, b
+        for t in range(1, int(lens.max())):
+            act = np.flatnonzero(lens > t)
+            rows = starts[act] + t
+            yt = y[rows]
+            lt = a * yt + oma * (l[act] + b[act])
+            bt = be * (lt - l[act]) + omb * b[act]
+            l[act], b[act] = lt, bt
+            lv[rows], tr[rows] = lt, bt
+        seg_of = np.searchsorted(starts, np.arange(sz), side="right") - 1
+        return pa.Table.from_arrays([
+            pa.array(labels["series_key"][seg_of], pa.string()),
+            pa.array(w, pa.int64()),
+            pa.array(n, pa.int64()),
+            pa.array(_round6(lv), pa.float64()),
+            pa.array(_round6(tr), pa.float64()),
+            pa.array(_round6(lv + tr), pa.float64()),
+        ], names=["series_key", "window_start", "n", "level", "trend",
+                  "forecast_next"])
+
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def holt_oracle_sql(width_ms: int, alpha: float = 0.5, beta: float = 0.3,
+                    k_table: str = "events", key_col: str = "event_type",
+                    ts_col: str = "ts") -> str:
+    """Recursive-CTE replay of ``holt_frame``: one step per window rank,
+    identical float expressions with the coefficients inlined at full
+    precision (repr) from the same Python floats the engine multiplies
+    by."""
+    a, be = float(alpha), float(beta)
+    oma, omb = 1.0 - a, 1.0 - be
+    return f"""
+    WITH RECURSIVE agg AS (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             count(*)::BIGINT AS y
+      FROM {k_table} GROUP BY 1, 2),
+    r AS (
+      SELECT sk, w, y,
+             row_number() OVER (PARTITION BY sk ORDER BY w) - 1 AS i
+      FROM agg),
+    rec AS (
+      SELECT sk, w, y, i, CAST(y AS DOUBLE) AS l,
+             CAST(0 AS DOUBLE) AS b
+      FROM r WHERE i = 0
+      UNION ALL
+      SELECT r.sk, r.w, r.y, r.i,
+             {a!r} * r.y + {oma!r} * (rec.l + rec.b) AS l,
+             {be!r} * (({a!r} * r.y + {oma!r} * (rec.l + rec.b)) - rec.l)
+               + {omb!r} * rec.b AS b
+      FROM rec JOIN r ON r.sk = rec.sk AND r.i = rec.i + 1)
+    SELECT sk AS series_key, w AS window_start, y AS n,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_next
+    FROM rec"""
+
+
 def threshold_cross_frame(core_ds, threshold: int):
     """THRESHOLD-CROSSING detector: emit one row per window where a
     series' count crosses the threshold — up (prev < T <= cur) or down

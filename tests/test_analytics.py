@@ -215,3 +215,33 @@ def test_threshold_cross_frame_edges_only(ray_session):
         rd.from_arrow(_core_table({"s": (ws[:1], np.array([99]))})),
         threshold=4).to_pandas()
     assert len(got2) == 0
+
+
+def test_holt_frame_matches_scalar_recurrence(ray_session):
+    from logtrics_ray.stages.analytics import holt_frame
+    rng = np.random.default_rng(29)
+    D = 86_400_000
+    series = {}
+    for key, sz in (("a", 150), ("b", 12), ("one", 1)):
+        ws = np.sort(rng.choice(3000, sz, replace=False)).astype(np.int64) * D
+        cnt = rng.integers(1, 100, sz).astype(np.int64)
+        series[key] = (ws, cnt)
+    a, be = 0.5, 0.3
+    got = holt_frame(rd.from_arrow(_core_table(series)),
+                     alpha=a, beta=be).to_pandas()
+    for key, (ws, cnt) in series.items():
+        g = (got[got.series_key == key]
+             .sort_values("window_start").reset_index(drop=True))
+        assert list(g.window_start) == list(ws)
+        l, b = float(cnt[0]), 0.0
+        want = [(l, b)]
+        for y in cnt[1:]:
+            lt = a * y + (1 - a) * (l + b)
+            bt = be * (lt - l) + (1 - be) * b
+            l, b = lt, bt
+            want.append((l, b))
+        for i, (wl, wb) in enumerate(want):
+            # published values are 6dp-rounded: raw vs rounded <= 5e-7
+            assert abs(g.level[i] - wl) <= 5.001e-7
+            assert abs(g.trend[i] - wb) <= 5.001e-7
+            assert abs(g.forecast_next[i] - (wl + wb)) <= 5.001e-7
