@@ -819,6 +819,14 @@ logtrics {
         from logtrics_ray.stages.analytics import seasonal_frame
         return seasonal_frame(_events_core(sf_dir, HOUR_MS), HOUR_MS)
 
+    def q_value_hist(sf_dir):
+        """Prometheus-style histogram metric: per (series, 1h window)
+        raw-value counts over fixed le-boundaries — sparse packed-key
+        partials, only nonzero bins shuffle; boundaries shared literally
+        with the SQL CASE replay."""
+        from logtrics_ray.stages.analytics import value_hist_frame
+        return value_hist_frame(_events_points(sf_dir), HOUR_MS)
+
     def q_holt(sf_dir):
         """Holt linear (level+trend) smoothing over the 1d tier: step
         recurrence vectorized across series, identical float expressions
@@ -916,6 +924,7 @@ logtrics {
         "events_m4_1m_p32": q_m4,
         "events_seasonal_hod_1h": q_seasonal,
         "events_holt_1d": q_holt,
+        "events_value_hist_1h": q_value_hist,
         "events_threshold_cross_1h": q_threshold_cross,
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
@@ -1367,6 +1376,11 @@ def _m4_sql(width_ms: int, pixels: int) -> str:
 def _seasonal_sql(width_ms: int) -> str:
     from logtrics_ray.stages.analytics import seasonal_oracle_sql
     return seasonal_oracle_sql(width_ms)
+
+
+def _value_hist_sql(width_ms: int) -> str:
+    from logtrics_ray.stages.analytics import value_hist_oracle_sql
+    return value_hist_oracle_sql(width_ms)
 
 
 def _holt_sql(width_ms: int) -> str:
@@ -2241,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "events_m4_1m_p32": _m4_sql(MIN_MS, 32),
         "events_seasonal_hod_1h": _seasonal_sql(HOUR_MS),
         "events_holt_1d": _holt_sql(DAY_MS),
+        "events_value_hist_1h": _value_hist_sql(HOUR_MS),
         "events_threshold_cross_1h": _threshold_sql(HOUR_MS, 4),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),

@@ -266,6 +266,108 @@ def seasonal_oracle_sql(width_ms: int, k_table: str = "events",
     WINDOW g AS (PARTITION BY sk, hod)"""
 
 
+HIST_BOUNDS = (1.0, 5.0, 10.0, 25.0, 50.0, 100.0, 250.0)
+
+
+def value_hist_frame(points_ds, width_ms: int,
+                     bounds: tuple[float, ...] = HIST_BOUNDS):
+    """HISTOGRAM METRIC: per (series, window) distribution of the raw
+    point VALUES over fixed le-boundaries — the Prometheus-histogram
+    shape (counts per bucket; cumulative "le" counts are a running sum
+    away) that p50/p95 summaries can't replace when buckets feed
+    alerting or heatmap UIs.
+
+    bin(v) = index of the first boundary b with v <= b, overflow bin
+    len(bounds) ("+Inf") — exact double compares against literal
+    boundaries shared with the SQL CASE replay, so counts are
+    bit-identical ints.  Stateless per batch: one packed
+    (series, window, bin) np.unique partial per batch, then a tiny
+    groupby.sum — only nonzero bins ever shuffle (the same sparse-
+    partial shape vocab_counts uses).
+
+    Output: (series_key, window_start, bin, le_label, n), nonzero bins
+    only.
+    """
+    from logtrics_ray.stages.seriesscan import dict_codes
+
+    b = np.asarray(bounds, np.float64)
+    if b.size == 0 or np.any(np.diff(b) <= 0):
+        raise ValueError("bounds must be strictly increasing")
+    labels_le = [repr(float(x)) for x in b] + ["+Inf"]
+    NBIN = b.size + 1
+    W = int(width_ms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "series_key": pa.array([], pa.string()),
+            "window_start": pa.array([], pa.int64()),
+            "bin": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        codes, sk = dict_codes(t["series_key"])
+        ts = t["ts_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        w = (ts // W) * W
+        bn = np.searchsorted(b, v, side="left")
+        # packed key: (series, window-index, bin) — window indices are
+        # epoch//W (< 2^40 for ms epochs), bins < 2^8, series batch-local
+        wi = ts // W
+        key = (codes.astype(np.int64) * (1 << 48)
+               + wi * NBIN + bn)
+        uk, cnt = np.unique(key, return_counts=True)
+        kc = uk >> 48
+        rest = uk & ((1 << 48) - 1)
+        return pa.table({
+            "series_key": pa.array(sk[kc], pa.string()),
+            "window_start": pa.array((rest // NBIN) * W, pa.int64()),
+            "bin": pa.array(rest % NBIN, pa.int64()),
+            "n": pa.array(cnt, pa.int64())})
+
+    agg = (points_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["series_key", "window_start", "bin"]).sum("n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        bn = t["bin"].to_numpy(zero_copy_only=False)
+        lab = np.array(labels_le, dtype=object)[bn]
+        return pa.Table.from_arrays([
+            t["series_key"], t["window_start"], t["bin"],
+            pa.array(lab, pa.string()),
+            t["sum(n)"],
+        ], names=["series_key", "window_start", "bin", "le_label", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_hist_oracle_sql(width_ms: int,
+                          bounds: tuple[float, ...] = HIST_BOUNDS,
+                          k_table: str = "events",
+                          key_col: str = "event_type",
+                          ts_col: str = "ts") -> str:
+    """DuckDB replay of ``value_hist_frame`` — same literal boundaries."""
+    cases = " ".join(
+        f"WHEN value <= {float(x)!r} THEN {i}"
+        for i, x in enumerate(bounds))
+    lab = ", ".join(f"({i}, '{float(x)!r}')"
+                    for i, x in enumerate(bounds))
+    lab += f", ({len(bounds)}, '+Inf')"
+    return f"""
+    WITH lbl(bin, le_label) AS (VALUES {lab}),
+    p AS (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             CASE {cases} ELSE {len(bounds)} END AS bin
+      FROM {k_table}),
+    c AS (
+      SELECT sk, w, bin, count(*)::BIGINT AS n
+      FROM p GROUP BY 1, 2, 3)
+    SELECT c.sk AS series_key, c.w AS window_start, c.bin::BIGINT AS bin,
+           lbl.le_label, c.n
+    FROM c JOIN lbl USING (bin)"""
+
+
 def holt_frame(core_ds, alpha: float = 0.5, beta: float = 0.3):
     """HOLT LINEAR (double-exponential) smoothing of each series' count
     curve — level + trend state, the classic short-horizon forecaster a

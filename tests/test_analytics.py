@@ -245,3 +245,30 @@ def test_holt_frame_matches_scalar_recurrence(ray_session):
             assert abs(g.level[i] - wl) <= 5.001e-7
             assert abs(g.trend[i] - wb) <= 5.001e-7
             assert abs(g.forecast_next[i] - (wl + wb)) <= 5.001e-7
+
+
+def test_value_hist_frame_matches_counter(ray_session):
+    from logtrics_ray.stages.analytics import HIST_BOUNDS, value_hist_frame
+    import collections
+    rng = np.random.default_rng(31)
+    H = 3_600_000
+    n = 5000
+    sk = rng.choice(["a", "b"], n)
+    ts = rng.integers(0, 50, n).astype(np.int64) * H + rng.integers(0, H, n)
+    # values straddling every boundary, including exact boundary hits
+    v = np.concatenate([rng.uniform(0, 300, n - 7),
+                        np.array(HIST_BOUNDS, np.float64)])[:n]
+    t = pa.table({"series_key": sk, "metric_type": ["gauge"] * n,
+                  "ts_ms": ts, "value": v})
+    got = value_hist_frame(rd.from_arrow(t), H).to_pandas()
+    want = collections.Counter()
+    for s, tt, vv in zip(sk, ts, v):
+        b = 0
+        while b < len(HIST_BOUNDS) and vv > HIST_BOUNDS[b]:
+            b += 1
+        want[(s, (tt // H) * H, b)] += 1
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(r.series_key, r.window_start, r.bin)] == r.n
+        assert r.le_label == ("+Inf" if r.bin == len(HIST_BOUNDS)
+                              else repr(float(HIST_BOUNDS[r.bin])))
