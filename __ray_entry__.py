@@ -819,6 +819,14 @@ logtrics {
         from logtrics_ray.stages.analytics import seasonal_frame
         return seasonal_frame(_events_core(sf_dir, HOUR_MS), HOUR_MS)
 
+    def q_label_centroids(sf_dir):
+        """Per-label embedding centroids, exactly: elements quantized to
+        int64 at 2^20 once, order-free integer aggregation, ONE float
+        division at the end — the only hash-exact mean a distributed
+        float sum can offer (summation order is partition-dependent)."""
+        from logtrics_ray.functions.similarity import label_centroids_frame
+        return label_centroids_frame(f"{sf_dir}/embeddings.parquet")
+
     def q_value_hist(sf_dir):
         """Prometheus-style histogram metric: per (series, 1h window)
         raw-value counts over fixed le-boundaries — sparse packed-key
@@ -947,6 +955,7 @@ logtrics {
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "knn_bruteforce": q_knn,
         "knn_ivf": q_knn_ivf,
+        "embedding_label_centroids": q_label_centroids,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "token_rollup_1m": q_token_tier("1m"),
@@ -1376,6 +1385,11 @@ def _m4_sql(width_ms: int, pixels: int) -> str:
 def _seasonal_sql(width_ms: int) -> str:
     from logtrics_ray.stages.analytics import seasonal_oracle_sql
     return seasonal_oracle_sql(width_ms)
+
+
+def _label_centroids_sql() -> str:
+    from logtrics_ray.functions.similarity import label_centroids_oracle_sql
+    return label_centroids_oracle_sql()
 
 
 def _value_hist_sql(width_ms: int) -> str:
@@ -2256,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonal_hod_1h": _seasonal_sql(HOUR_MS),
         "events_holt_1d": _holt_sql(DAY_MS),
         "events_value_hist_1h": _value_hist_sql(HOUR_MS),
+        "embedding_label_centroids": _label_centroids_sql(),
         "events_threshold_cross_1h": _threshold_sql(HOUR_MS, 4),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),

@@ -437,3 +437,100 @@ def write_ivf_side_table(embeddings_path: str, out_path: str,
     wanted = sorted({int(x) for row in probe for x in row})
     pq.write_table(pa.table({id_col: ids, "ivf_list": assign}), out_path)
     return out_path, wanted
+
+
+# ------------------------------------------------------- label centroids --
+
+def label_centroids_frame(emb_path: str, scale_bits: int = 20):
+    """Per-LABEL embedding CENTROIDS (mean vector per class) — the
+    aggregation behind cluster summaries, class prototypes and
+    IVF-style coarse quantizers, computed exactly at any scale.
+
+    Float summation order is partition-dependent, so a naive float mean
+    can never hash-match a SQL replay.  Instead every element is
+    QUANTIZED once — q = round_half_away(v * 2^scale_bits) as int64 —
+    and the distributed aggregation sums exact integers (order-free,
+    associative); the centroid is ONE float division S / (n * 2^bits)
+    at the end, the identical expression the SQL replay evaluates.
+    The quantization IS the published semantic (documented, not hidden
+    error): at 2^20 the centroid deviates from the float mean by
+    < 1e-6 per element.
+
+    Per batch: one np.add.at scatter into a (labels x dim) int64 matrix
+    (no per-row Python); partials are (label, dim, s, n) rows — bounded
+    by labels x dim, never corpus size — merged by one tiny groupby.
+
+    Output: (label, dim, centroid, n).
+    """
+    import pyarrow.parquet as pq  # noqa: F401  (path check parity)
+
+    from logtrics_ray.sources.parquet import read_parquet_clean
+
+    SCALE = float(1 << scale_bits)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        if lens.size and (lens != lens[0]).any():
+            raise ValueError("label_centroids: ragged embedding column")
+        D = int(lens[0]) if lens.size else 0
+        v = emb.values.to_numpy(zero_copy_only=False)[
+            offs[0]:offs[-1]].astype(np.float64)
+        x = v * SCALE
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, lidx = np.unique(lab, return_inverse=True)
+        S = np.zeros((ulab.size, D), np.int64)
+        np.add.at(S, lidx, q.reshape(-1, D))   # row-wise scatter-add
+        cnt = np.bincount(lidx)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, D), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(D, dtype=np.int64),
+                                    ulab.size), pa.int64()),
+            "s": pa.array(S.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(cnt, D), pa.int64())})
+
+    agg = (read_parquet_clean(emb_path, columns=["embedding", "label"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"]).sum(["s", "n"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["sum(s)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        from logtrics_ray.pipelines.table_rollup import _round6
+        c = _round6(s / (n * SCALE))
+        return pa.Table.from_arrays([
+            t["label"], t["dim"], pa.array(c, pa.float64()),
+            t["sum(n)"],
+        ], names=["label", "dim", "centroid", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def label_centroids_oracle_sql(emb_table: str = "embeddings",
+                               scale_bits: int = 20) -> str:
+    SCALE = float(1 << scale_bits)
+    return f"""
+    WITH x AS (
+      SELECT label::BIGINT AS label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM {emb_table}),
+    e AS (
+      SELECT label, i - 1 AS dim,
+             CAST(round(embedding[i] * {SCALE!r}) AS BIGINT) AS q
+      FROM x)
+    SELECT label, dim,
+           round(sum(q) / (count(*) * {SCALE!r}), 6) AS centroid,
+           count(*)::BIGINT AS n
+    FROM e GROUP BY 1, 2"""

@@ -1071,3 +1071,42 @@ def test_chunk_stats_matches_bruteforce(ray_session, t1_dir):
         nd, nc, sl, sf = want[r.source]
         assert (r.n_docs, r.n_chunks, r.sum_chunk_tokens,
                 r.sum_first_tokens) == (nd, nc, sl, sf)
+
+
+def test_label_centroids_matches_float_mean(ray_session, tmp_path):
+    """Quantized-exact centroids == the plain float mean within the
+    documented 2^-20 quantization bound, with exact counts; a batch
+    split can never change the result (integer aggregation is
+    order-free) — checked by comparing 1-shard vs 4-shard inputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions.similarity import label_centroids_frame
+
+    rng = np.random.default_rng(41)
+    n, D = 600, 16
+    emb = rng.normal(scale=0.3, size=(n, D)).astype(np.float32)
+    lab = rng.integers(0, 5, n).astype(np.int32)
+    t = pa.table({
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.ravel(), pa.float32()), D).cast(
+                pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32())})
+    p1 = tmp_path / "one.parquet"
+    pq.write_table(t, p1)
+    d4 = tmp_path / "four"
+    d4.mkdir()
+    step = n // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step),
+                       d4 / f"part-{i}.parquet")
+    got1 = (label_centroids_frame(str(p1)).to_pandas()
+            .sort_values(["label", "dim"]).reset_index(drop=True))
+    got4 = (label_centroids_frame(str(d4)).to_pandas()
+            .sort_values(["label", "dim"]).reset_index(drop=True))
+    assert got1.equals(got4)
+    for lb in np.unique(lab):
+        m = emb[lab == lb].astype(np.float64).mean(axis=0)
+        g = got1[got1.label == lb].sort_values("dim")
+        assert (g.n == int((lab == lb).sum())).all()
+        assert np.abs(g.centroid.to_numpy() - m).max() < 2.0 / (1 << 20)
