@@ -819,6 +819,13 @@ logtrics {
         from logtrics_ray.stages.analytics import seasonal_frame
         return seasonal_frame(_events_core(sf_dir, HOUR_MS), HOUR_MS)
 
+    def q_head_sample(sf_dir):
+        """Head sampling: first 5 events per (series, 1h window),
+        deterministic under timestamp collisions via the embedded
+        event-id tiebreak — SQL row_number QUALIFY replay."""
+        from logtrics_ray.stages.analytics import head_sample_frame
+        return head_sample_frame(_events_points(sf_dir), HOUR_MS, n=5)
+
     def q_label_centroids(sf_dir):
         """Per-label embedding centroids, exactly: elements quantized to
         int64 at 2^20 once, order-free integer aggregation, ONE float
@@ -933,6 +940,7 @@ logtrics {
         "events_seasonal_hod_1h": q_seasonal,
         "events_holt_1d": q_holt,
         "events_value_hist_1h": q_value_hist,
+        "events_head_sample_5_1h": q_head_sample,
         "events_threshold_cross_1h": q_threshold_cross,
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
@@ -1385,6 +1393,11 @@ def _m4_sql(width_ms: int, pixels: int) -> str:
 def _seasonal_sql(width_ms: int) -> str:
     from logtrics_ray.stages.analytics import seasonal_oracle_sql
     return seasonal_oracle_sql(width_ms)
+
+
+def _head_sample_sql(width_ms: int, n: int) -> str:
+    from logtrics_ray.stages.analytics import head_sample_oracle_sql
+    return head_sample_oracle_sql(width_ms, n)
 
 
 def _label_centroids_sql() -> str:
@@ -2271,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
         "events_holt_1d": _holt_sql(DAY_MS),
         "events_value_hist_1h": _value_hist_sql(HOUR_MS),
         "embedding_label_centroids": _label_centroids_sql(),
+        "events_head_sample_5_1h": _head_sample_sql(HOUR_MS, 5),
         "events_threshold_cross_1h": _threshold_sql(HOUR_MS, 4),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),

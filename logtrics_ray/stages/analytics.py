@@ -266,6 +266,82 @@ def seasonal_oracle_sql(width_ms: int, k_table: str = "events",
     WINDOW g AS (PARTITION BY sk, hod)"""
 
 
+def head_sample_frame(points_ds, width_ms: int, n: int = 5):
+    """HEAD SAMPLING: keep only the FIRST ``n`` events per (series,
+    window) — the trace-sampling primitive observability pipelines run
+    at the edge to bound per-window retained volume while keeping
+    every (series, window) represented.
+
+    Deterministic which-n: events order by (ts_ms, tiebreak) where
+    tiebreak embeds the source event id — identical to the SQL replay's
+    ORDER BY (epoch_ms(ts), event_id), so the kept SET matches even
+    under timestamp collisions at the cut.  One bucket-major scan
+    (the shuffle the tier scan already uses); rank-within-window is a
+    cumcount off the window change points, no per-group Python.
+
+    Output: (series_key, window_start, ts_ms, value, rank) for kept
+    events only, rank 0-based within the window.
+    """
+    W, N = int(width_ms), int(n)
+    if N < 1:
+        raise ValueError("n must be >= 1")
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["ts_ms", "tiebreak"], key_cols=("series_key",))
+        g = g.combine_chunks()
+        ts = g["ts_ms"].to_numpy(zero_copy_only=False)[order]
+        v = g["value"].to_numpy(zero_copy_only=False)[order]
+        sz = ts.size
+        if sz == 0:
+            return pa.Table.from_arrays([
+                pa.array([], pa.string()), pa.array([], pa.int64()),
+                pa.array([], pa.int64()), pa.array([], pa.float64()),
+                pa.array([], pa.int64()),
+            ], names=["series_key", "window_start", "ts_ms", "value",
+                      "rank"])
+        w = (ts // W) * W
+        seg_of = np.searchsorted(starts, np.arange(sz), side="right") - 1
+        # group starts where (segment, window) changes
+        gst_mask = np.zeros(sz, bool)
+        gst_mask[starts] = True
+        gst_mask[1:] |= w[1:] != w[:-1]
+        gstarts = np.flatnonzero(gst_mask)
+        grp_of = np.searchsorted(gstarts, np.arange(sz),
+                                 side="right") - 1
+        rank = np.arange(sz) - gstarts[grp_of]
+        keep = rank < N
+        return pa.Table.from_arrays([
+            pa.array(labels["series_key"][seg_of[keep]], pa.string()),
+            pa.array(w[keep], pa.int64()),
+            pa.array(ts[keep], pa.int64()),
+            pa.array(v[keep], pa.float64()),
+            pa.array(rank[keep], pa.int64()),
+        ], names=["series_key", "window_start", "ts_ms", "value",
+                  "rank"])
+
+    return _with_scan_bucket(points_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def head_sample_oracle_sql(width_ms: int, n: int = 5,
+                           k_table: str = "events",
+                           key_col: str = "event_type",
+                           ts_col: str = "ts") -> str:
+    """DuckDB replay of ``head_sample_frame`` (row_number QUALIFY)."""
+    return f"""
+    SELECT {key_col} AS series_key,
+           (epoch_ms({ts_col}) // {width_ms}) * {width_ms}
+             AS window_start,
+           epoch_ms({ts_col}) AS ts_ms, value,
+           row_number() OVER (
+             PARTITION BY {key_col},
+                          (epoch_ms({ts_col}) // {width_ms})
+             ORDER BY epoch_ms({ts_col}), event_id) - 1 AS rank
+    FROM {k_table}
+    QUALIFY rank < {n}"""
+
+
 HIST_BOUNDS = (1.0, 5.0, 10.0, 25.0, 50.0, 100.0, 250.0)
 
 

@@ -272,3 +272,30 @@ def test_value_hist_frame_matches_counter(ray_session):
         assert want[(r.series_key, r.window_start, r.bin)] == r.n
         assert r.le_label == ("+Inf" if r.bin == len(HIST_BOUNDS)
                               else repr(float(HIST_BOUNDS[r.bin])))
+
+
+def test_head_sample_frame_deterministic_at_collisions(ray_session):
+    from logtrics_ray.stages.analytics import head_sample_frame
+    H = 3_600_000
+    # 8 events in one window, FOUR sharing one timestamp straddling the
+    # n=5 cut: the embedded event-id tiebreak decides which survive
+    ts = np.array([0, 10, 20, 20, 20, 20, 30, 40], dtype=np.int64)
+    eid = np.array([7, 6, 5, 4, 3, 2, 1, 0], dtype=np.int64)
+    tb = (ts.astype(np.uint64) << np.uint64(32)) + eid.astype(np.uint64)
+    v = np.arange(8, dtype=np.float64)
+    t = pa.table({"series_key": ["s"] * 8, "ts_ms": ts,
+                  "value": v, "tiebreak": tb})
+    got = (head_sample_frame(rd.from_arrow(t), H, n=5).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    # order: (0,e7) (10,e6) then ts=20 by eid asc: e2,e3,e4 -> values
+    # 5.0, 4.0, 3.0 kept; e5 and later dropped
+    assert list(got["rank"]) == [0, 1, 2, 3, 4]
+    assert list(got.value) == [0.0, 1.0, 5.0, 4.0, 3.0]
+    assert (got.window_start == 0).all()
+    # second window in another series: independent count
+    t2 = pa.table({"series_key": ["a"] * 3 + ["b"] * 2,
+                   "ts_ms": np.array([0, 1, 2, 0, 1], np.int64),
+                   "value": np.arange(5, dtype=np.float64),
+                   "tiebreak": np.arange(5, dtype=np.uint64)})
+    got2 = head_sample_frame(rd.from_arrow(t2), H, n=2).to_pandas()
+    assert len(got2) == 4  # 2 kept from 'a', both from 'b'
