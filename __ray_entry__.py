@@ -489,6 +489,17 @@ logtrics {
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    def q_curation(sf_dir):
+        """End-to-end corpus-curation funnel: quality >= 0.65 (rounded
+        on both sides) -> per-source length band -> exact dedup ->
+        minhash near-dedup -> benchmark decontamination; per-source
+        survivor counts at every stage.  Narrow id sets cross stages;
+        text is re-read pruned per stage.  Oracle = ONE composed SQL
+        WITH-chain replaying the whole funnel."""
+        from logtrics_ray.pipelines.curation import curate
+        _, stats = curate(sf_dir)
+        return stats
+
     def q_para_dedup(sf_dir):
         """Paragraph-level exact dedup with page reassembly (CCNet
         boilerplate-removal shape): keep-first by (content_hash ->
@@ -953,6 +964,7 @@ logtrics {
         "scrub_pii": q_scrub_pii,
         "doc_len_band_filter": q_len_band,
         "paragraph_dedup_pages": q_para_dedup,
+        "corpus_curation_funnel": q_curation,
         "repetition_stats": q_repetition,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1301,6 +1313,11 @@ def _tfidf_sql(token_dir: str) -> str:
 def _chunk_sql(token_dir: str) -> str:
     from logtrics_ray.functions.packing import chunk_stats_oracle_sql
     return chunk_stats_oracle_sql(token_dir, chunk_len=512, stride=384)
+
+
+def _curation_sql(sig_dir: str) -> str:
+    from logtrics_ray.pipelines.curation import curation_oracle_sql
+    return curation_oracle_sql(sig_dir)
 
 
 def _para_dedup_sql() -> str:
@@ -1881,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _scrub_sql(),
         "doc_len_band_filter": _len_band_sql(),
         "paragraph_dedup_pages": _para_dedup_sql(),
+        "corpus_curation_funnel": _curation_sql(sig_dir),
         # repetition signals replayed wholly in SQL from raw text: the
         # same lowercase/whitespace word rule and newline line rule,
         # list_distinct for dup fractions, pair-unnest + group for the

@@ -411,6 +411,59 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         names=["doc_id", "fingerprint"])
 
 
+def _len_hist_partial(t: pa.Table) -> pa.Table:
+    """One block -> its distinct (source, n_chars) counts (packed-key
+    np.unique — the sparse-histogram partial every percentile consumer
+    shares)."""
+    from logtrics_ray.stages.seriesscan import dict_codes
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_chars": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    t = t.combine_chunks()
+    codes, labels = dict_codes(t["source"])
+    nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if (nc < 0).any() or (nc >= 1 << 32).any():
+        raise ValueError("length histogram: n_chars outside [0, 2^32) "
+                         "breaks the packed histogram key")
+    key = codes.astype(np.int64) * (1 << 32) + nc
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        "source": pa.array(labels[uk >> 32], pa.string()),
+        "n_chars": pa.array(uk & 0xFFFFFFFF, pa.int64()),
+        "cnt": pa.array(cnt, pa.int64())})
+
+
+def source_length_bands(doc_path: str, q_lo: float = 0.05,
+                        q_hi: float = 0.95) -> dict:
+    """Per-source exact [q_lo, q_hi] n_chars quantile band from the
+    distributed sparse histogram (no sort).  Quantile = DuckDB's
+    quantile_disc convention, 0-based sorted index ceil(q*n)-1,
+    evaluated with the identical float multiply — bit-compatible with
+    the SQL replays.  Returns {source: (lo, hi)}."""
+    from logtrics_ray.sources.parquet import read_parquet_clean
+
+    hist = (read_parquet_clean(doc_path, columns=["source", "n_chars"])
+            .map_batches(_len_hist_partial, batch_format="pyarrow")
+            .groupby(["source", "n_chars"]).sum("cnt"))
+    # the histogram is length-domain-bounded (distinct lengths x
+    # sources), independent of corpus size — safe to pull
+    h = hist.to_pandas().sort_values(["source", "n_chars"])
+    band: dict[str, tuple[int, int]] = {}
+    for src, g in h.groupby("source", sort=False):
+        c = g["sum(cnt)"].to_numpy(np.int64)
+        v = g["n_chars"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo_i = max(int(np.ceil(q_lo * n)) - 1, 0)  # same float multiply
+        hi_i = max(int(np.ceil(q_hi * n)) - 1, 0)  # as the SQL replay
+        band[str(src)] = (
+            int(v[np.searchsorted(cum, lo_i, side="right")]),
+            int(v[np.searchsorted(cum, hi_i, side="right")]))
+    return band
+
+
 def doc_len_band_filter_frame(doc_path: str, q_lo: float = 0.05,
                               q_hi: float = 0.95):
     """Per-source DOC-LENGTH BAND FILTER: keep documents whose n_chars
@@ -433,48 +486,10 @@ def doc_len_band_filter_frame(doc_path: str, q_lo: float = 0.05,
 
     Output: (source, lo, hi, n_kept, n_dropped, sum_chars_kept).
     """
-    import pandas as pd
-
     from logtrics_ray.sources.parquet import read_parquet_clean
     from logtrics_ray.stages.seriesscan import dict_codes
 
-    def hist_partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({"source": pa.array([], pa.string()),
-                          "n_chars": pa.array([], pa.int64()),
-                          "cnt": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        t = t.combine_chunks()
-        codes, labels = dict_codes(t["source"])
-        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if (nc < 0).any() or (nc >= 1 << 32).any():
-            raise ValueError("doc_len_band_filter: n_chars outside "
-                             "[0, 2^32) breaks the packed histogram key")
-        key = codes.astype(np.int64) * (1 << 32) + nc
-        uk, cnt = np.unique(key, return_counts=True)
-        return pa.table({
-            "source": pa.array(labels[uk >> 32], pa.string()),
-            "n_chars": pa.array(uk & 0xFFFFFFFF, pa.int64()),
-            "cnt": pa.array(cnt, pa.int64())})
-
-    hist = (read_parquet_clean(doc_path, columns=["source", "n_chars"])
-            .map_batches(hist_partial, batch_format="pyarrow")
-            .groupby(["source", "n_chars"]).sum("cnt"))
-    # the histogram is length-domain-bounded (distinct lengths x sources),
-    # independent of corpus size — safe to pull
-    h = hist.to_pandas().sort_values(["source", "n_chars"])
-
-    band: dict[str, tuple[int, int]] = {}
-    for src, g in h.groupby("source", sort=False):
-        c = g["sum(cnt)"].to_numpy(np.int64)
-        v = g["n_chars"].to_numpy(np.int64)
-        cum = np.cumsum(c)
-        n = int(cum[-1])
-        lo_i = max(int(np.ceil(q_lo * n)) - 1, 0)  # same float multiply
-        hi_i = max(int(np.ceil(q_hi * n)) - 1, 0)  # as the SQL replay
-        band[str(src)] = (
-            int(v[np.searchsorted(cum, lo_i, side="right")]),
-            int(v[np.searchsorted(cum, hi_i, side="right")]))
+    band = source_length_bands(doc_path, q_lo, q_hi)
 
     def stats_partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"source": pa.array([], pa.string()),

@@ -1110,3 +1110,64 @@ def test_label_centroids_matches_float_mean(ray_session, tmp_path):
         g = got1[got1.label == lb].sort_values("dim")
         assert (g.n == int((lab == lb).sum())).all()
         assert np.abs(g.centroid.to_numpy() - m).max() < 2.0 / (1 << 20)
+
+
+def test_curation_funnel_matches_bruteforce(ray_session, tmp_path):
+    """The five-stage curation funnel == a sequential Python recompute
+    on a crafted corpus exercising EVERY stage: a low-quality doc, a
+    length outlier, an exact duplicate, a near duplicate, and a
+    benchmark-contaminated doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.pipelines.curation import BENCH_MOD, BENCH_RES, curate
+
+    # distinct docs: per-doc deterministic content words interleaved
+    # with stopwords (high quality, low cross-doc Jaccard)
+    pool = ("fox mill river shade tree stone cloud valley bridge road "
+            "meadow lantern harbor forest ember cliff marsh dune grove "
+            "spire canyon delta ridge hollow brook summit glade fen "
+            "tarn knoll bluff basin heath moor scree talus verge "
+            "copse swale vale").split()
+    rng = np.random.default_rng(97)
+    docs = {}
+    for i in range(40):
+        words = []
+        for w in rng.choice(pool, 60, replace=True):
+            words += ["the", str(w) + str(rng.integers(100)), "of",
+                      str(rng.choice(pool))]
+        docs[i] = " ".join(words)
+    docs[3] = "zz qq xx"                      # low quality (tiny, no stops)
+    docs[7] = docs[7] * 30                    # length outlier (p95 cut)
+    docs[11] = docs[10]                       # exact duplicate of 10
+    docs[13] = docs[12] + " tiny difference"  # near duplicate of 12
+    # doc BENCH_RES is the benchmark doc; doc 21 copies one of its
+    # 8-grams mid-text -> contaminated
+    bench_words = docs[BENCH_RES].split()[:8]
+    docs[21] = docs[21] + " " + " ".join(bench_words)
+    ids = sorted(docs)
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([docs[i] for i in ids], pa.string()),
+        "source": pa.array(["web" if i % 2 else "wiki" for i in ids]),
+        "n_chars": pa.array([len(docs[i]) for i in ids], pa.int64()),
+    }), p)
+    assert BENCH_RES in ids and BENCH_RES % BENCH_MOD == BENCH_RES
+
+    stages, stats = curate(str(p))
+    get = lambda name: {r["doc_id"] for r in stages[name].take_all()}
+    q, b, e, m, c = (get(n) for n in
+                     ("quality", "band", "exact", "minhash", "clean"))
+    assert 3 not in q                  # quality drop
+    assert 7 in q and 7 not in b      # length outlier dropped by band
+    assert 10 in e and 11 not in e    # exact keep-first
+    assert 12 in m and 13 not in m    # near-dup keep-earliest
+    assert 21 in m and 21 not in c    # contaminated dropped last
+    assert BENCH_RES not in c          # the benchmark doc itself overlaps
+    assert c < m < e <= b < q          # strictly shrinking funnel
+    # stats frame equals the sets
+    tot = stats[["n_quality", "n_band", "n_exact", "n_minhash",
+                 "n_clean"]].sum()
+    assert (tot.n_quality, tot.n_band, tot.n_exact, tot.n_minhash,
+            tot.n_clean) == (len(q), len(b), len(e), len(m), len(c))
