@@ -251,6 +251,21 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end corpus curation funnel over a documents table:
+    quality -> per-source length band -> exact dedup -> minhash
+    near-dedup -> benchmark decontamination.  Writes the curated doc_id
+    set as parquet and prints the per-source funnel stats."""
+    _ensure_ray(args.num_cpus)
+    from logtrics_ray.pipelines.curation import curate
+    stages, stats = curate(args.input, q_min=args.q_min)
+    stages["clean"].write_parquet(args.out)
+    print(json.dumps({"funnel": stats.to_dict(orient="records"),
+                      "curated_docs": _written_rows(args.out),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Deterministic training-mix sampling: per-source keep rates
     (source=rate pairs), kept docs written as parquet."""
@@ -395,6 +410,16 @@ def main(argv=None) -> int:
     pk.add_argument("--bucket-bits", type=int, default=6)
     pk.add_argument("--num-cpus", type=int, default=None)
     pk.set_defaults(fn=cmd_pack)
+
+    cu = sub.add_parser("curate", help="corpus curation funnel: quality "
+                        "-> length band -> exact + minhash dedup -> "
+                        "decontaminate; writes curated doc ids")
+    cu.add_argument("--input", required=True,
+                    help="documents.parquet (or a dir containing it)")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--q-min", type=float, default=0.65)
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     sm = sub.add_parser("sample", help="deterministic training-mix "
                                        "sampling by per-source rates")
