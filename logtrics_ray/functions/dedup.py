@@ -971,6 +971,10 @@ def paragraph_dedup_pages(doc_path: str, paras_per_page: int = 4,
         # per-page kept counts, then ONE vectorized binary_join
         kept_cum = np.concatenate(([0], np.cumsum(keep_s)))
         n_kept = kept_cum[bounds[1:]] - kept_cum[starts]
+        if int(kept_cum[-1]) >= 1 << 31:     # ListArray offsets are int32
+            raise OverflowError(
+                "paragraph_dedup: a reassembly bucket holds >=2^31 kept "
+                "paragraphs; raise the bucket count (NB)")
         offsets = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int32)
         kept_idx = order[np.flatnonzero(keep_s)]   # original rows, page order
         paras_sorted = g["para"].take(pa.array(kept_idx, pa.int64()))

@@ -390,6 +390,14 @@ def value_hist_frame(points_ds, width_ms: int,
         # packed key: (series, window-index, bin) — window indices are
         # epoch//W (< 2^40 for ms epochs), bins < 2^8, series batch-local
         wi = ts // W
+        # int64 wraps silently; guard the packing loudly (house rule)
+        if codes.size and (int(codes.max()) >= 1 << 15
+                           or int(wi.max()) * NBIN >= 1 << 48
+                           or int(wi.min()) < 0):
+            raise OverflowError(
+                "value_hist_frame: packed (series, window, bin) key "
+                f"would overflow int64 (distinct series {codes.max()+1}, "
+                f"window index {wi.max()}); shrink the batch or widen W")
         key = (codes.astype(np.int64) * (1 << 48)
                + wi * NBIN + bn)
         uk, cnt = np.unique(key, return_counts=True)
