@@ -828,7 +828,7 @@ logtrics {
         rounding — the SQL window-aggregate replay evaluates the same
         two expressions, bit-exact."""
         from logtrics_ray.stages.analytics import seasonal_frame
-        return seasonal_frame(_events_core(sf_dir, HOUR_MS), HOUR_MS)
+        return seasonal_frame(_events_core(sf_dir, HOUR_MS))
 
     def q_head_sample(sf_dir):
         """Head sampling: first 5 events per (series, 1h window),

@@ -462,8 +462,6 @@ def label_centroids_frame(emb_path: str, scale_bits: int = 20):
 
     Output: (label, dim, centroid, n).
     """
-    import pyarrow.parquet as pq  # noqa: F401  (path check parity)
-
     from logtrics_ray.sources.parquet import read_parquet_clean
 
     SCALE = float(1 << scale_bits)

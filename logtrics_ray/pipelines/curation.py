@@ -68,10 +68,14 @@ def curate(sf_dir: str, q_min: float = Q_MIN,
 
     # --- stage 1+2: stateless quality + band flags (one pass) ---------
     def flags(df: pd.DataFrame) -> pa.Table:
+        from logtrics_ray.stages.seriesscan import dict_codes
         st = process_cached(TextStats)(df[["doc_id", "text"]])
         q = _round6(st["quality"].to_numpy())
-        lo = np.array([bands[s][0] for s in df["source"]], np.int64)
-        hi = np.array([bands[s][1] for s in df["source"]], np.int64)
+        # per-LABEL band lookup + codes gather: O(distinct sources)
+        # Python work per batch, never O(rows)
+        codes, labels = dict_codes(pa.array(df["source"], pa.string()))
+        lo = np.array([bands[s][0] for s in labels], np.int64)[codes]
+        hi = np.array([bands[s][1] for s in labels], np.int64)[codes]
         nc = df["n_chars"].to_numpy()
         # plain Arrow out (no pandas schema-metadata blob — it makes the
         # downstream join's schema unhashable and spams warnings)

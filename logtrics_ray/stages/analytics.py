@@ -184,7 +184,7 @@ def m4_frame(core_ds, pixels: int = 32):
         scan, batch_format="pyarrow")
 
 
-def seasonal_frame(core_ds, width_ms: int):
+def seasonal_frame(core_ds):
     """SEASONAL BASELINE residuals: each window's count vs the series'
     hour-of-day average (the classic seasonal-naive decomposition a
     rollup store runs for "is this hour unusual *for this hour*?").

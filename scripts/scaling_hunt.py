@@ -119,36 +119,35 @@ def main() -> None:
         # write every attempt: value is the CURRENT pooled-best ratio —
         # the honest running estimate (keeping a historical max whose lo
         # was more contended would cherry-pick the ratio)
-        if True:
-            best_val = max(eff, best_val)
-            res = {
-                "metric": "scaling_efficiency",
-                "value": eff,
-                "unit": "ratio",
-                "cpus_lo": lo, "cpus_hi": hi,
-                "sec_lo": pool["lo"]["value"], "sec_hi": pool["hi"]["value"],
-                "points_per_sec_lo": pool["lo"]["points_per_sec"],
-                "points_per_sec_hi": pool["hi"]["points_per_sec"],
-                "attempts": pool["attempts"],
-                "host_cpu_steal_pct": pool["steal"],
-                "window_ceiling_probes": pool["probes"],
-                "host_burn_scaling_ceiling": round(probe, 3),
-                "sf": pool["lo"]["sf"],
-                "method": ("ceiling-gated windows; best throughput per "
-                           "level pooled across windows (deterministic "
-                           "job, contention strictly additive)"),
-            }
-            if pool.get("half"):
-                res["half_width_pair"] = pool["half"]
-            with open(OUT_PATH + ".tmp", "w") as f:
-                json.dump(res, f, indent=1, sort_keys=True)
-            os.replace(OUT_PATH + ".tmp", OUT_PATH)
-            current = res
-            print(f"[hunt] wrote SCALING_LATEST.json value={eff} "
-                  f"half={(pool.get('half') or {}).get('value')}",
-                  flush=True)
-            if eff >= 0.8:
-                print("[hunt] target met; continuing to refine", flush=True)
+        best_val = max(eff, best_val)   # logging only
+        res = {
+            "metric": "scaling_efficiency",
+            "value": eff,
+            "unit": "ratio",
+            "cpus_lo": lo, "cpus_hi": hi,
+            "sec_lo": pool["lo"]["value"], "sec_hi": pool["hi"]["value"],
+            "points_per_sec_lo": pool["lo"]["points_per_sec"],
+            "points_per_sec_hi": pool["hi"]["points_per_sec"],
+            "attempts": pool["attempts"],
+            "host_cpu_steal_pct": pool["steal"],
+            "window_ceiling_probes": pool["probes"],
+            "host_burn_scaling_ceiling": round(probe, 3),
+            "sf": pool["lo"]["sf"],
+            "method": ("ceiling-gated windows; best throughput per "
+                       "level pooled across windows (deterministic "
+                       "job, contention strictly additive)"),
+        }
+        if pool.get("half"):
+            res["half_width_pair"] = pool["half"]
+        with open(OUT_PATH + ".tmp", "w") as f:
+            json.dump(res, f, indent=1, sort_keys=True)
+        os.replace(OUT_PATH + ".tmp", OUT_PATH)
+        current = res
+        print(f"[hunt] wrote SCALING_LATEST.json value={eff} "
+              f"half={(pool.get('half') or {}).get('value')}",
+              flush=True)
+        if eff >= 0.8:
+            print("[hunt] target met; continuing to refine", flush=True)
         if eff >= 0.95:
             break
         time.sleep(20)

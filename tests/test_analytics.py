@@ -184,7 +184,7 @@ def test_seasonal_frame_matches_pandas_groupby(ray_session):
         ws = np.sort(rng.choice(1000, sz, replace=False)).astype(np.int64) * H
         cnt = rng.integers(1, 40, sz).astype(np.int64)
         series[key] = (ws, cnt)
-    got = seasonal_frame(rd.from_arrow(_core_table(series)), H).to_pandas()
+    got = seasonal_frame(rd.from_arrow(_core_table(series))).to_pandas()
     for key, (ws, cnt) in series.items():
         g = (got[got.series_key == key]
              .sort_values("window_start").reset_index(drop=True))
