@@ -830,6 +830,14 @@ logtrics {
         from logtrics_ray.stages.analytics import seasonal_frame
         return seasonal_frame(_events_core(sf_dir, HOUR_MS))
 
+    def q_storage_agg(sf_dir):
+        """Graphite storage-aggregation view: per-series aggregation
+        method chosen by the first matching name pattern (carbon's
+        storage-aggregation.conf semantics) over the 1h tier — per-label
+        RE2 matching, identical pattern strings replayed by DuckDB."""
+        from logtrics_ray.stages.analytics import storage_agg_view_frame
+        return storage_agg_view_frame(_events_core(sf_dir, HOUR_MS))
+
     def q_head_sample(sf_dir):
         """Head sampling: first 5 events per (series, 1h window),
         deterministic under timestamp collisions via the embedded
@@ -952,6 +960,7 @@ logtrics {
         "events_holt_1d": q_holt,
         "events_value_hist_1h": q_value_hist,
         "events_head_sample_5_1h": q_head_sample,
+        "events_storage_agg_1h": q_storage_agg,
         "events_threshold_cross_1h": q_threshold_cross,
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
@@ -1410,6 +1419,11 @@ def _m4_sql(width_ms: int, pixels: int) -> str:
 def _seasonal_sql(width_ms: int) -> str:
     from logtrics_ray.stages.analytics import seasonal_oracle_sql
     return seasonal_oracle_sql(width_ms)
+
+
+def _storage_agg_sql(width_ms: int) -> str:
+    from logtrics_ray.stages.analytics import storage_agg_view_oracle_sql
+    return storage_agg_view_oracle_sql(width_ms)
 
 
 def _head_sample_sql(width_ms: int, n: int) -> str:
@@ -2303,6 +2317,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_hist_1h": _value_hist_sql(HOUR_MS),
         "embedding_label_centroids": _label_centroids_sql(),
         "events_head_sample_5_1h": _head_sample_sql(HOUR_MS, 5),
+        "events_storage_agg_1h": _storage_agg_sql(HOUR_MS),
         "events_threshold_cross_1h": _threshold_sql(HOUR_MS, 4),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),

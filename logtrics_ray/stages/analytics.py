@@ -266,6 +266,98 @@ def seasonal_oracle_sql(width_ms: int, k_table: str = "events",
     WINDOW g AS (PARTITION BY sk, hod)"""
 
 
+AGG_RULES = (("error", "max"), ("purchase|signup", "sum"))
+AGG_DEFAULT = "mean"
+
+
+def storage_agg_view_frame(core_ds, rules=AGG_RULES,
+                           default: str = AGG_DEFAULT):
+    """GRAPHITE STORAGE-AGGREGATION view: each series' published tier
+    value is chosen by the first PATTERN rule its name matches —
+    carbon's storage-aggregation.conf semantics (aggregationMethod per
+    name pattern), applied over the engine's own tier columns.
+
+    Methods: count/sum/min/max/mean/last mapped onto the tier row's
+    exact columns; per-LABEL regex matching (one re2 search per
+    distinct series per batch, never per row — Arrow and DuckDB both
+    speak RE2, so the oracle replays the identical pattern strings).
+
+    Output: (series_key, window_start, agg_method, value) — value
+    rounded 6dp (already-exact count passes through as float for one
+    schema).
+    """
+    import re
+
+    from logtrics_ray.pipelines.table_rollup import _round6
+    from logtrics_ray.stages.seriesscan import dict_codes
+
+    compiled = [(re.compile(p), m) for p, m in rules]
+    col_of = {"count": "count", "sum": "sum", "min": "vmin",
+              "max": "vmax", "mean": "mean", "last": "last"}
+    for _, m in list(rules) + [(None, default)]:
+        if m not in col_of:
+            raise ValueError(f"unknown aggregation method {m!r}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_start": pa.array([], pa.int64()),
+                "agg_method": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64())})
+        t = t.combine_chunks()
+        codes, labels = dict_codes(t["series_key"])
+        meth = np.empty(len(labels), dtype=object)
+        for i, lab in enumerate(labels):
+            meth[i] = next((m for rx, m in compiled if rx.search(lab)),
+                           default)
+        cols = {m: t[col_of[m]].to_numpy(zero_copy_only=False)
+                     .astype(np.float64)
+                for m in set(meth.tolist())}
+        val = np.empty(t.num_rows, np.float64)
+        meth_row = meth[codes]
+        for m, arr in cols.items():
+            sel = meth_row == m
+            val[sel] = arr[sel]
+        return pa.table({
+            "series_key": t["series_key"],
+            "window_start": t["window_start"],
+            "agg_method": pa.array(meth_row, pa.string()),
+            "value": pa.array(_round6(val), pa.float64())})
+
+    return core_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def storage_agg_view_oracle_sql(width_ms: int, rules=AGG_RULES,
+                                default: str = AGG_DEFAULT,
+                                k_table: str = "events",
+                                key_col: str = "event_type",
+                                ts_col: str = "ts") -> str:
+    """DuckDB replay — identical RE2 pattern strings, first match wins."""
+    expr = {"count": "CAST(n AS DOUBLE)", "sum": "s", "min": "mn",
+            "max": "mx",
+            "mean": "s / n", "last": "lastv"}
+    meth_case = " ".join(
+        f"WHEN regexp_matches(sk, '{p}') THEN '{m}'"
+        for p, m in rules) + f" ELSE '{default}'"
+    val_case = " ".join(
+        f"WHEN regexp_matches(sk, '{p}') THEN {expr[m]}"
+        for p, m in rules) + f" ELSE {expr[default]}"
+    return f"""
+    WITH agg AS (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             count(*)::BIGINT AS n, sum(value) AS s,
+             min(value) AS mn, max(value) AS mx,
+             arg_max(value, epoch_ms({ts_col})::HUGEINT * 4294967296
+                            + event_id) AS lastv
+      FROM {k_table} GROUP BY 1, 2)
+    SELECT sk AS series_key, w AS window_start,
+           CASE {meth_case} END AS agg_method,
+           round(CASE {val_case} END, 6) AS value
+    FROM agg"""
+
+
 def head_sample_frame(points_ds, width_ms: int, n: int = 5):
     """HEAD SAMPLING: keep only the FIRST ``n`` events per (series,
     window) — the trace-sampling primitive observability pipelines run

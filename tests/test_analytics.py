@@ -299,3 +299,35 @@ def test_head_sample_frame_deterministic_at_collisions(ray_session):
                    "tiebreak": np.arange(5, dtype=np.uint64)})
     got2 = head_sample_frame(rd.from_arrow(t2), H, n=2).to_pandas()
     assert len(got2) == 4  # 2 kept from 'a', both from 'b'
+
+
+def test_storage_agg_view_first_match_wins(ray_session):
+    from logtrics_ray.stages.analytics import storage_agg_view_frame
+    import ray.data as rd
+    # tier-shaped rows with distinct stats so the chosen column is
+    # observable; 'error_rate' matches rule 1 (max), 'purchase' rule 2
+    # (sum), 'click' falls through to mean
+    t = pa.table({
+        "series_key": ["error_rate", "purchase", "click"],
+        "metric_type": ["gauge"] * 3,
+        "window_start": pa.array([0, 0, 0], pa.int64()),
+        "count": pa.array([2, 3, 4], pa.int64()),
+        "sum": pa.array([10.0, 20.0, 30.0]),
+        "vmin": pa.array([1.0, 2.0, 3.0]),
+        "vmax": pa.array([9.0, 8.0, 7.0]),
+        "mean": pa.array([5.0, 6.25, 7.5]),
+        "last": pa.array([4.0, 5.0, 6.0]),
+    })
+    got = (storage_agg_view_frame(rd.from_arrow(t)).to_pandas()
+           .set_index("series_key"))
+    assert got.loc["error_rate"].agg_method == "max"
+    assert got.loc["error_rate"].value == 9.0
+    assert got.loc["purchase"].agg_method == "sum"
+    assert got.loc["purchase"].value == 20.0
+    assert got.loc["click"].agg_method == "mean"
+    assert got.loc["click"].value == 7.5
+    # a rule naming an unknown method fails loudly at build time
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        storage_agg_view_frame(rd.from_arrow(t),
+                               rules=(("x", "median"),))
