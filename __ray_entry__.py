@@ -830,6 +830,16 @@ logtrics {
         from logtrics_ray.stages.analytics import seasonal_frame
         return seasonal_frame(_events_core(sf_dir, HOUR_MS))
 
+    def q_cms(sf_dir):
+        """Count-Min sketch frequency estimation (completes the sketch
+        family beside HLL and t-digest): per-batch partial matrices,
+        exact int64 tree merge (order-free), estimate-vs-exact for a
+        deterministic probe set with the one-sided overcount guarantee
+        visible in the output."""
+        from logtrics_ray.state.cms import cms_probe_frame
+        frame, _ = cms_probe_frame(f"{sf_dir}/events.parquet")
+        return frame
+
     def q_storage_agg(sf_dir):
         """Graphite storage-aggregation view: per-series aggregation
         method chosen by the first matching name pattern (carbon's
@@ -961,6 +971,7 @@ logtrics {
         "events_value_hist_1h": q_value_hist,
         "events_head_sample_5_1h": q_head_sample,
         "events_storage_agg_1h": q_storage_agg,
+        "events_user_cms": q_cms,
         "events_threshold_cross_1h": q_threshold_cross,
         "lineitem_daily_revenue": q_lineitem_daily,
         "orders_daily_totalprice": q_orders_daily,
@@ -1419,6 +1430,13 @@ def _m4_sql(width_ms: int, pixels: int) -> str:
 def _seasonal_sql(width_ms: int) -> str:
     from logtrics_ray.stages.analytics import seasonal_oracle_sql
     return seasonal_oracle_sql(width_ms)
+
+
+def _cms_sql() -> str:
+    from logtrics_ray.state.cms import cms_oracle_sql, write_cms_side_tables
+    side = write_cms_side_tables("/root/testdata/sf0.01/events.parquet",
+                                 "/tmp/lt_cms_0.01")
+    return cms_oracle_sql(side)
 
 
 def _storage_agg_sql(width_ms: int) -> str:
@@ -2318,6 +2336,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_centroids": _label_centroids_sql(),
         "events_head_sample_5_1h": _head_sample_sql(HOUR_MS, 5),
         "events_storage_agg_1h": _storage_agg_sql(HOUR_MS),
+        "events_user_cms": _cms_sql(),
         "events_threshold_cross_1h": _threshold_sql(HOUR_MS, 4),
         "multimodal_decode": _media_feature_sql(mm_dir),
         "multimodal_resize": _media_feature_sql(mm_rs_dir),

@@ -1171,3 +1171,39 @@ def test_curation_funnel_matches_bruteforce(ray_session, tmp_path):
                  "n_clean"]].sum()
     assert (tot.n_quality, tot.n_band, tot.n_exact, tot.n_minhash,
             tot.n_clean) == (len(q), len(b), len(e), len(m), len(c))
+
+
+def test_cms_estimates_bound_exact_counts(ray_session, tmp_path):
+    """CMS matrix == a Counter-built matrix (exact int merges), and
+    every estimate respects the one-sided guarantee est >= exact, tight
+    for keys without collisions."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.state.cms import cms_columns, cms_probe_frame
+
+    rng = np.random.default_rng(43)
+    # skewed keys: one hot key + a long tail
+    keys = np.concatenate([np.full(500, 7, np.int64),
+                           rng.integers(0, 10_000, 3000)]).astype(np.int64)
+    p = tmp_path / "events.parquet"
+    pq.write_table(pa.table({"user_id": pa.array(keys, pa.int64())}), p)
+    d, log2_w = 4, 12
+    frame, m = cms_probe_frame(str(p), d=d, log2_w=log2_w, probe_mod=7)
+    # matrix == brute force
+    want = np.zeros((d, 1 << log2_w), np.int64)
+    cols = cms_columns(keys, d, log2_w)
+    for j in range(d):
+        np.add.at(want[j], cols[j], 1)
+    assert np.array_equal(m, want)
+    # probe rows: exact counts + one-sided bound
+    cnt = collections.Counter(keys.tolist())
+    for _, r in frame.iterrows():
+        assert r.user_id % 7 == 0
+        assert r.exact_n == cnt[r.user_id]
+        assert r.est_n >= r.exact_n and r.overcount >= 0
+    # the hot key estimate is near-exact at this load factor
+    hot = frame[frame.user_id == 7].iloc[0]
+    assert hot.exact_n >= 500 and hot.est_n <= hot.exact_n + 10
