@@ -251,6 +251,33 @@ def cmd_pack(args) -> int:
     return 0
 
 
+ANALYZE_OPS = ("anomaly", "holt", "lttb", "m4", "seasonal",
+               "storage-agg", "threshold")
+
+
+def cmd_analyze(args) -> int:
+    """Run a tier analytic (anomaly / lttb / m4 / holt / seasonal /
+    threshold / storage-agg) over a STORED tier and write the result."""
+    from logtrics_ray.stages import analytics as A
+    from logtrics_ray.stages.storage import read_tier
+    _ensure_ray(args.num_cpus)
+    ds = read_tier(args.tiers, args.tier)
+    out_ds = {
+        "anomaly": lambda: A.anomaly_frame(ds, k=args.k),
+        "lttb": lambda: A.lttb_frame(ds, n_out=args.n_out),
+        "m4": lambda: A.m4_frame(ds, pixels=args.pixels),
+        "holt": lambda: A.holt_frame(ds),
+        "seasonal": lambda: A.seasonal_frame(ds),
+        "threshold": lambda: A.threshold_cross_frame(
+            ds, threshold=args.threshold),
+        "storage-agg": lambda: A.storage_agg_view_frame(ds),
+    }[args.op]()
+    out_ds.write_parquet(args.out)
+    print(json.dumps({"op": args.op, "tier": args.tier,
+                      "rows": _written_rows(args.out), "out": args.out}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end corpus curation funnel over a documents table:
     quality -> per-source length band -> exact dedup -> minhash
@@ -410,6 +437,21 @@ def main(argv=None) -> int:
     pk.add_argument("--bucket-bits", type=int, default=6)
     pk.add_argument("--num-cpus", type=int, default=None)
     pk.set_defaults(fn=cmd_pack)
+
+    an = sub.add_parser("analyze", help="tier analytics over a stored "
+                        "tier: anomaly|lttb|m4|holt|seasonal|threshold|"
+                        "storage-agg")
+    an.add_argument("op", choices=ANALYZE_OPS)
+    an.add_argument("--tiers", required=True,
+                    help="tier store dir (the `run` --out)")
+    an.add_argument("--tier", default="1h")
+    an.add_argument("--out", required=True)
+    an.add_argument("--k", type=int, default=24)
+    an.add_argument("--n-out", type=int, default=24)
+    an.add_argument("--pixels", type=int, default=32)
+    an.add_argument("--threshold", type=int, default=4)
+    an.add_argument("--num-cpus", type=int, default=None)
+    an.set_defaults(fn=cmd_analyze)
 
     cu = sub.add_parser("curate", help="corpus curation funnel: quality "
                         "-> length band -> exact + minhash dedup -> "
