@@ -346,3 +346,34 @@ def test_run_metrics_artifact(t1_dir, tmp_path):
             open(os.path.join(out, "_RUN_METRICS.log.jsonl"))]
     assert [h["mode"] for h in hist] \
         == ["fused", "fused(resume-complete)", "incremental(no-new-shards)"]
+
+
+def test_analyze_cli_over_stored_tiers(ray_session, t1_dir, tmp_path,
+                                       capsys):
+    """`analyze` CLI end-to-end: run the pipeline, then every analytic
+    op over the STORED tiers — each writes parquet with the operator's
+    schema and a sane row count."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from logtrics_ray import cli
+    from logtrics_ray.pipelines import rollup_pipeline as P
+
+    out = str(tmp_path / "tiers")
+    P.run(t1_dir, out, resume=False)
+    first_cols = {
+        "anomaly": "is_anomaly", "lttb": "rank", "m4": "pixel",
+        "holt": "forecast_next", "seasonal": "residual",
+        "threshold": "direction", "storage-agg": "agg_method"}
+    for op in cli.ANALYZE_OPS:
+        dest = str(tmp_path / f"an_{op}")
+        rc = cli.main(["analyze", op, "--tiers", out, "--tier", "1d",
+                       "--out", dest])
+        assert rc == 0
+        info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["op"] == op
+        import glob
+        t = pq.read_table(sorted(glob.glob(f"{dest}/*.parquet")))
+        assert t.num_rows == info["rows"]
+        assert first_cols[op] in t.schema.names
