@@ -54,23 +54,22 @@ from logtrics_ray.hashing import hash64_array, hash64_words
 _WS = re.compile(r"\s+")
 
 
-def word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized word split + hash shared by the MinHash / SimHash
-    kernels: (flat per-word id-hashes, per-doc word counts).
+def split_words(texts) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized lowercase + whitespace split shared by the MinHash /
+    SimHash / n-gram kernels: (flat per-word string array doc-major,
+    per-doc word counts).
 
     Arrow ``utf8_lower`` + ``utf8_split_whitespace`` (C++), boundary
-    empties dropped, then ONE ``id_hash64_array`` over the flat word
-    values — the same words in the same order as the per-doc
+    empties dropped — the same words in the same order as the per-doc
     ``_WS.split(t.strip().lower())`` list-comp it replaces (byte-equal
     signatures pinned in tests/test_functions.py)."""
-    from logtrics_ray.hashing import id_hash64_array
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.array(list(texts), pa.string())
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
     if n == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        return pa.array([], pa.string()), np.empty(0, np.int64)
     words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
@@ -81,10 +80,65 @@ def word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     keep = wlen > 0                     # split emits '' at text edges
     doc_of = np.repeat(np.arange(n, dtype=np.int64), raw_cnt)
     wc = np.bincount(doc_of[keep], minlength=n).astype(np.int64)
-    if not keep.any():
-        return np.empty(0, np.uint64), wc
     kept = flat if keep.all() else flat.filter(pa.array(keep))
+    return kept, wc
+
+
+def word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat per-word id-hashes, per-doc word counts) — ``split_words``
+    followed by ONE ``id_hash64_array`` over the flat word values."""
+    from logtrics_ray.hashing import id_hash64_array
+    kept, wc = split_words(texts)
+    if len(kept) == 0:
+        return np.empty(0, np.uint64), wc
     return id_hash64_array(kept), wc
+
+
+def gram_hash_flat(texts, n: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flat blake2b word-``n``-gram hashes for a whole batch:
+    (gram hashes uint64, owning-doc index int64, n_docs).
+
+    Vectorized replacement for the per-doc ``ngram_set`` loop: ONE
+    Arrow lower/split pass (``split_words``), ONE ``take`` building the
+    (gram, word) windows off the flat word array, ONE ``binary_join``
+    rendering the gram strings, ONE ``hash64_array`` over the flat gram
+    column.  Gram semantics identical to ``ngram_set`` (lowercase,
+    whitespace split, " "-joined windows; a doc with 0 < words < n
+    contributes its whole text as one gram; empty docs none).
+    Duplicates within a doc are NOT removed here — every caller
+    np.unique()s downstream, where set-dedup and sort order wash out."""
+    kept, wc = split_words(texts)
+    n_docs = wc.size
+    g_cnt = np.where(wc > 0, np.maximum(wc - n + 1, 1), 0)
+    total_g = int(g_cnt.sum())
+    if total_g == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_docs
+    doc_off = np.concatenate([[0], np.cumsum(wc)[:-1]])
+    g_off = np.concatenate([[0], np.cumsum(g_cnt)[:-1]])
+    g_doc = np.repeat(np.arange(n_docs, dtype=np.int64), g_cnt)
+    g_local = np.arange(total_g, dtype=np.int64) - np.repeat(g_off, g_cnt)
+    lens = np.minimum(wc[g_doc], n)          # short docs: one whole-text gram
+    w_off = np.concatenate([[0], np.cumsum(lens)])
+    intra = (np.arange(int(w_off[-1]), dtype=np.int64)
+             - np.repeat(w_off[:-1], lens))
+    flat_idx = np.repeat(doc_off[g_doc] + g_local, lens) + intra
+    gram_words = kept.take(pa.array(flat_idx, pa.int64()))
+    lst = pa.LargeListArray.from_arrays(w_off, gram_words)
+    grams = pc.binary_join(lst, pa.scalar(" "))
+    return hash64_array(grams), g_doc, n_docs
+
+
+def unique_grams_per_doc(h: np.ndarray, g_doc: np.ndarray,
+                         n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique gram hashes: (flat uniq hashes, doc-major
+    ascending-within-doc, per-doc counts) — one lexsort + adjacent-diff
+    over the whole batch, no per-doc Python."""
+    order = np.lexsort((h, g_doc))
+    hs, ds_ = h[order], g_doc[order]
+    first = np.ones(hs.size, bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+    uh, ud = hs[first], ds_[first]
+    return uh, np.bincount(ud, minlength=n_docs).astype(np.int64)
 
 # Per-worker-process cache of stateful batch callables (task-mode analog
 # of actor __init__; Ray reuses worker processes across tasks).
@@ -581,15 +635,20 @@ def gram_hash_lists(ds, n: int = 3, text_col: str = "text",
     def fn(t: pa.Table) -> pa.Table:
         gids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) \
             else t[id_col]
-        grams = [np.unique(hash64_array(sorted(ngram_set(s, n))))
-                 if s else np.empty(0, np.uint64)
-                 for s in t[text_col].to_pylist()]
+        h, g_doc, n_docs = gram_hash_flat(t[text_col], n)
+        uh, cnt = unique_grams_per_doc(h, g_doc, n_docs)
         # packed as BINARY (native-endian uint64 bytes), not list<uint64>:
         # Ray's hash join rejects list-typed payload columns, binary flows
-        # through — and unpacks zero-copy via a buffer view.
-        return pa.Table.from_arrays(
-            [gids, pa.array([g.tobytes() for g in grams], pa.binary())],
-            names=[id_col, "grams"])
+        # through — and unpacks zero-copy via a buffer view.  Offsets are
+        # int32 (pa.binary contract): 8 bytes/gram keeps a batch far from
+        # the 2 GiB edge, asserted anyway.
+        byte_off = np.concatenate([[0], np.cumsum(cnt)]) * 8
+        assert byte_off[-1] < (1 << 31), "gram payload overflows int32 offsets"
+        packed = pa.Array.from_buffers(
+            pa.binary(), n_docs,
+            [None, pa.py_buffer(byte_off.astype(np.int32).tobytes()),
+             pa.py_buffer(uh.tobytes())])
+        return pa.Table.from_arrays([gids, packed], names=[id_col, "grams"])
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -813,10 +872,8 @@ def benchmark_gram_hashes(texts, n: int = 8) -> np.ndarray:
     """Sorted unique uint64 word-n-gram hash set of a benchmark/eval
     corpus.  Driver-side by design: an eval set is small by definition
     (thousands of prompts), and the result is broadcast once."""
-    hs = [hash64_array(sorted(ngram_set(s, n)))
-          for s in texts if s]
-    return (np.unique(np.concatenate(hs)) if hs
-            else np.empty(0, np.uint64))
+    h, _, _ = gram_hash_flat(pa.array([s for s in texts if s], pa.string()), n)
+    return np.unique(h)
 
 
 def decontaminate(ds, benchmark_texts, n: int = 8,
@@ -844,17 +901,11 @@ def decontaminate(ds, benchmark_texts, n: int = 8,
 
     def fn(t: pa.Table) -> pa.Table:
         b = ray.get(ref)
-        texts = t[text_col].to_pylist()
-        grams = [np.unique(hash64_array(sorted(ngram_set(s, n))))
-                 if s else np.empty(0, np.uint64)
-                 for s in texts]
-        cnt = np.array([g.size for g in grams], dtype=np.int64)
-        flat = (np.concatenate(grams) if grams
-                else np.empty(0, np.uint64))
-        rows = np.repeat(np.arange(len(texts), dtype=np.int64), cnt)
-        hit = np.isin(flat, b)
-        n_hits = (np.bincount(rows[hit], minlength=len(texts))
-                  .astype(np.int64))
+        h, g_doc, n_docs = gram_hash_flat(t[text_col], n)
+        uh, cnt = unique_grams_per_doc(h, g_doc, n_docs)
+        rows = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+        hit = np.isin(uh, b)
+        n_hits = np.bincount(rows[hit], minlength=n_docs).astype(np.int64)
         gids = t[id_col].combine_chunks() \
             if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
         return pa.Table.from_arrays(

@@ -556,6 +556,34 @@ def test_word_hashes_matches_python_split():
     assert W.dtype == ref_W.dtype and (W == ref_W).all()
 
 
+def test_gram_hash_flat_matches_ngram_set():
+    """The batch-vectorized gram kernel (Arrow split -> windowed take ->
+    binary_join -> one hash64_array) must reproduce the per-doc
+    ``ngram_set`` reference exactly after per-doc unique: same hash
+    sets, same doc attribution — for n around/below/above doc lengths,
+    unicode, duplicates, and empty/whitespace-only docs (the n-gram
+    Jaccard + decontamination operators depend on this)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logtrics_ray.functions.dedup import (gram_hash_flat, ngram_set,
+                                              unique_grams_per_doc)
+    from logtrics_ray.hashing import hash64_array
+
+    texts = ["Hello   world foo Bar", "one", "", "  ", "a b",
+             "x y z w v u t", "dup dup dup dup dup",
+             "Tab\tsep\nnew  line", "único café naïve ÆØÅ test"]
+    for n in (1, 2, 3, 8):
+        ref = [np.unique(hash64_array(sorted(ngram_set(s, n))))
+               if s.strip() else np.empty(0, np.uint64) for s in texts]
+        h, g_doc, n_docs = gram_hash_flat(pa.array(texts, pa.string()), n)
+        uh, cnt = unique_grams_per_doc(h, g_doc, n_docs)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        assert n_docs == len(texts)
+        for i, r in enumerate(ref):
+            assert np.array_equal(uh[off[i]:off[i + 1]], r), (n, i)
+
+
 def test_pack_adaptive_bits_hot_source(ray_session, tmp_path):
     """Skewed corpus (one source = ~60% of all tokens): with a tiny
     per-bucket token budget the exchange width adapts upward instead of
