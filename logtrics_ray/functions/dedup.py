@@ -876,8 +876,33 @@ def benchmark_gram_hashes(texts, n: int = 8) -> np.ndarray:
     return np.unique(h)
 
 
-def decontaminate(ds, benchmark_texts, n: int = 8,
-                  text_col: str = "text", id_col: str = "doc_id"):
+def benchmark_gram_hashes_ds(bench_ds, n: int = 8,
+                             text_col: str = "text") -> np.ndarray:
+    """Distributed benchmark gram-set build: one ``map_batches`` pass
+    emits each batch's DISTINCT gram hashes as narrow int64 rows and
+    the driver unions them — the driver pull is bounded by the gram-set
+    size (times a small per-batch duplicate factor), never by corpus
+    bytes.  Same sorted-unique uint64 set as ``benchmark_gram_hashes``
+    over the same texts (union is order-free)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        h, _, _ = gram_hash_flat(t[text_col], n)
+        u = np.unique(h)
+        return pa.table({"gram_hash": pa.array(u.astype(np.int64),
+                                               pa.int64())})
+
+    parts = (bench_ds.select_columns([text_col])
+             .map_batches(fn, batch_format="pyarrow"))
+    chunks = [b["gram_hash"] for b in parts.iter_batches(
+        batch_format="numpy", batch_size=None)]
+    if not chunks:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(chunks)).astype(np.uint64)
+
+
+def decontaminate(ds, benchmark_texts=None, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  benchmark_grams: np.ndarray | None = None):
     """Benchmark decontamination: per document, how many of its distinct
     word ``n``-grams appear in the benchmark set, and a contamination
     flag (>=1 shared gram) — the standard train/eval overlap check a
@@ -893,10 +918,19 @@ def decontaminate(ds, benchmark_texts, n: int = 8,
     analog; gram normalization is shared with the n-gram dedup family
     (``ngram_set``: lowercase, whitespace split, ``" "``-joined
     n-grams; docs shorter than ``n`` words contribute their whole text
-    as one gram)."""
+    as one gram).
+
+    The benchmark side is either raw ``benchmark_texts`` (hashed on the
+    driver — fine for true eval sets) or a precomputed sorted-unique
+    ``benchmark_grams`` uint64 array (e.g. from
+    ``benchmark_gram_hashes_ds`` when the benchmark is carved out of a
+    large corpus and must not be materialized as text)."""
     import ray
 
-    bench = np.sort(benchmark_gram_hashes(benchmark_texts, n))
+    if benchmark_grams is not None:
+        bench = np.sort(np.asarray(benchmark_grams, dtype=np.uint64))
+    else:
+        bench = np.sort(benchmark_gram_hashes(benchmark_texts, n))
     ref = ray.put(bench)
 
     def fn(t: pa.Table) -> pa.Table:

@@ -124,12 +124,21 @@ def curate(sf_dir: str, q_min: float = Q_MIN,
     w_minhash = minhash_dedup_survivors(_join_text(w_exact)).materialize()
 
     # --- stage 5: decontamination (benchmark from the FULL corpus) ----
-    import duckdb
-    bench = [r[0] for r in duckdb.sql(
-        f"SELECT text FROM read_parquet('{doc_path}') "
-        f"WHERE doc_id % {BENCH_MOD} = {BENCH_RES} "
-        "ORDER BY doc_id").fetchall()]
-    flagged = decontaminate(_join_text(w_minhash), bench, n=8)
+    # The benchmark slice is carved out of the corpus itself, so its
+    # gram set is built DISTRIBUTED (per-batch distinct gram hashes ->
+    # driver union -> one ray.put broadcast): the driver pull is
+    # gram-set-bounded, never corpus-bounded.
+    from logtrics_ray.functions.dedup import benchmark_gram_hashes_ds
+
+    def _bench_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()          # no modulo kernel in Arrow 16
+        return t.filter(pa.array(ids % BENCH_MOD == BENCH_RES))
+
+    _, bench_src = _docs(sf_dir, ["doc_id", "text"])    # pruned re-read
+    bench_ds = bench_src.map_batches(_bench_filter, batch_format="pyarrow")
+    bench_grams = benchmark_gram_hashes_ds(bench_ds, n=8)
+    flagged = decontaminate(_join_text(w_minhash), n=8,
+                            benchmark_grams=bench_grams)
 
     def not_contam(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
