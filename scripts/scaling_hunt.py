@@ -67,6 +67,11 @@ def main() -> None:
 
     pool = _load(POOL_PATH) or {"lo": None, "hi": None, "attempts": 0,
                                 "probes": [], "steal": []}
+    # migrate a pre-pooling pool: its half entry's per-level throughputs
+    # are real observations — seed the pooled per-level maxima from them
+    if pool.get("half") and pool.get("half_lo") is None:
+        pool["half_lo"] = pool["half"].get("points_per_sec_lo")
+        pool["half_hi"] = pool["half"].get("points_per_sec_hi")
     current = _load(OUT_PATH)
     best_val = current.get("value", 0.0) if current else 0.0
     # only compare against a prior FULL-WIDTH pooled/recorded value
@@ -105,15 +110,25 @@ def main() -> None:
         # corroborating evidence in the artifact.
         try:
             h_hi, h_lo = _child(hi // 2), _child(lo // 2)
-            h_eff = round((h_hi["points_per_sec"]
-                           / h_lo["points_per_sec"]) / 4.0, 3)
-            best_h = pool.get("half") or {"value": 0.0}
-            if h_eff > best_h["value"]:
-                pool["half"] = {
-                    "value": h_eff, "cpus_lo": lo // 2, "cpus_hi": hi // 2,
-                    "points_per_sec_lo": h_lo["points_per_sec"],
-                    "points_per_sec_hi": h_hi["points_per_sec"]}
-            print(f"[hunt] half-width 4->16 eff={h_eff:.3f}", flush=True)
+            # pool best throughput PER LEVEL across windows — the same
+            # methodology as the full-width metric (a kept max-of-ratios
+            # would cherry-pick the single luckiest window)
+            if (pool.get("half_lo") is None
+                    or h_lo["points_per_sec"] > pool["half_lo"]):
+                pool["half_lo"] = h_lo["points_per_sec"]
+            if (pool.get("half_hi") is None
+                    or h_hi["points_per_sec"] > pool["half_hi"]):
+                pool["half_hi"] = h_hi["points_per_sec"]
+            h_eff = round((pool["half_hi"] / pool["half_lo"]) / 4.0, 3)
+            pool["half"] = {
+                "value": h_eff, "cpus_lo": lo // 2, "cpus_hi": hi // 2,
+                "points_per_sec_lo": pool["half_lo"],
+                "points_per_sec_hi": pool["half_hi"],
+                "method": "pooled best-per-level across windows "
+                          "(same as the full-width metric)"}
+            print(f"[hunt] half-width 4->16 window eff="
+                  f"{(h_hi['points_per_sec'] / h_lo['points_per_sec']) / 4.0:.3f} "
+                  f"pooled={h_eff:.3f}", flush=True)
         except subprocess.CalledProcessError:
             pass
         with open(POOL_PATH + ".tmp", "w") as f:
