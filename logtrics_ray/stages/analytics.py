@@ -25,7 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from logtrics_ray.pipelines.table_rollup import _segments, _with_scan_bucket
+from logtrics_ray.pipelines.table_rollup import (_segments, _with_scan_bucket,
+                                                 window_floor)
 
 
 def anomaly_frame(core_ds, k: int = 24):
@@ -216,6 +217,15 @@ def seasonal_frame(core_ds):
                 pa.array([], pa.float64()), pa.array([], pa.float64()),
             ], names=["series_key", "window_start", "hod", "n",
                       "hod_mean", "residual"])
+        # post-epoch only: numpy floors w//HOUR and yields non-negative
+        # %, DuckDB truncates toward zero — pre-epoch windows would
+        # bucket into different hours and break the bit-exact replay
+        # (same loud-guard posture as value_hist_frame's key packing)
+        if sz and int(w.min()) < 0:
+            raise ValueError(
+                "seasonal_frame: pre-epoch window_start "
+                f"({int(w.min())} ms) — hour-of-day bucketing is only "
+                "oracle-exact for post-epoch timestamps")
         hod = (w // HOUR) % 24
         seg_of = np.searchsorted(starts, np.arange(sz), side="right") - 1
         # exact int64 per-(segment, hod) sums: sort rows by the combined
@@ -392,7 +402,7 @@ def head_sample_frame(points_ds, width_ms: int, n: int = 5):
                 pa.array([], pa.int64()),
             ], names=["series_key", "window_start", "ts_ms", "value",
                       "rank"])
-        w = (ts // W) * W
+        w = window_floor(ts, W)
         seg_of = np.searchsorted(starts, np.arange(sz), side="right") - 1
         # group starts where (segment, window) changes
         gst_mask = np.zeros(sz, bool)
@@ -477,14 +487,16 @@ def value_hist_frame(points_ds, width_ms: int,
         codes, sk = dict_codes(t["series_key"])
         ts = t["ts_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = t["value"].to_numpy(zero_copy_only=False)
-        w = (ts // W) * W
         bn = np.searchsorted(b, v, side="left")
         # packed key: (series, window-index, bin) — window indices are
-        # epoch//W (< 2^40 for ms epochs), bins < 2^8, series batch-local
+        # epoch//W (< 2^40 for ms epochs), bins < 2^8, series batch-local;
+        # (rest // NBIN) * W below reconstructs exactly window_floor(ts, W)
         wi = ts // W
-        # int64 wraps silently; guard the packing loudly (house rule)
+        # int64 wraps silently; guard the packing loudly (house rule):
+        # the key adds bn <= NBIN-1, so the largest packed low part is
+        # wi.max()*NBIN + NBIN - 1 — guard the +1 width, not wi*NBIN
         if codes.size and (int(codes.max()) >= 1 << 15
-                           or int(wi.max()) * NBIN >= 1 << 48
+                           or (int(wi.max()) + 1) * NBIN > 1 << 48
                            or int(wi.min()) < 0):
             raise OverflowError(
                 "value_hist_frame: packed (series, window, bin) key "

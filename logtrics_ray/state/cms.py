@@ -177,9 +177,14 @@ def cms_oracle_sql(side_dir: str, d: int = 4, probe_mod: int = 7) -> str:
     """DuckDB replay: exact probe counts recomputed from raw events;
     est replayed as min over the matrix side table at the shared hash
     columns; overcount published (negative would break the row match)."""
+    # COALESCE: the matrix side table is sparse (zero cells unwritten);
+    # a probe key never counted would otherwise yield NULL est_n instead
+    # of the CMS's true 0 (today's probes are drawn from counted events,
+    # so every cell is >= 1 — the guard is for future probe sets)
     est_min = "LEAST(" + ", ".join(
-        f"(SELECT cnt FROM read_parquet('{side_dir}/cms_matrix.parquet') m"
-        f" WHERE m.d = {j} AND m.col = h.h{j})" for j in range(d)) + ")"
+        f"COALESCE((SELECT cnt FROM "
+        f"read_parquet('{side_dir}/cms_matrix.parquet') m"
+        f" WHERE m.d = {j} AND m.col = h.h{j}), 0)" for j in range(d)) + ")"
     return f"""
     WITH exact AS (
       SELECT user_id, count(*)::BIGINT AS exact_n
