@@ -927,6 +927,26 @@ logtrics {
         ds = rd.from_arrow(synth_media_table(200))
         return decode_features(ds, fake=True)
 
+    def q_multiwidth(sf_dir):
+        """Per-rule window-width override (M6 parity:
+        /root/reference/logtrics.go:86-97,125-129 — a rule's
+        graphite{interval=} merges over the global config): hello-gauge
+        rolls at its own 15m width, status-multi at 1m, every other rule
+        at the 1h default — ONE rule-tagged extraction pass, one grouped
+        exchange over (series, metric_type, width, window)."""
+        import dataclasses
+
+        from logtrics_ray.pipelines.table_rollup import multiwidth_rollup_frame
+        from logtrics_ray.rules import default_rules
+        overrides = {"hello-gauge": 900, "status-multi": 60}
+        rules = tuple(
+            dataclasses.replace(r, graphite=(("interval", overrides[r.name]),))
+            if r.name in overrides else r
+            for r in default_rules())
+        path = os.path.join(_token_dir(sf_dir), "text")
+        ds = _rp(path, columns=["doc_id", "text", "source"])
+        return multiwidth_rollup_frame(ds, rules, _cfg(), HOUR_MS)
+
     # Dict order == the driver's execution order, and the driver
     # adjudicates only the FIRST 50 keys (verified against
     # CORRECTNESS_r04: its key set is exactly the first 50 in r4 dict
@@ -966,7 +986,9 @@ logtrics {
         "embedding_label_centroids": q_label_centroids,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
-        # -- 28-50: cheap representatives of r04-green families --------
+        # -- 28: NEW this round (needs first driver adjudication) -------
+        "loglines_multiwidth_rollup": q_multiwidth,
+        # -- 29-50: cheap representatives of r04-green families ---------
         "events_rollup_1m": q_rollup(MIN_MS),
         "events_rollup_1h_cascade": q_rollup_cascade([HOUR_MS]),
         "events_rollup_1d_cascade": q_rollup_cascade([HOUR_MS, DAY_MS]),
@@ -1434,6 +1456,31 @@ def _m4_sql(width_ms: int, pixels: int) -> str:
     return m4_oracle_sql(width_ms, pixels)
 
 
+def _multiwidth_sql(token_dir: str) -> str:
+    """DuckDB replay of ``multiwidth_rollup_frame`` over the default
+    rules with per-rule interval overrides: the rule->width mapping is
+    replayed as a CASE over each rule's (distinct-by-construction)
+    series prefixes — hello-gauge 15m, status-multi 1m, default 1h."""
+    cfg = _cfg()
+    ext = _extract_arms_sql("ts_ms,")
+    return f"""
+    WITH docs AS (
+      SELECT text, source, tiebreak,
+             {cfg.epoch0_ms} + CAST(tiebreak % {cfg.horizon_ms} AS BIGINT)
+               AS ts_ms
+      FROM read_parquet('{token_dir}/text/*.parquet')),
+    pts AS ({ext}),
+    wp AS (SELECT series_key, metric_type, ts_ms, value,
+                  CASE WHEN series_key LIKE 'lt.hello.%' THEN 900000
+                       WHEN series_key LIKE 'lt.status.%' THEN 60000
+                       ELSE 3600000 END AS width_ms
+           FROM pts)
+    SELECT series_key, metric_type, width_ms,
+           (ts_ms // width_ms) * width_ms AS window_start,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM wp GROUP BY 1, 2, 3, 4"""
+
+
 def _seasonal_sql(width_ms: int) -> str:
     from logtrics_ray.stages.analytics import seasonal_oracle_sql
     return seasonal_oracle_sql(width_ms)
@@ -1892,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT series_key, metric_type, count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM pts GROUP BY 1, 2""",
+        "loglines_multiwidth_rollup": _multiwidth_sql(token_dir),
         "token_rollup_1m": _token_tier_sql(MIN_MS, token_dir),
         "token_rollup_1h": _token_tier_sql(HOUR_MS, token_dir),
         "token_rollup_1d": _token_tier_sql(DAY_MS, token_dir),

@@ -1002,7 +1002,15 @@ def load_lua_rules(path_or_source: str):
     def _logtrics(tbl):
         if not isinstance(tbl, LuaTable):
             raise LuaError("logtrics{} expects a table")
-        known = {"name", "parser", "handler", "graphite", "logging"}
+        from logtrics_ray.rules import _FORBIDDEN_RULE_KEYS
+        forbidden = set(tbl.d) & _FORBIDDEN_RULE_KEYS
+        if forbidden:
+            # the reference's exact message for these keys
+            # (/root/reference/logtrics.go:98-99)
+            raise LuaError("modification is not supported for "
+                           f"[{sorted(forbidden)[0]}]")
+        known = {"name", "parser", "handler", "graphite", "logging",
+                 "scheduler", "expression"}
         unknown = set(tbl.d) - known
         if unknown:
             raise LuaError(f"logtrics{{}}: unknown keys {sorted(unknown)} "
@@ -1024,11 +1032,23 @@ def load_lua_rules(path_or_source: str):
                            "(logtrics.go:47-51)")
         name = tbl.get("name") or f"lua-rule-{len(registered)}"
         h = LuaHandler(name, handler, interp)
+        spec = {"name": name, "expression": str(expression), "handler": h}
         gconf = tbl.get("graphite")
-        if isinstance(gconf, LuaTable):
+        if gconf is not None:
+            if not isinstance(gconf, LuaTable):
+                raise LuaError("invalid graphite configuration "
+                               "(logtrics.go:109-110)")
             h.graphite_conf = {str(k): v for k, v in gconf.d.items()}
-        registered.append({"name": name, "expression": str(expression),
-                           "handler": h})
+            # flows into RuleSpec.graphite via load_rules (validated and
+            # coerced there; interval -> per-rule window width)
+            spec["graphite"] = h.graphite_conf
+        lconf = tbl.get("logging")
+        if lconf is not None:
+            if not isinstance(lconf, LuaTable):
+                raise LuaError("invalid logging configuration "
+                               "(logtrics.go:140-142)")
+            spec["logging"] = {str(k): v for k, v in lconf.d.items()}
+        registered.append(spec)
 
     # stdlib available at chunk top level too (handlers get fresh
     # per-call bindings later)

@@ -924,3 +924,89 @@ def topk_series_frame(points_ds, k: int = 10):
               .limit(k))
     df = top.to_pandas().rename(columns={"count()": "n"})
     return pa.Table.from_pandas(df[["series_key", "n"]], preserve_index=False)
+
+
+def multiwidth_rollup_frame(text_ds, rules, cfg, default_width_ms: int):
+    """PER-RULE WINDOW-WIDTH rollup — the reference's per-rule
+    ``graphite{interval=}`` override (/root/reference/logtrics.go:86-97,
+    125-129: a rule's graphite table merges over the global config, and
+    ``interval`` is its flush cadence ≙ this engine's smallest-tier
+    window width).  Each rule's points are bucketed at its OWN width
+    (``RuleSpec.window_ms``, i.e. interval seconds × 1000), falling back
+    to ``default_width_ms``.
+
+    Shape: ONE rule-tagged extraction pass (no second read per width),
+    width lookup per-LABEL (O(distinct rules) Python per batch, codes
+    gather for the rows), per-row ``ts - ts % W`` window floor with the
+    per-row width vector, then ONE grouped exchange over
+    (series, metric_type, width, window) with segmented-numpy count/sum.
+
+    Output: (series_key, metric_type, width_ms, window_start, n,
+    sum_value) — SPARSE (present windows only; gap-fill/tier cascade
+    stay per-width jobs of the main pipeline)."""
+    from logtrics_ray.stages.extract import extract_points
+    from logtrics_ray.stages.seriesscan import dict_codes
+
+    width_of = {r.name: (r.window_ms or int(default_width_ms))
+                for r in rules}
+    pts = extract_points(text_ds, rules, cfg, text_column="text",
+                         tag_rule=True)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "metric_type": pa.array([], pa.string()),
+                "width_ms": pa.array([], pa.int64()),
+                "window_start": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64())})
+        t = t.combine_chunks()
+        codes, labels = dict_codes(t["rule"])
+        wmap = np.array([width_of[str(l)] for l in labels], np.int64)
+        W = wmap[codes]
+        ts = t["ts_ms"].to_numpy()
+        w = ts - ts % W                    # window_floor, per-row width
+        return pa.table({
+            "series_key": t["series_key"],
+            "metric_type": t["metric_type"],
+            "width_ms": pa.array(W, pa.int64()),
+            "window_start": pa.array(w, pa.int64()),
+            "value": t["value"]})
+
+    core = _with_scan_bucket(
+        pts.map_batches(bucketize, batch_format="pyarrow"))
+
+    def scan(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "series_key": pa.array([], pa.string()),
+            "metric_type": pa.array([], pa.string()),
+            "width_ms": pa.array([], pa.int64()),
+            "window_start": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        order, starts, bounds, labels = _segments(
+            g, ["width_ms", "window_start"],
+            key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        W = g["width_ms"].to_numpy()[order]
+        w = g["window_start"].to_numpy()[order]
+        v = g["value"].to_numpy(zero_copy_only=False)[order]
+        sz = w.size
+        seg_of = np.searchsorted(starts, np.arange(sz), side="right") - 1
+        gst = _seg_change(seg_of, W, w)
+        n = np.diff(np.append(gst, sz))
+        s = np.add.reduceat(v, gst)
+        sk = labels["series_key"][seg_of[gst]]
+        mt = labels["metric_type"][seg_of[gst]]
+        return pa.table({
+            "series_key": pa.array(sk, pa.string()),
+            "metric_type": pa.array(mt, pa.string()),
+            "width_ms": pa.array(W[gst], pa.int64()),
+            "window_start": pa.array(w[gst], pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sum_value": pa.array(_round6(s), pa.float64())})
+
+    return core.groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")

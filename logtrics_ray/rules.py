@@ -52,12 +52,15 @@ def configure_logging(kind: str = "console", level: str = "info") -> logging.Log
             "%(asctime)s %(levelname)s %(name)s %(message)s",
             datefmt="%Y-%m-%dT%H:%M:%S"))
     root.addHandler(h)
-    lvl = {"trace": logging.DEBUG, "debug": logging.DEBUG,
-           "info": logging.INFO, "warn": logging.WARNING,
-           "error": logging.ERROR, "fatal": logging.CRITICAL}.get(
-               level.lower(), logging.INFO)
-    root.setLevel(lvl)
+    root.setLevel(LEVELS.get(level.lower(), logging.INFO))
     return root
+
+
+#: the reference's lvlMap (config/config.go) — shared by the global
+#: configure_logging and per-rule logging{level=} overrides
+LEVELS = {"trace": logging.DEBUG, "debug": logging.DEBUG,
+          "info": logging.INFO, "warn": logging.WARNING,
+          "error": logging.ERROR, "fatal": logging.CRITICAL}
 
 
 class RuleLogger:
@@ -74,9 +77,13 @@ class RuleLogger:
 
     __slots__ = ("name", "_log")
 
-    def __init__(self, name: str):
+    def __init__(self, name: str, level: str | None = None):
         self.name = name
         self._log = logging.getLogger(f"logtrics.rule.{name}")
+        if level is not None:
+            # per-rule logging{level=} override (logtrics.go:91-96);
+            # the rule's logger overrides the global level for its rows
+            self._log.setLevel(LEVELS.get(str(level).lower(), logging.INFO))
 
     def _fmt(self, msg: str, args) -> str:
         return f"script:[{self.name}] " + (msg % args if args else msg)
@@ -108,8 +115,25 @@ class RuleFatal(RuntimeError):
 
 METRIC_TYPES = ("counter", "gauge", "timer", "meter")
 
-_RULE_KEYS = {"name", "expression", "emit", "handler", "gap_fill", "tiers"}
+_RULE_KEYS = {"name", "expression", "emit", "handler", "gap_fill", "tiers",
+              "graphite", "logging"}
 _EMIT_KEYS = {"metric_type", "series", "value"}
+
+# Keys the reference REJECTS BY NAME at the rule level with
+# "modification is not supported" (/root/reference/logtrics.go:98-99).
+# The reference's literal list spells "sctriptfile" (its typo); accept
+# the intended spelling too so neither form slips through as unknown.
+_FORBIDDEN_RULE_KEYS = {"sctriptfile", "scriptfile", "scriptdir",
+                        "mode", "tcp", "udp"}
+
+# Per-rule graphite override subkeys (/root/reference/logtrics.go:107-137
+# updateGraphiteConfig); unknown subkeys are silently ignored there (no
+# default case) — mirrored here.  ``interval`` is the flush cadence in
+# SECONDS ≙ this engine's smallest-tier window width.
+_GRAPHITE_KEYS = {"host", "port", "interval", "debug"}
+# Per-rule logging override subkeys (logtrics.go:138-158 updateLogConfig);
+# unknown subkeys are FATAL there ("invalid logging config") — mirrored.
+_LOGGING_KEYS = {"type", "level"}
 
 # value expressions: ("const", x) | ("cast", group) | ("len", group)
 _VALUE_RE = re.compile(r"^(?:(?P<const>-?\d+(?:\.\d+)?)|len\((?P<len>\w+)\)|float\((?P<cast>\w+)\))$")
@@ -134,12 +158,31 @@ class RuleSpec:
     expression: str             # RE2-compatible regex with named groups
     emits: tuple[EmitSpec, ...]
     handler: Callable | None = None   # optional per-row escape hatch (slow path)
+    # per-rule sink/logging overrides, stored as sorted item tuples so the
+    # frozen spec stays hashable (RuleSpec tuples key the per-process
+    # extractor cache); reference: logtrics.go:86-97 merges a rule's
+    # graphite{}/logging{} tables over the global config
+    graphite: tuple = ()
+    logging_conf: tuple = ()
 
     @property
     def group_names(self) -> list[str]:
         """Named capture groups — the rule's output schema, inferred from the
         regex exactly like regexp.SubexpNames() at /root/reference/parser.go:46."""
         return list(re.compile(self.expression).groupindex)
+
+    @property
+    def graphite_conf(self) -> dict:
+        return dict(self.graphite)
+
+    @property
+    def window_ms(self) -> int | None:
+        """Per-rule smallest-tier window width in ms, from the graphite
+        ``interval`` override (seconds, ≙ the reference's per-rule flush
+        cadence /root/reference/logtrics.go:125-129); None = engine
+        default."""
+        iv = dict(self.graphite).get("interval")
+        return int(iv) * 1000 if iv is not None else None
 
 
 def _parse_value(spec) -> tuple:
@@ -156,7 +199,60 @@ def _parse_value(spec) -> tuple:
     return ("cast", m.group("cast"))
 
 
+def _parse_graphite(name: str, g) -> tuple:
+    """Per-rule graphite override table -> sorted item tuple.  Mirrors
+    updateGraphiteConfig (/root/reference/logtrics.go:107-137): known
+    subkeys coerced (port/interval int, debug bool), unknown subkeys
+    silently ignored (the reference switch has no default case)."""
+    if not isinstance(g, dict):
+        raise ValueError(
+            f"rule {name!r}: invalid graphite configuration "
+            "(/root/reference/logtrics.go:109-110)")
+    out = {}
+    for k, v in g.items():
+        if k not in _GRAPHITE_KEYS:
+            continue
+        try:
+            if k in ("port", "interval"):
+                v = int(v)
+                if k == "interval" and v <= 0:
+                    raise ValueError
+            elif k == "debug":
+                v = (v if isinstance(v, bool)
+                     else str(v).lower() in ("1", "true", "yes"))
+            else:
+                v = str(v)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"rule {name!r}: bad graphite.{k} value {v!r}") from None
+        out[k] = v
+    return tuple(sorted(out.items()))
+
+
+def _parse_logging(name: str, lg) -> tuple:
+    """Per-rule logging override -> sorted item tuple.  Mirrors
+    updateLogConfig (/root/reference/logtrics.go:138-158): unknown
+    subkeys are FATAL ("invalid logging config")."""
+    if not isinstance(lg, dict):
+        raise ValueError(
+            f"rule {name!r}: invalid logging configuration "
+            "(/root/reference/logtrics.go:140-142)")
+    unknown = set(lg) - _LOGGING_KEYS
+    if unknown:
+        raise ValueError(
+            f"rule {name!r}: invalid logging config — unknown keys "
+            f"{sorted(unknown)} (/root/reference/logtrics.go:152-155)")
+    return tuple(sorted((k, str(v)) for k, v in lg.items()))
+
+
 def _build_rule(d: dict) -> RuleSpec:
+    forbidden = set(d) & _FORBIDDEN_RULE_KEYS
+    if forbidden:
+        # the reference's exact posture for these keys: not "unknown",
+        # but explicitly unmodifiable (/root/reference/logtrics.go:98-99)
+        raise ValueError(
+            f"rule {d.get('name', '?')!r}: modification is not supported "
+            f"for [{sorted(forbidden)[0]}]")
     unknown = set(d) - _RULE_KEYS
     if unknown:
         # Strict like the reference's mergeConfig: unknown keys are fatal
@@ -193,7 +289,11 @@ def _build_rule(d: dict) -> RuleSpec:
             f"rule {d['name']!r}: needs at least one emit or a handler "
             "(/root/reference/logtrics.go:47-51: missing handler is fatal)")
     return RuleSpec(name=d["name"], expression=d["expression"], emits=tuple(emits),
-                    handler=d.get("handler"))
+                    handler=d.get("handler"),
+                    graphite=_parse_graphite(d["name"], d["graphite"])
+                    if "graphite" in d else (),
+                    logging_conf=_parse_logging(d["name"], d["logging"])
+                    if "logging" in d else ())
 
 
 def load_rules(spec: list[dict] | str) -> tuple[RuleSpec, ...]:

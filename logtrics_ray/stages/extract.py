@@ -176,10 +176,16 @@ class RuleExtractor:
 
     def __init__(self, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
                  text_column: str | None = None,
-                 passthrough: tuple[str, ...] = ()):
+                 passthrough: tuple[str, ...] = (),
+                 tag_rule: bool = False):
         self.rules = rules
         self.cfg = cfg
         self.text_column = text_column
+        # tag_rule: append the owning rule's name to every point (the
+        # per-rule window-width path needs rule identity downstream).
+        # Token-domain plans don't carry rule identity through the fused
+        # scan, so tagging forces the classic per-rule text path.
+        self.tag_rule = bool(tag_rule)
         # Input columns copied onto every emitted point (row-aligned), e.g.
         # the `_shard` provenance column of the incremental-append path.
         self.passthrough = tuple(passthrough)
@@ -196,8 +202,8 @@ class RuleExtractor:
         else:
             pieces = V.build_vocab()
             self.vocab_pa = V.vocab_as_arrow(pieces)
-            if cfg.token_plans and rules and all(r.handler is None
-                                                for r in rules):
+            if (cfg.token_plans and rules and not tag_rule
+                    and all(r.handler is None for r in rules)):
                 from logtrics_ray.stages import tokenplan as TP
                 plans = [TP.compile_rule(r.expression, r.name, pieces)
                          for r in rules]
@@ -227,7 +233,10 @@ class RuleExtractor:
         self.rule_errors: dict[str, int] = {r.name: 0 for r in rules}
         from logtrics_ray.rules import RuleLogger
         import inspect
-        self._loggers = {r.name: RuleLogger(r.name) for r in rules}
+        self._loggers = {
+            r.name: RuleLogger(r.name,
+                               level=dict(r.logging_conf).get("level"))
+            for r in rules}
         self._handler_wants_log = {
             r.name: (r.handler is not None
                      and len(inspect.signature(r.handler).parameters) >= 2)
@@ -240,10 +249,12 @@ class RuleExtractor:
         return V.detokenize(batch["tokens"], self.vocab_pa)
 
     def _empty(self, batch: pa.Table) -> pa.Table:
-        if not self.passthrough:
+        fields = list(POINTS_SCHEMA)
+        if self.tag_rule:
+            fields.append(pa.field("rule", pa.string()))
+        if not self.passthrough and not self.tag_rule:
             return POINTS_SCHEMA.empty_table()
-        fields = list(POINTS_SCHEMA) + [batch.schema.field(c)
-                                        for c in self.passthrough]
+        fields += [batch.schema.field(c) for c in self.passthrough]
         return pa.schema(fields).empty_table()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -336,6 +347,9 @@ class RuleExtractor:
                 mt = pa.array([emit.metric_type] * nv, type=pa.string())
                 t = pa.Table.from_arrays([series, mt, ts, value, tb],
                                          schema=POINTS_SCHEMA)
+                if self.tag_rule:
+                    t = t.append_column(
+                        "rule", pa.array([rule.name] * nv, pa.string()))
                 for c, col in pfiltered:
                     t = t.append_column(c, col)
                 out.append(t)
@@ -455,6 +469,9 @@ class RuleExtractor:
             [pa.array(s_out, pa.string()), pa.array(m_out, pa.string()),
              pa.array(t_out, pa.int64()), pa.array(v_out, pa.float64()),
              pa.array(b_out, pa.uint64())], schema=POINTS_SCHEMA)
+        if self.tag_rule:
+            t = t.append_column(
+                "rule", pa.array([rule.name] * len(s_out), pa.string()))
         idx = pa.array(i_out, pa.int64())
         for c, col in pfiltered:
             t = t.append_column(c, col.take(idx))
@@ -470,18 +487,20 @@ _PROCESS_EXTRACTORS: dict = {}
 
 def _cached_extractor(rules: tuple[RuleSpec, ...], cfg: EngineConfig,
                       text_column: str | None,
-                      passthrough: tuple[str, ...] = ()) -> RuleExtractor:
-    key = (rules, cfg, text_column, passthrough)
+                      passthrough: tuple[str, ...] = (),
+                      tag_rule: bool = False) -> RuleExtractor:
+    key = (rules, cfg, text_column, passthrough, tag_rule)
     ex = _PROCESS_EXTRACTORS.get(key)
     if ex is None:
         ex = _PROCESS_EXTRACTORS[key] = RuleExtractor(rules, cfg, text_column,
-                                                      passthrough=passthrough)
+                                                      passthrough=passthrough,
+                                                      tag_rule=tag_rule)
     return ex
 
 
 def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
                    text_column: str | None = None, use_actors: bool = False,
-                   passthrough: tuple[str, ...] = ()):
+                   passthrough: tuple[str, ...] = (), tag_rule: bool = False):
     """token/text Dataset -> points Dataset.
 
     Two physical modes with identical semantics:
@@ -497,7 +516,8 @@ def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
         return ds.map_batches(
             RuleExtractor,
             fn_constructor_kwargs=dict(rules=rules, cfg=cfg, text_column=text_column,
-                                       passthrough=passthrough),
+                                       passthrough=passthrough,
+                                       tag_rule=tag_rule),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=cfg.extract_concurrency,
@@ -505,6 +525,7 @@ def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
         )
 
     def fn(batch: pa.Table) -> pa.Table:
-        return _cached_extractor(rules, cfg, text_column, passthrough)(batch)
+        return _cached_extractor(rules, cfg, text_column, passthrough,
+                                 tag_rule)(batch)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)

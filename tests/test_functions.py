@@ -528,6 +528,58 @@ def test_ascii_text_counts_matches_regex_path():
     assert list(out.n_words) == [2, 1]
 
 
+def test_multiwidth_rollup_per_rule_windows(ray_session):
+    """Two rules with different graphite.interval overrides bucket their
+    points at their OWN widths in one pass (reference per-rule config
+    merge, logtrics.go:86-97): same input rows, rule A at 1h windows,
+    rule B at 1m — verified against a brute-force per-rule replay."""
+    import ray.data as rd
+
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.hashing import id_hash64
+    from logtrics_ray.pipelines.table_rollup import multiwidth_rollup_frame
+    from logtrics_ray.rules import load_rules
+
+    rules = load_rules([
+        {"name": "a-counter", "expression": r"ev=(?P<k>[a-z]+)",
+         "emit": [{"metric_type": "counter", "series": "a.{k}", "value": 1}],
+         "graphite": {"interval": 3600}},
+        {"name": "b-gauge", "expression": r"g=(?P<v>\d+)",
+         "emit": [{"metric_type": "gauge", "series": "b.all",
+                   "value": "float(v)"}]},
+    ])
+    assert rules[0].window_ms == 3_600_000 and rules[1].window_ms is None
+    docs = [(f"d{i}", f"ev=x g={i} pad") for i in range(50)]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs]),
+                  "text": pa.array([s for _, s in docs]),
+                  "source": pa.array(["s"] * len(docs))})
+    cfg = EngineConfig()
+    out = multiwidth_rollup_frame(rd.from_arrow(t), rules, cfg,
+                                  default_width_ms=60_000).to_pandas()
+    # brute force: both rules match every row; per-row ts from the shared
+    # id-hash synthesis, floored at the rule's own width
+    from collections import Counter, defaultdict
+    cnt, ssum = Counter(), defaultdict(float)
+    for i, (d, _) in enumerate(docs):
+        ts = cfg.epoch0_ms + id_hash64(d) % cfg.horizon_ms
+        wa = ts - ts % 3_600_000
+        cnt[("a.x", "counter", 3_600_000, wa)] += 1
+        ssum[("a.x", "counter", 3_600_000, wa)] += 1.0
+        wb = ts - ts % 60_000
+        cnt[("b.all", "gauge", 60_000, wb)] += 1
+        ssum[("b.all", "gauge", 60_000, wb)] += float(i)
+    got = {(r.series_key, r.metric_type, r.width_ms, r.window_start):
+           (r.n, r.sum_value) for r in out.itertuples()}
+    assert len(got) == len(cnt)
+    for k, n in cnt.items():
+        assert got[k] == (n, round(ssum[k], 6)), k
+    # every a.* row is 1h-wide, every b.* row 1m-wide
+    assert (out.loc[out.series_key.str.startswith("a."), "width_ms"]
+            == 3_600_000).all()
+    assert (out.loc[out.series_key.str.startswith("b."), "width_ms"]
+            == 60_000).all()
+
+
 def test_word_hashes_matches_python_split():
     """The vectorized Arrow word split/hash must produce byte-identical
     (hashes, counts) to the per-doc Python reference split it replaced —

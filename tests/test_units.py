@@ -100,6 +100,73 @@ def test_rules_unknown_key_rejected():
                      "emit": [{"metric_type": "gauge", "series": "s", "value": 1}]}])
 
 
+def test_rules_forbidden_keys_rejected_by_name():
+    # ≙ /root/reference/logtrics.go:98-99 ("modification is not
+    # supported"), incl. the reference's literal typo key "sctriptfile"
+    base = {"name": "x", "expression": "a",
+            "emit": [{"metric_type": "gauge", "series": "s", "value": 1}]}
+    for k in ("sctriptfile", "scriptfile", "scriptdir", "mode", "tcp", "udp"):
+        with pytest.raises(ValueError, match="modification is not supported"):
+            load_rules([{**base, k: 1}])
+
+
+def test_rules_per_rule_graphite_logging_overrides():
+    base = {"name": "x", "expression": "a",
+            "emit": [{"metric_type": "gauge", "series": "s", "value": 1}]}
+    # interval (seconds, logtrics.go:125-129) -> per-rule window width
+    (r,) = load_rules([{**base, "graphite": {"interval": 900, "host": "gh",
+                                             "port": "2003", "debug": "true",
+                                             "nonsense": 1}}])
+    assert r.window_ms == 900_000
+    # unknown graphite subkeys silently ignored (no default case in
+    # updateGraphiteConfig); port coerced int, debug coerced bool
+    assert r.graphite_conf == {"interval": 900, "host": "gh",
+                               "port": 2003, "debug": True}
+    (r2,) = load_rules([base])
+    assert r2.window_ms is None and r2.graphite_conf == {}
+    # logging: known subkeys pass, unknown FATAL (logtrics.go:152-155)
+    (r3,) = load_rules([{**base, "logging": {"type": "console",
+                                             "level": "debug"}}])
+    assert dict(r3.logging_conf) == {"type": "console", "level": "debug"}
+    with pytest.raises(ValueError, match="invalid logging config"):
+        load_rules([{**base, "logging": {"level": "debug", "file": "/x"}}])
+    with pytest.raises(ValueError, match="bad graphite.interval"):
+        load_rules([{**base, "graphite": {"interval": 0}}])
+    # rules stay hashable (they key the per-process extractor cache)
+    hash(r); hash(r3)
+
+
+def test_lua_rule_graphite_interval_flows_to_spec():
+    from logtrics_ray.luacompat import load_lua_rules
+    src = """
+    logtrics {
+        name = "w15",
+        parser = { type = "re2", expression = "x=(?P<v>%d+)" },
+        graphite = { interval = 900, host = "gh" },
+        logging = { level = "debug" },
+        handler = function(e) end,
+    }
+    """.replace("%d", "\\\\d")
+    (r,) = load_lua_rules(src)
+    assert r.window_ms == 900_000
+    assert r.graphite_conf["host"] == "gh"
+    assert dict(r.logging_conf) == {"level": "debug"}
+
+
+def test_lua_rule_forbidden_keys_rejected():
+    from logtrics_ray.luacompat import LuaError, load_lua_rules
+    src = """
+    logtrics {
+        name = "bad",
+        parser = { type = "re2", expression = "a" },
+        mode = "tcp",
+        handler = function(e) end,
+    }
+    """
+    with pytest.raises(LuaError, match="modification is not supported"):
+        load_lua_rules(src)
+
+
 def test_rules_missing_name_expression():
     with pytest.raises(ValueError, match="missing required 'name'"):
         load_rules([{"expression": "a"}])
