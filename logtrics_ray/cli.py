@@ -357,6 +357,68 @@ def cmd_listen(args) -> int:
     return 0
 
 
+CONSOLE_HELP = (
+    "logtrics_ray console — type a log line, every loaded rule runs on "
+    "it and matching emissions print as JSON points; 'exit' or EOF ends "
+    "the session (≙ the reference's readline console reader, "
+    "reader/readers.go:73-106)")
+
+
+def cmd_console(args) -> int:
+    """Interactive console reader (reference S1,
+    /root/reference/reader/readers.go:73-106): stdin lines -> every rule
+    -> printed emissions.  No Ray session — the extractor runs
+    in-process on one-line Arrow batches, i.e. the EXACT kernels the
+    distributed path runs per batch (same rule compile, ts synthesis,
+    emission rendering), so a rule debugged here behaves identically in
+    `run`/`watch`."""
+    import sys
+
+    import pyarrow as pa
+
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.rules import default_rules, load_rules
+    from logtrics_ray.stages.extract import RuleExtractor
+
+    rules = load_rules(args.rules) if args.rules else default_rules()
+    ex = RuleExtractor(rules, EngineConfig(), text_column="text")
+    interactive = sys.stdin.isatty()
+    if interactive:
+        print(CONSOLE_HELP, flush=True)
+    lineno = 0
+    while True:
+        if interactive:
+            sys.stdout.write("logtrics> ")
+            sys.stdout.flush()
+        raw = sys.stdin.readline()
+        if not raw:
+            break                        # EOF
+        line = raw.rstrip("\n")
+        if line.strip() == "exit":       # readline EOFPrompt analog
+            break
+        if not line.strip():
+            continue
+        lineno += 1
+        # one-line batch; doc_id is deterministic so the synthesized
+        # event time (epoch0 + hash % horizon) is reproducible
+        batch = pa.table({
+            "doc_id": pa.array([f"console-{lineno}"], pa.string()),
+            "text": pa.array([line], pa.string()),
+            "source": pa.array(["console"], pa.string())})
+        for row in ex(batch).to_pylist():
+            print(json.dumps({
+                "series_key": row["series_key"],
+                "metric_type": row["metric_type"],
+                "ts_ms": row["ts_ms"],
+                "value": row["value"]}, sort_keys=True), flush=True)
+    if ex.row_errors:
+        print(json.dumps({"row_errors": ex.row_errors,
+                          "rule_errors": {k: v for k, v
+                                          in ex.rule_errors.items() if v}}),
+              file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="logtrics_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -504,6 +566,15 @@ def main(argv=None) -> int:
     ls.add_argument("--duration", type=float, default=0.0,
                     help="stop after N seconds (0 = until SIGINT)")
     ls.set_defaults(fn=cmd_listen)
+
+    co = sub.add_parser(
+        "console", help="interactive rule debugger: stdin lines -> every "
+                        "rule -> printed JSON points (reference console "
+                        "reader)")
+    co.add_argument("--rules", default=None,
+                    help="rule spec: TOML/JSON file, reference *.lua "
+                         "script, or a directory (default: built-in rules)")
+    co.set_defaults(fn=cmd_console)
 
     p.add_argument("--log-type", default="console",
                    choices=["console", "syslog"],

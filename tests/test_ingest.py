@@ -142,3 +142,35 @@ def test_asof_join_frame_edges(ray_session):
     ref = df["ref_value"].to_numpy()
     assert ref[0] == 20.0 and np.isnan(ref[1])
     assert ref[2] == 20.0 and np.isnan(ref[3])
+
+
+def test_console_mode_prints_points(tmp_path):
+    """`python -m logtrics_ray console` — stdin lines run through every
+    rule and emissions print as JSON points (reference console reader,
+    reader/readers.go:73-106); 'exit' ends the session; no Ray session
+    is started."""
+    import json
+    import subprocess
+    import sys
+
+    lines = ('hello "abc" then GET /api/users status=404\n'
+             "no match here\n"
+             "exit\n"
+             "latency_ms=99 after exit is never read\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "logtrics_ray", "console"],
+        input=lines, capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-500:]
+    pts = [json.loads(x) for x in out.stdout.strip().splitlines()]
+    got = {(p["series_key"], p["metric_type"], p["value"]) for p in pts}
+    assert got == {("lt.hello.abc", "gauge", 3.0),
+                   ("lt.req.users", "counter", 1.0),
+                   ("lt.status.404", "counter", 1.0),
+                   ("lt.status.all", "meter", 1.0)}
+    # deterministic synthesized event time (doc_id = console-<lineno>)
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.hashing import id_hash64
+    cfg = EngineConfig()
+    want_ts = cfg.epoch0_ms + id_hash64("console-1") % cfg.horizon_ms
+    assert all(p["ts_ms"] == want_ts for p in pts)
