@@ -187,17 +187,54 @@ def cmd_synth(args) -> int:
 
 
 def cmd_inspect(args) -> int:
-    """Decode one tier back out of its Gorilla blocks and show a summary."""
+    """Decode one tier back out of its Gorilla blocks and show a summary.
+
+    Streams per-batch PARTIALS (row count, distinct-series hash set,
+    window min/max) instead of ``to_pandas()`` on the decoded tier, so
+    peak driver memory is independent of tier size (a full 1m tier at
+    production scale is not driver-sized); only the merged scalars ever
+    reach this process."""
     from logtrics_ray.stages.storage import read_tier
     _ensure_ray(args.num_cpus)
     ds = read_tier(args.out, args.tier)
-    df = ds.to_pandas()
+
+    def partial(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from logtrics_ray.hashing import id_hash64_array
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([0], pa.int64()),
+                             "series_hash": pa.array([[]],
+                                                     pa.list_(pa.int64())),
+                             "wmin": pa.array([None], pa.int64()),
+                             "wmax": pa.array([None], pa.int64())})
+        sk = t["series_key"].combine_chunks() if isinstance(
+            t["series_key"], pa.ChunkedArray) else t["series_key"]
+        uniq = np.unique(id_hash64_array(sk.unique()).astype(np.int64))
+        w = t["window_start"].to_numpy()
+        return pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "series_hash": pa.array([uniq.tolist()], pa.list_(pa.int64())),
+            "wmin": pa.array([int(w.min())], pa.int64()),
+            "wmax": pa.array([int(w.max())], pa.int64())})
+
+    rows, wmin, wmax = 0, None, None
+    series: set = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            rows += r["rows"]
+            series.update(r["series_hash"])
+            if r["wmin"] is not None:
+                wmin = r["wmin"] if wmin is None else min(wmin, r["wmin"])
+                wmax = r["wmax"] if wmax is None else max(wmax, r["wmax"])
     print(json.dumps({
         "tier": args.tier,
-        "rows": len(df),
-        "series": int(df["series_key"].nunique()),
-        "window_min": int(df["window_start"].min()) if len(df) else None,
-        "window_max": int(df["window_start"].max()) if len(df) else None,
+        "rows": rows,
+        "series": len(series),
+        "window_min": wmin,
+        "window_max": wmax,
     }))
     return 0
 
@@ -473,7 +510,10 @@ def main(argv=None) -> int:
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_synth)
 
-    i = sub.add_parser("inspect", help="decode + summarize a written tier")
+    i = sub.add_parser(
+        "inspect", help="decode + summarize a written tier (streamed "
+                        "partials: driver memory bounded by the DISTINCT "
+                        "series count, never by tier rows)")
     i.add_argument("--out", required=True)
     i.add_argument("--tier", default="1m")
     i.add_argument("--num-cpus", type=int, default=None)
