@@ -57,7 +57,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from logtrics_ray.rules import default_rules
 
     tag = _sf_tag(sf_dir)
-    n_rows = BENCH_ROWS.get(tag, 20_000)
+    # LT_BENCH_ROWS: explicit row-count override for data-scaling smokes
+    # (pair it with a distinct GRAFT_SF_DIR tag so the synth cache dirs
+    # of concurrent benches never collide)
+    n_rows = (int(os.environ.get("LT_BENCH_ROWS", "0"))
+              or BENCH_ROWS.get(tag, 20_000))
     from logtrics_ray.synth import write_token_table
     token_dir = write_token_table(f"/tmp/lt_bench_{tag}", n_rows, n_shards=32)
 

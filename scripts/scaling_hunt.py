@@ -36,6 +36,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 import bench  # noqa: E402
 
+
+
+LOCK_PATH = "/tmp/lt_bench_lock"
+
+
+def _acquire_lock(stale_s: float = 900.0) -> bool:
+    """Cross-harness mutex: the scaling hunt and the data-scaling smoke
+    must never run 32-CPU children in the SAME quiet window (they would
+    measure each other).  O_EXCL create; a lock older than ``stale_s``
+    is treated as leaked and stolen."""
+    import errno
+    try:
+        fd = os.open(LOCK_PATH, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return True
+    except OSError as e:
+        if e.errno != errno.EEXIST:
+            raise
+        try:
+            if time.time() - os.path.getmtime(LOCK_PATH) > stale_s:
+                os.replace(LOCK_PATH, LOCK_PATH + ".stale")
+                os.remove(LOCK_PATH + ".stale")
+                return _acquire_lock(stale_s)
+        except OSError:
+            pass
+        return False
+
+
+def _release_lock() -> None:
+    try:
+        os.remove(LOCK_PATH)
+    except OSError:
+        pass
+
 POOL_PATH = "/tmp/lt_scaling_pool.json"
 OUT_PATH = os.path.join(REPO, "SCALING_LATEST.json")
 
@@ -86,6 +121,11 @@ def main() -> None:
         if probe < gate:
             time.sleep(45)
             continue
+        if not _acquire_lock():
+            print("[hunt] bench lock busy (smoke running); waiting",
+                  flush=True)
+            time.sleep(30)
+            continue
         pool["steal"] = (pool["steal"] + [bench._cpu_steal_pct()])[-40:]
         try:
             # hi first: the 32-CPU run needs the freshest window; the
@@ -93,6 +133,7 @@ def main() -> None:
             # UNDERSTATES the ratio, never inflates it)
             a_hi, a_lo = _child(hi), _child(lo)
         except subprocess.CalledProcessError as e:
+            _release_lock()
             print(f"[hunt] child failed: {e.stderr[-500:] if e.stderr else e}",
                   flush=True)
             time.sleep(60)
@@ -131,6 +172,8 @@ def main() -> None:
                   f"pooled={h_eff:.3f}", flush=True)
         except subprocess.CalledProcessError:
             pass
+        finally:
+            _release_lock()
         with open(POOL_PATH + ".tmp", "w") as f:
             json.dump(pool, f)
         os.replace(POOL_PATH + ".tmp", POOL_PATH)
