@@ -196,7 +196,8 @@ def cmd_inspect(args) -> int:
     reach this process."""
     from logtrics_ray.stages.storage import read_tier
     _ensure_ray(args.num_cpus)
-    ds = read_tier(args.out, args.tier)
+    ds = read_tier(args.out, args.tier,
+                   window_min=args.window_min, window_max=args.window_max)
 
     def partial(t):
         import numpy as np
@@ -298,7 +299,8 @@ def cmd_analyze(args) -> int:
     from logtrics_ray.stages import analytics as A
     from logtrics_ray.stages.storage import read_tier
     _ensure_ray(args.num_cpus)
-    ds = read_tier(args.tiers, args.tier)
+    ds = read_tier(args.tiers, args.tier,
+                   window_min=args.window_min, window_max=args.window_max)
     out_ds = {
         "anomaly": lambda: A.anomaly_frame(ds, k=args.k),
         "lttb": lambda: A.lttb_frame(ds, n_out=args.n_out),
@@ -516,6 +518,10 @@ def main(argv=None) -> int:
                         "series count, never by tier rows)")
     i.add_argument("--out", required=True)
     i.add_argument("--tier", default="1m")
+    i.add_argument("--window-min", type=int, default=None,
+                   help="inclusive window_start range start (ms) — prunes "
+                        "partitions/blocks/rows before decode")
+    i.add_argument("--window-max", type=int, default=None)
     i.add_argument("--num-cpus", type=int, default=None)
     i.set_defaults(fn=cmd_inspect)
 
@@ -552,6 +558,10 @@ def main(argv=None) -> int:
     an.add_argument("--n-out", type=int, default=24)
     an.add_argument("--pixels", type=int, default=32)
     an.add_argument("--threshold", type=int, default=4)
+    an.add_argument("--window-min", type=int, default=None,
+                    help="inclusive window_start range start (ms) — prunes "
+                         "partitions/blocks/rows before decode")
+    an.add_argument("--window-max", type=int, default=None)
     an.add_argument("--num-cpus", type=int, default=None)
     an.set_defaults(fn=cmd_analyze)
 

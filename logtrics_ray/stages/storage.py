@@ -109,14 +109,45 @@ def _encode_blocks(group: pa.Table, block_len: int) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=BLOCK_SCHEMA)
 
 
-def decode_blocks(blocks: pa.Table, width_ms: int) -> pa.Table:
+def decode_columns_needed(columns) -> list[str]:
+    """Gorilla value PLANES a column-subset decode must read: requested
+    VALUE_COLS, plus sum+count when ``mean`` or ``rate`` is derived,
+    plus the gap bitmap when ``gap_filled`` is requested."""
+    want = set(columns)
+    need = [c for c in VALUE_COLS if c in want]
+    if want & {"mean", "rate"}:
+        need += [c for c in ("sum", "count") if c not in need]
+    return need
+
+
+def decode_blocks(blocks: pa.Table, width_ms: int, columns=None,
+                  window_min: int | None = None,
+                  window_max: int | None = None) -> pa.Table:
     """Gorilla block rows -> final tier rows (exact round-trip).
 
     ``mean``/``rate`` are re-derived from the decoded columns with the
     identical expressions the scan used, so the reconstruction is
-    bit-exact (same float64 operands, same single division)."""
+    bit-exact (same float64 operands, same single division).
+
+    ``columns``: optional subset of FINAL value columns to decode — the
+    other Gorilla planes are never touched (pair with the column-pruned
+    blocks read in ``read_tier`` so their bytes never leave storage
+    either); the key columns (series_key, metric_type, window_start) are
+    always present.  ``window_min``/``window_max``: inclusive
+    window_start range filter applied to the decoded rows (partition +
+    block pruning happens in ``read_tier``; this trims the edge blocks
+    that merely OVERLAP the range)."""
     width_s = width_ms / 1000.0
-    out = {f.name: [] for f in FINAL_SCHEMA}
+    fields = list(FINAL_SCHEMA)
+    if columns is not None:
+        want = set(columns)
+        fields = [f for f in FINAL_SCHEMA
+                  if f.name in ("series_key", "metric_type", "window_start")
+                  or f.name in want]
+    names = [f.name for f in fields]
+    dec_cols = (VALUE_COLS if columns is None
+                else decode_columns_needed(columns))
+    out = {n: [] for n in names}
     for i in range(blocks.num_rows):
         n = blocks["n"][i].as_py()
         mtype = blocks["metric_type"][i].as_py()
@@ -124,26 +155,42 @@ def decode_blocks(blocks: pa.Table, width_ms: int) -> pa.Table:
         out["metric_type"].extend([mtype] * n)
         out["window_start"].append(gorilla.decode_timestamps(blocks["b_ts"][i].as_py()))
         dec = {}
-        for c in VALUE_COLS:
+        for c in dec_cols:
             d = gorilla.decode_floats(blocks[f"b_{c}"][i].as_py())
             dec[c] = d
-            out[c].append(d.astype(np.int64) if c == "count" else d)
+            if c in out:
+                out[c].append(d.astype(np.int64) if c == "count" else d)
         with np.errstate(invalid="ignore", divide="ignore"):
-            out["mean"].append(dec["sum"] / dec["count"])
-            if mtype == "meter":
-                out["rate"].append(dec["sum"] / width_s)
-            elif mtype == "timer":
-                out["rate"].append(dec["count"] / width_s)
-            else:
-                out["rate"].append(np.full(n, np.nan))
-        out["gap_filled"].append(gorilla.decode_bools(blocks["b_gap"][i].as_py()))
+            if "mean" in out:
+                out["mean"].append(dec["sum"] / dec["count"])
+            if "rate" in out:
+                if mtype == "meter":
+                    out["rate"].append(dec["sum"] / width_s)
+                elif mtype == "timer":
+                    out["rate"].append(dec["count"] / width_s)
+                else:
+                    out["rate"].append(np.full(n, np.nan))
+        if "gap_filled" in out:
+            out["gap_filled"].append(gorilla.decode_bools(blocks["b_gap"][i].as_py()))
     cols = []
-    for f in FINAL_SCHEMA:
+    schema = pa.schema(fields)
+    for f in fields:
         v = out[f.name]
         if v and isinstance(v[0], np.ndarray):
             v = np.concatenate(v) if v else np.array([])
         cols.append(pa.array(v, f.type))
-    return pa.Table.from_arrays(cols, schema=FINAL_SCHEMA)
+    t = pa.Table.from_arrays(cols, schema=schema)
+    if window_min is not None or window_max is not None:
+        import pyarrow.compute as pc
+        w = t["window_start"]
+        mask = None
+        if window_min is not None:
+            mask = pc.greater_equal(w, window_min)
+        if window_max is not None:
+            m2 = pc.less_equal(w, window_max)
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        t = t.filter(mask)
+    return t
 
 
 class BucketWriter:
@@ -210,10 +257,33 @@ def write_tier(final_ds, out_dir: str, tier: str, cfg: EngineConfig,
     return ds.groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
 
 
-def read_tier(out_dir: str, tier: str):
-    """Read a tier back as a Dataset of decoded final rows (streaming)."""
+def read_tier(out_dir: str, tier: str,
+              window_min: int | None = None,
+              window_max: int | None = None,
+              columns=None):
+    """Read a tier back as a Dataset of decoded final rows (streaming).
+
+    Time-range queries prune at THREE levels before any decode work:
+      1. bucket PARTITIONS whose manifest [window_min, window_max] does
+         not intersect the range are never opened (driver-side, one
+         JSON stat per partition);
+      2. BLOCK rows are filtered at the parquet scan on their stored
+         (window_lo, window_hi) extents — pyarrow pushes the predicate
+         to row-group statistics, so non-overlapping row groups are not
+         read off storage;
+      3. decoded rows are trimmed to the exact range (edge blocks only
+         overlap it).
+    ``columns``: value-column subset — unrequested Gorilla planes are
+    neither READ (parquet column prune) nor decoded; key columns are
+    always present.  At a 100 TB tier a "count of series X last week"
+    touches kilobytes, not the tier."""
+    import json as _json
+
+    import pyarrow.compute as pc
     import ray.data as rd
+
     from logtrics_ray.config import TIERS
+    from logtrics_ray.state.manifest import MANIFEST_NAME
     width_ms = TIERS[tier]
     path = os.path.join(out_dir, f"tier={tier}")
     files = []
@@ -221,11 +291,47 @@ def read_tier(out_dir: str, tier: str):
         if "." in bucket_dir:      # .tmp / .old working dirs are not partitions
             continue
         f = os.path.join(path, bucket_dir, "blocks.parquet")
-        if os.path.isfile(f):
-            files.append(f)
-    ds = rd.read_parquet(files)
-    return ds.map_batches(lambda t: decode_blocks(t.combine_chunks(), width_ms),
-                          batch_format="pyarrow")
+        if not os.path.isfile(f):
+            continue
+        if window_min is not None or window_max is not None:
+            mpath = os.path.join(path, bucket_dir, MANIFEST_NAME)
+            try:
+                m = _json.load(open(mpath))
+                lo, hi = m.get("window_min"), m.get("window_max")
+                if lo is None and m.get("rows", 1) == 0:
+                    continue                    # empty partition
+                if (lo is not None and hi is not None
+                        and ((window_max is not None and lo > window_max)
+                             or (window_min is not None and hi < window_min))):
+                    continue                    # disjoint partition
+            except (OSError, ValueError):
+                pass                            # no/bad manifest: read it
+        files.append(f)
+    if not files:
+        return rd.from_arrow(decode_blocks(BLOCK_SCHEMA.empty_table(),
+                                           width_ms, columns=columns))
+    read_kw = {}
+    if window_min is not None or window_max is not None:
+        expr = None
+        if window_max is not None:
+            expr = pc.field("window_lo") <= window_max
+        if window_min is not None:
+            e2 = pc.field("window_hi") >= window_min
+            expr = e2 if expr is None else expr & e2
+        read_kw["filter"] = expr
+    if columns is not None:
+        keys = ["series_key", "metric_type", "window_lo", "window_hi",
+                "n", "b_ts"]
+        planes = [f"b_{c}" for c in decode_columns_needed(columns)]
+        if "gap_filled" in set(columns):
+            planes.append("b_gap")
+        read_kw["columns"] = keys + planes
+    ds = rd.read_parquet(files, **read_kw)
+    return ds.map_batches(
+        lambda t: decode_blocks(t.combine_chunks(), width_ms,
+                                columns=columns, window_min=window_min,
+                                window_max=window_max),
+        batch_format="pyarrow")
 
 
 def write_empty_partition(out_dir: str, tier: str, bucket: int,
