@@ -137,6 +137,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             scaling = json.load(open(spath))
         except (json.JSONDecodeError, OSError):
             scaling = None
+    # Likewise the 4x data-scaling smoke (scripts/datascale_smoke.py):
+    # weak-scaling evidence rides along in the same BENCH artifact.
+    data_scaling = None
+    dpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "DATASCALE_LATEST.json")
+    if os.path.exists(dpath):
+        try:
+            data_scaling = json.load(open(dpath))
+        except (json.JSONDecodeError, OSError):
+            data_scaling = None
 
     result = {
         "metric": "e2e_rollup_sec",
@@ -150,6 +160,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "points_per_sec": round(n_points / e2e, 1),
         "rows_per_sec": round(n_rows / e2e, 1),
         "scaling": scaling,
+        "data_scaling": data_scaling,
     }
     ray.shutdown()
     # Host-contention probes attached to the HEADLINE too (not only the
