@@ -54,15 +54,60 @@ from logtrics_ray.hashing import hash64_array, hash64_words
 _WS = re.compile(r"\s+")
 
 
+# Unicode White_Space=yes codepoints as UTF-8 byte patterns.  The split
+# is implemented in numpy over the raw value buffer instead of Arrow's
+# ``utf8_split_whitespace`` because that kernel has a PROCESS-STATEFUL
+# bug in pyarrow 16.1: after lowercasing certain inputs (observed with
+# U+0130 'İ' in the batch), later split calls on byte-identical arrays
+# permanently merge trailing whitespace into the last word — i.e. the
+# same document would hash differently depending on what a worker
+# process saw earlier, breaking dedup determinism at scale (pinned by
+# tests/test_functions.py::test_split_words_immune_to_kernel_poisoning).
+_WS_2BYTE = ((0xC2, 0x85), (0xC2, 0xA0))            # U+0085 NEL, U+00A0 NBSP
+_WS_3BYTE_RANGES = (                                 # (b0, b1, lo2, hi2)
+    (0xE1, 0x9A, 0x80, 0x80),                        # U+1680 ogham
+    (0xE2, 0x80, 0x80, 0x8A),                        # U+2000-200A spaces
+    (0xE2, 0x80, 0xA8, 0xA9),                        # U+2028/29 line/para sep
+    (0xE2, 0x80, 0xAF, 0xAF),                        # U+202F narrow nbsp
+    (0xE2, 0x81, 0x9F, 0x9F),                        # U+205F math space
+    (0xE3, 0x80, 0x80, 0x80),                        # U+3000 ideographic
+)
+
+
+def _ws_byte_mask(b: np.ndarray) -> np.ndarray:
+    """Per-BYTE whitespace mask over a utf-8 buffer: True for every byte
+    of a White_Space=yes character.  Lead bytes 0xC2/0xE1/0xE2/0xE3 can
+    never be continuation bytes, so pattern matches only fire at real
+    character boundaries."""
+    m = (b == 0x20) | ((b >= 0x09) & (b <= 0x0D))
+    if b.size >= 2:
+        b0, b1 = b[:-1], b[1:]
+        two = np.zeros(b.size - 1, dtype=bool)
+        for l0, l1 in _WS_2BYTE:
+            two |= (b0 == l0) & (b1 == l1)
+        m[:-1] |= two
+        m[1:] |= two
+    if b.size >= 3:
+        b0, b1, b2 = b[:-2], b[1:-1], b[2:]
+        three = np.zeros(b.size - 2, dtype=bool)
+        for l0, l1, lo, hi in _WS_3BYTE_RANGES:
+            three |= (b0 == l0) & (b1 == l1) & (b2 >= lo) & (b2 <= hi)
+        m[:-2] |= three
+        m[1:-1] |= three
+        m[2:] |= three
+    return m
+
+
 def split_words(texts) -> tuple[pa.Array, np.ndarray]:
-    """Vectorized lowercase + whitespace split shared by the MinHash /
+    """Vectorized whitespace split + lowercase shared by the MinHash /
     SimHash / n-gram kernels: (flat per-word string array doc-major,
     per-doc word counts).
 
-    Arrow ``utf8_lower`` + ``utf8_split_whitespace`` (C++), boundary
-    empties dropped — the same words in the same order as the per-doc
-    ``_WS.split(t.strip().lower())`` list-comp it replaces (byte-equal
-    signatures pinned in tests/test_functions.py)."""
+    Split runs FIRST, in pure numpy over the utf-8 value buffer (see
+    ``_ws_byte_mask`` for why Arrow's split kernel is avoided), then ONE
+    ``utf8_lower`` over the flat word array.  split-then-lower equals
+    the reference lower-then-split because Unicode simple lowercasing
+    never maps a character into or out of the White_Space class."""
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.array(list(texts), pa.string())
     if isinstance(texts, pa.ChunkedArray):
@@ -70,18 +115,48 @@ def split_words(texts) -> tuple[pa.Array, np.ndarray]:
     n = len(texts)
     if n == 0:
         return pa.array([], pa.string()), np.empty(0, np.int64)
-    words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    flat = pc.list_flatten(words)
-    raw_cnt = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    wlen = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-    keep = wlen > 0                     # split emits '' at text edges
-    doc_of = np.repeat(np.arange(n, dtype=np.int64), raw_cnt)
-    wc = np.bincount(doc_of[keep], minlength=n).astype(np.int64)
-    kept = flat if keep.all() else flat.filter(pa.array(keep))
-    return kept, wc
+    bufs = texts.buffers()
+    doc_off = np.frombuffer(bufs[1], np.int32)[
+        texts.offset: texts.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+            else np.empty(0, np.uint8))
+    lo, hi = int(doc_off[0]), int(doc_off[-1])
+    b = data[lo:hi]
+    off0 = doc_off - lo                       # doc byte ranges within b
+    if b.size == 0:
+        return pa.array([], pa.string()), np.zeros(n, np.int64)
+    ws = _ws_byte_mask(b)
+    nonws = ~ws
+    # a word starts at a non-ws byte whose predecessor is ws or a doc
+    # boundary; ends at a non-ws byte whose successor is ws or a boundary
+    prev_sep = np.empty(b.size, dtype=bool)
+    prev_sep[0] = True
+    prev_sep[1:] = ws[:-1]
+    next_sep = np.empty(b.size, dtype=bool)
+    next_sep[-1] = True
+    next_sep[:-1] = ws[1:]
+    inner = off0[1:-1]                        # doc boundaries break runs
+    prev_sep[inner[(inner >= 0) & (inner < b.size)]] = True
+    nz = inner[(inner > 0) & (inner <= b.size)]
+    next_sep[nz - 1] = True
+    starts = np.flatnonzero(nonws & prev_sep)
+    ends = np.flatnonzero(nonws & next_sep)
+    lens = ends - starts + 1
+    w_doc = np.searchsorted(off0, starts, side="right") - 1
+    wc = np.bincount(w_doc, minlength=n).astype(np.int64)
+    if starts.size == 0:
+        return pa.array([], pa.string()), wc
+    # gather the word bytes into a fresh compact string array
+    w_off = np.concatenate([[0], np.cumsum(lens)])
+    intra = (np.arange(int(w_off[-1]), dtype=np.int64)
+             - np.repeat(w_off[:-1], lens))
+    flat_bytes = b[np.repeat(starts, lens) + intra]
+    assert w_off[-1] < (1 << 31), "word payload overflows int32 offsets"
+    words = pa.Array.from_buffers(
+        pa.string(), starts.size,
+        [None, pa.py_buffer(w_off.astype(np.int32).tobytes()),
+         pa.py_buffer(flat_bytes.tobytes())])
+    return pc.utf8_lower(words), wc
 
 
 def word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -620,7 +695,16 @@ def simhash_dedup(ds, mask_bits: int = 4):
 # ------------------------------------------------------- n-gram Jaccard ----
 
 def ngram_set(text: str, n: int = 3) -> set:
-    words = [w for w in _WS.split(text.strip().lower()) if w]
+    """Scalar reference of the batch gram kernel (one doc -> its gram
+    STRING set).  Normalization delegates to the engine's CANONICAL
+    ``split_words`` (Arrow utf8_lower + utf8_split_whitespace) — the
+    same kernels every vectorized text operator uses — so the oracle
+    side-table builder and the decontamination reference can never
+    diverge from the batch path on unicode edge cases where utf8proc's
+    simple case mapping differs from Python ``str.lower`` (e.g. 'İ' ->
+    'i' vs 'i̇').  The WINDOWING/set construction here stays independent
+    scalar Python, which is what the kernel-equivalence tests pin."""
+    words = split_words(pa.array([text], pa.string()))[0].to_pylist()
     if len(words) < n:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}

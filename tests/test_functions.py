@@ -1287,3 +1287,34 @@ def test_cms_estimates_bound_exact_counts(ray_session, tmp_path):
     # the hot key estimate is near-exact at this load factor
     hot = frame[frame.user_id == 7].iloc[0]
     assert hot.exact_n >= 500 and hot.est_n <= hot.exact_n + 10
+
+
+def test_split_words_immune_to_kernel_poisoning():
+    """pyarrow 16.1's utf8_split_whitespace has a PROCESS-STATEFUL bug:
+    after lowercasing certain inputs (U+0130 'İ' in the trigger batch),
+    later split calls on byte-identical arrays merge trailing whitespace
+    into the last word.  The engine's split_words does the whitespace
+    scan in numpy over the value buffer, so its output must be identical
+    before and after the poisoning trigger — the determinism every
+    signature kernel rests on."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from logtrics_ray.functions.dedup import split_words
+
+    victim = [' İ𑣅𝧩\x81𑣅 ', 'a b ', '\xa0x\xa0']
+    before_k, before_c = split_words(pa.array(victim, pa.string()))
+    before = before_k.to_pylist()
+    # the poisoning trigger observed in the wild (lower over 'İ' & mixed
+    # unicode, then splits) — poisons pc.utf8_split_whitespace for the
+    # REST OF THE PROCESS in pyarrow 16.1
+    trigger = ['🌐ć𑣅Ꮚ🌐ać\x81Ꮚ', 'ß\x8a\t𝌹İß\ty𝧩ß𑣅%\x8a',
+               'Ꮚ\tć0ća\xa0İ\x85🌐🌐Ꮚ \x8a\x8a𑣅', '0\x90𝌹𝌹\x81Ꮚ𑣅']
+    pc.utf8_split_whitespace(pc.utf8_lower(pa.array(trigger, pa.string())))
+    after_k, after_c = split_words(pa.array(victim, pa.string()))
+    assert before == after_k.to_pylist()
+    assert np.array_equal(before_c, after_c)
+    # and the split itself is correct: no word carries whitespace bytes
+    assert before == ['i𑣅𝧩\x81𑣅', 'a', 'b', 'x']
+    assert before_c.tolist() == [1, 2, 1]

@@ -138,3 +138,40 @@ def test_gorilla_floats_roundtrip_property(vals):
         encv = gorilla._encode_floats_vectorized(
             bits, np.bitwise_xor(bits[1:], bits[:-1]))
         assert gorilla.decode_floats(encv).view(np.uint64).tolist() == bits.tolist()
+
+
+# ---- vectorized n-gram kernel == scalar ngram_set reference ------------
+
+_text_st = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("Lu", "Ll", "Nd", "Po", "Zs", "Cc", "So")),
+    max_size=120)
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(_text_st, max_size=12),
+       n=st.integers(min_value=1, max_value=9))
+def test_gram_kernel_equals_ngram_set_property(texts, n):
+    """The batch-vectorized gram kernel must equal the scalar
+    ``ngram_set`` reference for ARBITRARY unicode inputs (random case,
+    punctuation, control/whitespace chars, symbols, empty docs) — the
+    invariant the n-gram Jaccard / decontamination oracle replay rests
+    on.  Hypothesis explores the split-boundary space the fixture corpus
+    can't."""
+    from logtrics_ray.functions.dedup import (gram_hash_flat, ngram_set,
+                                              unique_grams_per_doc)
+    from logtrics_ray.hashing import hash64_array
+
+    ref = [np.unique(hash64_array(sorted(ngram_set(s, n))))
+           if s.strip() else np.empty(0, np.uint64) for s in texts]
+    h, g_doc, n_docs = gram_hash_flat(pa.array(texts, pa.string()), n)
+    uh, cnt = unique_grams_per_doc(h, g_doc, n_docs)
+    off = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+    assert n_docs == len(texts)
+    for i, r in enumerate(ref):
+        got = uh[off[i]:off[i + 1]]
+        assert np.array_equal(got, r), (
+            i, texts[i].encode("utf-8", "surrogatepass"), r, got, n,
+            [t.encode("utf-8", "surrogatepass") for t in texts])
