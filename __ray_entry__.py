@@ -887,6 +887,22 @@ logtrics {
         return threshold_cross_frame(_events_core(sf_dir, HOUR_MS),
                                      threshold=4)
 
+    def q_derivative(sf_dir):
+        """nonNegativeDerivative over the 1h tier: per-series count
+        delta vs the lagged window, counter resets (negative deltas)
+        publish NULL — graphite render-function parity, SQL lag replay."""
+        from logtrics_ray.stages.analytics import derivative_frame
+        return derivative_frame(_events_core(sf_dir, HOUR_MS),
+                                non_negative=True)
+
+    def q_timeshift(sf_dir):
+        """timeShift compare: each 1h window's count vs the same series
+        one day earlier (day-over-day delta); rows only where the
+        shifted window exists — SQL self-join replay."""
+        from logtrics_ray.stages.analytics import timeshift_compare_frame
+        return timeshift_compare_frame(_events_core(sf_dir, HOUR_MS),
+                                       shift_ms=DAY_MS)
+
     def q_multimodal(sf_dir):
         """REAL decode kernels (PPM + PNG + WAV, stdlib/numpy only):
         features from actual pixel/sample planes, oracle-replayed by SQL
@@ -986,8 +1002,10 @@ logtrics {
         "embedding_label_centroids": q_label_centroids,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
-        # -- 28: NEW this round (needs first driver adjudication) -------
+        # -- 28-30: NEW this round (need first driver adjudication) -----
         "loglines_multiwidth_rollup": q_multiwidth,
+        "events_derivative_1h": q_derivative,
+        "events_timeshift_1d_compare": q_timeshift,
         # -- 29-50: cheap representatives of r04-green families ---------
         "events_rollup_1m": q_rollup(MIN_MS),
         "events_rollup_1h_cascade": q_rollup_cascade([HOUR_MS]),
@@ -1481,6 +1499,16 @@ def _multiwidth_sql(token_dir: str) -> str:
     FROM wp GROUP BY 1, 2, 3, 4"""
 
 
+def _derivative_sql(width_ms: int) -> str:
+    from logtrics_ray.stages.analytics import derivative_oracle_sql
+    return derivative_oracle_sql(width_ms, non_negative=True)
+
+
+def _timeshift_sql(width_ms: int, shift_ms: int) -> str:
+    from logtrics_ray.stages.analytics import timeshift_oracle_sql
+    return timeshift_oracle_sql(width_ms, shift_ms)
+
+
 def _seasonal_sql(width_ms: int) -> str:
     from logtrics_ray.stages.analytics import seasonal_oracle_sql
     return seasonal_oracle_sql(width_ms)
@@ -1940,6 +1968,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM pts GROUP BY 1, 2""",
         "loglines_multiwidth_rollup": _multiwidth_sql(token_dir),
+        "events_derivative_1h": _derivative_sql(HOUR_MS),
+        "events_timeshift_1d_compare": _timeshift_sql(HOUR_MS, DAY_MS),
         "token_rollup_1m": _token_tier_sql(MIN_MS, token_dir),
         "token_rollup_1h": _token_tier_sql(HOUR_MS, token_dir),
         "token_rollup_1d": _token_tier_sql(DAY_MS, token_dir),

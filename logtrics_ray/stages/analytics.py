@@ -976,3 +976,155 @@ def lttb_oracle_sql(width_ms: int, n_out: int = 24, k_table: str = "events",
     SELECT sk AS series_key, {n_out - 1} AS rank, w AS window_start,
            y AS n
     FROM lastpt""")
+
+
+def derivative_frame(core_ds, non_negative: bool = True):
+    """DERIVATIVE of each series' count curve — graphite's
+    ``derivative()`` / ``nonNegativeDerivative()`` render functions
+    (the reference's sink feeds a Graphite stack; these are the
+    functions its users run over stored series).  Per series over
+    PRESENT windows sorted ascending: delta = n - lag(n); with
+    ``non_negative`` a negative delta publishes NULL (counter-reset
+    semantics) instead of a misleading negative rate.  Pure int64
+    against the lagged neighbour; bit-identical to the SQL lag()
+    replay.  A series' first window emits no row (no lag).
+
+    Output: (series_key, window_start, n, prev_n, delta).
+    """
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()[order]
+        n = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        sz = w.size
+        empty = pa.Table.from_arrays([
+            pa.array([], pa.string()), pa.array([], pa.int64()),
+            pa.array([], pa.int64()), pa.array([], pa.int64()),
+            pa.array([], pa.int64()),
+        ], names=["series_key", "window_start", "n", "prev_n", "delta"])
+        if sz == 0:
+            return empty
+        prev = np.empty(sz, dtype=np.int64)
+        prev[1:] = n[:-1]
+        prev[0] = n[0]
+        has_prev = np.ones(sz, dtype=bool)
+        has_prev[starts] = False
+        hit = np.flatnonzero(has_prev)
+        if hit.size == 0:
+            return empty
+        seg_of = np.searchsorted(starts, hit, side="right") - 1
+        delta = n[hit] - prev[hit]
+        dmask = (delta < 0) if non_negative else np.zeros(hit.size, bool)
+        return pa.Table.from_arrays([
+            pa.array(labels["series_key"][seg_of], pa.string()),
+            pa.array(w[hit], pa.int64()),
+            pa.array(n[hit], pa.int64()),
+            pa.array(prev[hit], pa.int64()),
+            pa.array(np.ma.masked_array(delta, dmask), pa.int64()),
+        ], names=["series_key", "window_start", "n", "prev_n", "delta"])
+
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def derivative_oracle_sql(width_ms: int, non_negative: bool = True,
+                          k_table: str = "events",
+                          key_col: str = "event_type",
+                          ts_col: str = "ts") -> str:
+    """DuckDB replay of ``derivative_frame`` (lag window + reset NULL)."""
+    d = ("CASE WHEN n - pn < 0 THEN NULL ELSE n - pn END"
+         if non_negative else "n - pn")
+    return f"""
+    WITH agg AS (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             count(*)::BIGINT AS n
+      FROM {k_table} GROUP BY 1, 2),
+    l AS (
+      SELECT sk, w, n,
+             lag(n) OVER (PARTITION BY sk ORDER BY w) AS pn
+      FROM agg)
+    SELECT sk AS series_key, w AS window_start, n, pn AS prev_n,
+           {d} AS delta
+    FROM l WHERE pn IS NOT NULL"""
+
+
+def timeshift_compare_frame(core_ds, shift_ms: int):
+    """TIME-SHIFT comparison — graphite's ``timeShift()`` composed with
+    a diff: each window's count vs the SAME series' count one
+    ``shift_ms`` earlier (day-over-day / week-over-week deltas, the
+    standard seasonal-drift readout).  Within each sorted series
+    segment the shifted partner is found by ONE searchsorted of
+    (w - shift) into the segment's own window array — no join, no
+    second pass; rows emit only when the shifted window EXISTS.  Pure
+    int64; bit-identical to the SQL self-join replay.
+
+    Output: (series_key, window_start, n, n_shifted, delta).
+    """
+    S = int(shift_ms)
+
+    def scan(g: pa.Table) -> pa.Table:
+        order, starts, bounds, labels = _segments(
+            g, ["window_start"], key_cols=("series_key", "metric_type"))
+        g = g.combine_chunks()
+        w = g["window_start"].to_numpy()[order]
+        n = g["count"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        sz = w.size
+        empty = pa.Table.from_arrays([
+            pa.array([], pa.string()), pa.array([], pa.int64()),
+            pa.array([], pa.int64()), pa.array([], pa.int64()),
+            pa.array([], pa.int64()),
+        ], names=["series_key", "window_start", "n", "n_shifted", "delta"])
+        if sz == 0:
+            return empty
+        seg_of = np.searchsorted(starts, np.arange(sz), side="right") - 1
+        # w is ascending only WITHIN a segment — search on the composite
+        # (segment, window) key, which IS globally sorted.  Targets below
+        # the bucket's wmin are masked out up front so a negative offset
+        # can never alias into the previous segment's key range.
+        target = w - S
+        wmin = int(w.min())
+        M = int(w.max()) - wmin + 1
+        if (int(seg_of[-1]) + 1) * M >= 1 << 62:   # loud int64 guard
+            raise OverflowError(
+                "timeshift_compare_frame: composite (segment, window) "
+                f"key overflows int64 ({seg_of[-1] + 1} segments x "
+                f"{M} ms span); narrow the bucket or the time range")
+        kw = seg_of * M + (w - wmin)
+        tkey = seg_of * M + (target - wmin)
+        idx = np.searchsorted(kw, tkey, side="left")
+        ok = (target >= wmin) & (idx < sz)
+        idx_c = np.clip(idx, 0, sz - 1)
+        ok &= kw[idx_c] == tkey
+        hit = np.flatnonzero(ok)
+        if hit.size == 0:
+            return empty
+        part = idx_c[hit]
+        return pa.Table.from_arrays([
+            pa.array(labels["series_key"][seg_of[hit]], pa.string()),
+            pa.array(w[hit], pa.int64()),
+            pa.array(n[hit], pa.int64()),
+            pa.array(n[part], pa.int64()),
+            pa.array(n[hit] - n[part], pa.int64()),
+        ], names=["series_key", "window_start", "n", "n_shifted", "delta"])
+
+    return _with_scan_bucket(core_ds).groupby("_scan_bucket").map_groups(
+        scan, batch_format="pyarrow")
+
+
+def timeshift_oracle_sql(width_ms: int, shift_ms: int,
+                         k_table: str = "events",
+                         key_col: str = "event_type",
+                         ts_col: str = "ts") -> str:
+    """DuckDB replay of ``timeshift_compare_frame`` (self-join)."""
+    return f"""
+    WITH agg AS (
+      SELECT {key_col} AS sk,
+             (epoch_ms({ts_col}) // {width_ms}) * {width_ms} AS w,
+             count(*)::BIGINT AS n
+      FROM {k_table} GROUP BY 1, 2)
+    SELECT a.sk AS series_key, a.w AS window_start, a.n,
+           b.n AS n_shifted, a.n - b.n AS delta
+    FROM agg a JOIN agg b ON b.sk = a.sk AND b.w = a.w - {shift_ms}"""

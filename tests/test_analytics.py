@@ -331,3 +331,52 @@ def test_storage_agg_view_first_match_wins(ray_session):
     with _pytest.raises(ValueError):
         storage_agg_view_frame(rd.from_arrow(t),
                                rules=(("x", "median"),))
+
+
+def test_derivative_frame_resets_null(ray_session):
+    from logtrics_ray.stages.analytics import derivative_frame
+    H = 3_600_000
+    ws = np.arange(6, dtype=np.int64) * H
+    cnt = np.array([5, 8, 3, 3, 10, 1], dtype=np.int64)
+    got = derivative_frame(
+        rd.from_arrow(_core_table({"s": (ws, cnt)})), non_negative=True
+    ).to_pandas().sort_values("window_start").reset_index(drop=True)
+    # first window emits nothing; resets (8->3, 10->1) publish NULL
+    assert list(got.window_start) == [H, 2 * H, 3 * H, 4 * H, 5 * H]
+    d = got.delta.tolist()
+    assert d[0] == 3 and pd_isna(d[1]) and d[2] == 0 and d[3] == 7 \
+        and pd_isna(d[4])
+    got2 = derivative_frame(
+        rd.from_arrow(_core_table({"s": (ws, cnt)})), non_negative=False
+    ).to_pandas().sort_values("window_start").reset_index(drop=True)
+    assert got2.delta.tolist() == [3, -5, 0, 7, -9]
+
+
+def pd_isna(x):
+    import pandas as pd
+    return pd.isna(x)
+
+
+def test_timeshift_compare_frame_day_over_day(ray_session):
+    from logtrics_ray.stages.analytics import timeshift_compare_frame
+    H, D = 3_600_000, 86_400_000
+    # two days of hourly windows with a gap at hour 26 (second day's 2am)
+    ws = np.array([0, H, 2 * H, D, D + H, D + 3 * H], dtype=np.int64)
+    cnt = np.array([10, 20, 30, 15, 22, 7], dtype=np.int64)
+    got = timeshift_compare_frame(
+        rd.from_arrow(_core_table({"s": (ws, cnt)})), shift_ms=D
+    ).to_pandas().sort_values("window_start").reset_index(drop=True)
+    # partners exist only for D (<-0) and D+H (<-H); D+3H has no partner
+    assert list(got.window_start) == [D, D + H]
+    assert list(got.n) == [15, 22]
+    assert list(got.n_shifted) == [10, 20]
+    assert list(got.delta) == [5, 2]
+    # two series in one bucket: partners never cross series
+    got2 = timeshift_compare_frame(
+        rd.from_arrow(_core_table({"a": (np.array([0, D], np.int64),
+                                         np.array([1, 2], np.int64)),
+                                   "b": (np.array([D], np.int64),
+                                         np.array([9], np.int64))})),
+        shift_ms=D).to_pandas()
+    assert list(got2.series_key) == ["a"]
+    assert list(got2.delta) == [1]
