@@ -42,7 +42,6 @@ actor-pool size that could starve a node; see stages/extract.py).
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pandas as pd
@@ -51,7 +50,6 @@ import pyarrow.compute as pc
 
 from logtrics_ray.hashing import hash64_array, hash64_words
 
-_WS = re.compile(r"\s+")
 
 
 # Unicode White_Space=yes codepoints as UTF-8 byte patterns.  The split
