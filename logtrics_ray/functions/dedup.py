@@ -72,27 +72,41 @@ _WS_3BYTE_RANGES = (                                 # (b0, b1, lo2, hi2)
 )
 
 
+_ASCII_WS_LUT = np.zeros(256, dtype=bool)
+_ASCII_WS_LUT[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
+_WS_LEAD_LUT = np.zeros(256, dtype=bool)
+_WS_LEAD_LUT[[0xC2, 0xE1, 0xE2, 0xE3]] = True
+_ASCII_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_ASCII_LOWER_LUT[0x41:0x5B] += 32
+
+
 def _ws_byte_mask(b: np.ndarray) -> np.ndarray:
     """Per-BYTE whitespace mask over a utf-8 buffer: True for every byte
     of a White_Space=yes character.  Lead bytes 0xC2/0xE1/0xE2/0xE3 can
     never be continuation bytes, so pattern matches only fire at real
-    character boundaries."""
-    m = (b == 0x20) | ((b >= 0x09) & (b <= 0x0D))
-    if b.size >= 2:
-        b0, b1 = b[:-1], b[1:]
-        two = np.zeros(b.size - 1, dtype=bool)
+    character boundaries.  ASCII whitespace is one LUT gather; the
+    multi-byte patterns are evaluated only at candidate lead-byte
+    positions (usually none on real corpora)."""
+    m = _ASCII_WS_LUT[b]
+    cand = np.flatnonzero(_WS_LEAD_LUT[b])
+    if cand.size:
+        c2 = cand[(cand + 1 < b.size)]
+        b0, b1 = b[c2], b[c2 + 1]
+        two = np.zeros(c2.size, dtype=bool)
         for l0, l1 in _WS_2BYTE:
             two |= (b0 == l0) & (b1 == l1)
-        m[:-1] |= two
-        m[1:] |= two
-    if b.size >= 3:
-        b0, b1, b2 = b[:-2], b[1:-1], b[2:]
-        three = np.zeros(b.size - 2, dtype=bool)
+        hit2 = c2[two]
+        m[hit2] = True
+        m[hit2 + 1] = True
+        c3 = cand[(cand + 2 < b.size)]
+        b0, b1, b2 = b[c3], b[c3 + 1], b[c3 + 2]
+        three = np.zeros(c3.size, dtype=bool)
         for l0, l1, lo, hi in _WS_3BYTE_RANGES:
             three |= (b0 == l0) & (b1 == l1) & (b2 >= lo) & (b2 <= hi)
-        m[:-2] |= three
-        m[1:-1] |= three
-        m[2:] |= three
+        hit3 = c3[three]
+        m[hit3] = True
+        m[hit3 + 1] = True
+        m[hit3 + 2] = True
     return m
 
 
@@ -144,17 +158,21 @@ def split_words(texts) -> tuple[pa.Array, np.ndarray]:
     wc = np.bincount(w_doc, minlength=n).astype(np.int64)
     if starts.size == 0:
         return pa.array([], pa.string()), wc
-    # gather the word bytes into a fresh compact string array
+    # the flat word payload IS the non-ws bytes in order (words are the
+    # maximal non-ws runs) — one boolean gather, no index arithmetic
+    flat_bytes = b[nonws]
     w_off = np.concatenate([[0], np.cumsum(lens)])
-    intra = (np.arange(int(w_off[-1]), dtype=np.int64)
-             - np.repeat(w_off[:-1], lens))
-    flat_bytes = b[np.repeat(starts, lens) + intra]
     assert w_off[-1] < (1 << 31), "word payload overflows int32 offsets"
+    has_hi = bool((flat_bytes >= 0x80).any())
+    if not has_hi:
+        # pure-ASCII fast path: LUT lowercase on the raw bytes, no
+        # Arrow case kernel
+        flat_bytes = _ASCII_LOWER_LUT[flat_bytes]
     words = pa.Array.from_buffers(
         pa.string(), starts.size,
         [None, pa.py_buffer(w_off.astype(np.int32).tobytes()),
          pa.py_buffer(flat_bytes.tobytes())])
-    return pc.utf8_lower(words), wc
+    return (pc.utf8_lower(words) if has_hi else words), wc
 
 
 def word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
