@@ -72,8 +72,14 @@ _WS_3BYTE_RANGES = (                                 # (b0, b1, lo2, hi2)
 )
 
 
+# NOTE: the class is utf8proc/CPython ``isspace`` — Unicode
+# White_Space=yes PLUS the bidi-B/S control separators 0x1C-0x1F —
+# because that is what Arrow's utf8_split_whitespace (the kernel this
+# splitter replaced) and Python ``str.split()`` both use; the oracle
+# side tables were built with those semantics.
 _ASCII_WS_LUT = np.zeros(256, dtype=bool)
-_ASCII_WS_LUT[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
+_ASCII_WS_LUT[[0x09, 0x0A, 0x0B, 0x0C, 0x0D,
+               0x1C, 0x1D, 0x1E, 0x1F, 0x20]] = True
 _WS_LEAD_LUT = np.zeros(256, dtype=bool)
 _WS_LEAD_LUT[[0xC2, 0xE1, 0xE2, 0xE3]] = True
 _ASCII_LOWER_LUT = np.arange(256, dtype=np.uint8)

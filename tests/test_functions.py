@@ -1318,3 +1318,27 @@ def test_split_words_immune_to_kernel_poisoning():
     # and the split itself is correct: no word carries whitespace bytes
     assert before == ['i𑣅𝧩\x81𑣅', 'a', 'b', 'x']
     assert before_c.tolist() == [1, 2, 1]
+
+
+def test_split_words_whitespace_class_is_isspace():
+    """The splitter's whitespace class must be utf8proc/CPython
+    ``isspace`` — Unicode White_Space=yes PLUS the bidi-B/S control
+    separators U+001C..001F — matching Arrow's utf8_split_whitespace
+    and Python ``str.split()``, the semantics the oracle side tables
+    were built with (regression pin: the first numpy-LUT rewrite
+    dropped 1C-1F and silently kept '\\x1f' as a word)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logtrics_ray.functions.dedup import split_words
+
+    docs = ['a\x1cb', 'a\x1db', 'a\x1eb', 'a\x1fb', '\x1f', 'a\x85b',
+            'a\xa0b', 'a b', 'a᠎b']  # 180E is NOT whitespace
+    kept, wc = split_words(pa.array(docs, pa.string()))
+    ref_words, ref_wc = [], []
+    for d in docs:
+        w = d.lower().split()
+        ref_words += w
+        ref_wc.append(len(w))
+    assert kept.to_pylist() == ref_words
+    assert wc.tolist() == ref_wc == [2, 2, 2, 2, 0, 2, 2, 2, 1]
