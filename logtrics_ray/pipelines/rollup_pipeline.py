@@ -13,6 +13,7 @@ source if complete in every tier, and per tier at the write.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -225,6 +226,24 @@ class _FusedBucketWorker:
         }
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        # Opt-in skew diagnostics: LT_BUCKET_TIMING_DIR=<dir> makes every
+        # bucket-merge task drop a one-line JSON with its wall time, so a
+        # straggler bucket can be attributed to data (rows_in) vs host.
+        timing_dir = os.environ.get("LT_BUCKET_TIMING_DIR")
+        if timing_dir:
+            t0 = time.perf_counter()
+            out = self._call_inner(group)
+            b = int(group["sbucket"][0].as_py()) if group.num_rows else -1
+            with open(os.path.join(
+                    timing_dir,
+                    f"{b}_{os.getpid()}_{time.monotonic_ns()}.json"),
+                    "w") as f:
+                json.dump({"bucket": b, "rows_in": group.num_rows,
+                           "sec": round(time.perf_counter() - t0, 4)}, f)
+            return out
+        return self._call_inner(group)
+
+    def _call_inner(self, group: pa.Table) -> pa.Table:
         import numpy as np
         from logtrics_ray.stages.cascade import _cascade_bucket_fn
         from logtrics_ray.stages.rollup import (CORE_SCHEMA, _bucket_rollup_fn,

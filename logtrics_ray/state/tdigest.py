@@ -106,3 +106,113 @@ class TDigest:
         m = np.frombuffer(b[8:8 + 8 * n], dtype="<f8").copy()
         w = np.frombuffer(b[8 + 8 * n:8 + 16 * n], dtype="<f8").copy()
         return cls(m, w)
+
+
+# ---------------------------------------------------- vectorized group merge --
+
+_EMPTY_BYTES = np.int64(0).tobytes()
+
+
+def merge_groups_vectorized(means_flat: np.ndarray, weights_flat: np.ndarray,
+                            centroid_group: np.ndarray, n_groups: int,
+                            qs_list) -> tuple[list, np.ndarray]:
+    """Merge pre-flattened centroid parts per group — bit-identical to
+    ``TDigest.merge_all(parts_of_group).to_bytes() / .quantiles(qs_list)``
+    for every group, but with ONE global stable lexsort + segmented
+    reduceat instead of a Python loop per group (the timer-window merge
+    was the measured ~40x straggler in hot rollup buckets).
+
+    ``centroid_group[i]`` is the 0-based output group of flat centroid i;
+    within a group, flat order must equal the caller-fixed merge order
+    (``merge_all``'s concat order).  Exactness argument: centroid weights
+    are integer-valued by construction (unit-weight builds, merged by
+    sums), so per-group running sums recovered as global-cumsum-minus-
+    prefix are exact, and every other expression (qmid, k1 bucket, the
+    reduceat weighted means, quantile interpolation) is evaluated
+    element-for-element identically to the scalar path.  If a non-integer
+    weight ever appears the caller must not use this path; we guard and
+    fall back to the scalar loop.
+
+    Returns (serialized bytes per group, (n_groups, len(qs)) quantile
+    matrix).  Groups with no centroids get the empty-digest encoding and
+    NaN quantiles, matching ``merge_all([])``.
+    """
+    nq = len(qs_list)
+    out_bytes: list = [_EMPTY_BYTES] * n_groups
+    out_qs = np.full((n_groups, nq), np.nan)
+    if means_flat.size == 0:
+        return out_bytes, out_qs
+    if not np.all(weights_flat == np.rint(weights_flat)):
+        # non-integral weights: prefix-sum trick not exact -> scalar path
+        for g in range(n_groups):
+            sel = centroid_group == g
+            if not sel.any():
+                continue
+            d = TDigest.merge_all([TDigest(means_flat[sel], weights_flat[sel])])
+            out_bytes[g] = d.to_bytes()
+            out_qs[g] = d.quantiles(qs_list)
+        return out_bytes, out_qs
+
+    order = np.lexsort((weights_flat, means_flat, centroid_group))
+    ms, ws, sg = means_flat[order], weights_flat[order], centroid_group[order]
+
+    # ---- segmented _compress ------------------------------------------
+    seg_starts = np.flatnonzero(np.diff(sg, prepend=sg[0] - 1))
+    seg_lens = np.diff(np.append(seg_starts, sg.size))
+    totals = np.add.reduceat(ws, seg_starts)            # exact integers
+    gcum = np.cumsum(ws)
+    prefix = gcum[seg_starts] - ws[seg_starts]          # exact: sum before seg
+    cum = gcum - np.repeat(prefix, seg_lens)            # == per-seg cumsum
+    qmid = (cum - ws / 2.0) / np.repeat(totals, seg_lens)
+    k = DELTA * (np.arcsin(2.0 * qmid - 1.0) / np.pi + 0.5)
+    b = np.minimum(np.floor(k).astype(np.int64), DELTA - 1)
+    c_starts = np.flatnonzero(np.diff(sg, prepend=sg[0] - 1).astype(bool)
+                              | np.diff(b, prepend=b[0] - 1).astype(bool))
+    w_c = np.add.reduceat(ws, c_starts)
+    m_c = np.add.reduceat(ms * ws, c_starts) / w_c
+    c_seg = sg[c_starts]
+
+    seg_c_starts = np.flatnonzero(np.diff(c_seg, prepend=c_seg[0] - 1))
+    sizes_c = np.diff(np.append(seg_c_starts, c_seg.size))
+    first_idx = seg_c_starts
+    last_idx = np.append(seg_c_starts[1:], c_seg.size) - 1
+    seg_groups = c_seg[seg_c_starts]                    # ascending, nonempty
+    nseg = seg_groups.size
+
+    # ---- segmented quantiles over the compressed centroids ------------
+    ccum = np.cumsum(w_c)
+    cprefix = ccum[first_idx] - w_c[first_idx]
+    mids = (ccum - np.repeat(cprefix, sizes_c)) - w_c / 2.0
+    tot_seg = np.add.reduceat(w_c, first_idx)           # == totals (integers)
+    seg_idx_c = np.repeat(np.arange(nseg), sizes_c)
+    size1 = sizes_c == 1
+    qmat = np.empty((nseg, nq), dtype=np.float64)
+    for qi, q in enumerate(qs_list):
+        target = q * tot_seg
+        cnt = np.bincount(seg_idx_c[mids <= np.repeat(target, sizes_c)],
+                          minlength=nseg)               # searchsorted 'right'
+        res = np.empty(nseg, dtype=np.float64)
+        lowm = target <= mids[first_idx]
+        highm = target >= mids[last_idx]
+        res[lowm] = m_c[first_idx][lowm]
+        res[highm] = m_c[last_idx][highm]
+        res[size1] = m_c[first_idx][size1]
+        interp = ~(size1 | lowm | highm)
+        if interp.any():
+            gi = (first_idx + cnt)[interp]
+            tgt = target[interp]
+            t = (tgt - mids[gi - 1]) / (mids[gi] - mids[gi - 1])
+            res[interp] = m_c[gi - 1] + t * (m_c[gi] - m_c[gi - 1])
+        qmat[:, qi] = res
+    out_qs[seg_groups] = qmat
+
+    # ---- serialization: identical bytes to TDigest.to_bytes -----------
+    m_le = m_c.astype("<f8", copy=False)
+    w_le = w_c.astype("<f8", copy=False)
+    bounds_c = np.append(first_idx, c_seg.size)
+    for j in range(nseg):
+        lo, hi = int(bounds_c[j]), int(bounds_c[j + 1])
+        out_bytes[int(seg_groups[j])] = (
+            np.int64(hi - lo).tobytes()
+            + m_le[lo:hi].tobytes() + w_le[lo:hi].tobytes())
+    return out_bytes, out_qs

@@ -91,6 +91,49 @@ def test_tdigest_small_inputs():
     assert 1.0 <= d.quantile(0.5) <= 3.0
 
 
+def test_tdigest_merge_groups_vectorized_bit_identical():
+    """The segment-vectorized group merge (the timer-window hot path in
+    both rollup partial-merge variants) must be BIT-identical to the
+    scalar ``merge_all().to_bytes()/.quantiles()`` loop it replaced —
+    same serialized centroids, same quantile floats — across empty
+    groups, single-part groups, heavy ties, and interleaved group ids."""
+    from logtrics_ray.state.tdigest import merge_groups_vectorized
+    rng = np.random.default_rng(42)
+    qs = (0.5, 0.75, 0.95, 0.99, 0.999)
+    for trial in range(25):
+        n_groups = int(rng.integers(1, 8))
+        mparts, wparts, gparts = [], [], []
+        per_group: list = [[] for _ in range(n_groups)]
+        for g in range(n_groups):
+            if rng.random() < 0.15:
+                continue
+            for _ in range(int(rng.integers(1, 6))):
+                k = int(rng.integers(1, 400))
+                vals = np.round(rng.normal(0, 100, k), 2)
+                if rng.random() < 0.3:
+                    vals = np.repeat(vals[:max(1, k // 3)], 3)[:k]
+                d = TDigest.from_values(vals)
+                per_group[g].append(d)
+                if d.means.size:
+                    mparts.append(d.means)
+                    wparts.append(d.weights)
+                    gparts.append(g)
+        ref = [TDigest.merge_all(per_group[g]) for g in range(n_groups)]
+        sizes = np.fromiter((m.size for m in mparts), dtype=np.int64,
+                            count=len(mparts))
+        cg = (np.repeat(np.asarray(gparts, dtype=np.int64), sizes)
+              if gparts else np.empty(0, np.int64))
+        mf = np.concatenate(mparts) if mparts else np.empty(0)
+        wf = np.concatenate(wparts) if wparts else np.empty(0)
+        got_bytes, got_qs = merge_groups_vectorized(mf, wf, cg, n_groups, qs)
+        for g in range(n_groups):
+            assert got_bytes[g] == ref[g].to_bytes(), (trial, g)
+            r = np.asarray(ref[g].quantiles(qs), dtype=float)
+            same_nan = np.array_equal(np.isnan(r), np.isnan(got_qs[g]))
+            assert same_nan and np.array_equal(
+                r[~np.isnan(r)], got_qs[g][~np.isnan(got_qs[g])]), (trial, g)
+
+
 # -------------------------------------------------------------------- rules
 
 def test_rules_unknown_key_rejected():
