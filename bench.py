@@ -85,15 +85,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # best-of-2: the first run pays worker/page-cache warmup noise; the
     # min is the stable, comparable number at both parallelism levels.
+    # If the observed reps disagree by >15% the window is contended
+    # (host CPU delivery on this sandbox is bursty and strictly
+    # additive), so buy up to two extra reps chasing a quiet one —
+    # cheap insurance for one-shot driver runs landing in a bad window.
     reps = int(os.environ.get("LT_BENCH_REPS", "2"))
-    e2e = None
-    for _ in range(reps):
+    max_reps = int(os.environ.get("LT_BENCH_MAX_REPS", str(reps + 2)))
+    times: list = []
+    while True:
         out_dir = f"/tmp/lt_bench_out_{tag}_{num_cpus}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         P.run(token_dir, out_dir, cfg=cfg, resume=False)
-        dt = time.perf_counter() - t0
-        e2e = dt if e2e is None else min(e2e, dt)
+        times.append(time.perf_counter() - t0)
+        if len(times) < reps:
+            continue
+        if len(times) >= max_reps:
+            break
+        noisy = max(times) / min(times) > 1.15 or _cpu_steal_pct(0.5) > 5.0
+        if not noisy:
+            break
+    e2e = min(times)
 
     queries = {"token_pipeline_e2e": round(e2e, 3)}
     # --scaling children set LT_BENCH_HEADLINE_ONLY: only the flagship
