@@ -569,22 +569,24 @@ logtrics {
         return repetition_stats(ds.map_batches(nl, batch_format="pyarrow"))
 
     def q_text_quality(sf_dir):
-        import ray.data as rd
+        import pyarrow as pa
         from logtrics_ray.functions.dedup import process_cached
         from logtrics_ray.functions.textstats import TextStats
         from logtrics_ray.pipelines.table_rollup import _round6
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-        def fn(df):
-            out = process_cached(TextStats)(df)
+        def fn(t: pa.Table) -> pa.Table:
+            out = process_cached(TextStats).table(t)
             # 6dp rounding on BOTH sides (the SQL oracle mirrors this) so
             # libm-vs-DuckDB ULP noise in exp/ln can't flip a value hash
             for c in ("stopword_ratio", "punct_ratio", "mean_word_len",
                       "quality"):
-                out[c] = _round6(out[c].to_numpy())
+                out = out.set_column(
+                    out.schema.get_field_index(c), c,
+                    pa.array(_round6(out[c].to_numpy()), pa.float64()))
             return out
 
-        return ds.map_batches(fn, batch_format="pandas")
+        return ds.map_batches(fn, batch_format="pyarrow")
 
     def q_lang_id(sf_dir):
         import ray.data as rd

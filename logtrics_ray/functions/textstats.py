@@ -179,11 +179,15 @@ class TextStats:
                 "n_tokens": n_tokens, "n_stop": n_stop,
                 "n_punct": n_punct, "n_ws": n_ws}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str)
-        c = ascii_text_counts(pa.array(text, pa.string()))
+    def _columns(self, text_arr: pa.Array) -> dict:
+        """Stat columns (numpy) from an Arrow string column — the ASCII
+        byte-level fast path reads the value buffer ZERO-COPY; only a
+        non-ASCII batch pays a pandas conversion for the regex fallback."""
+        c = ascii_text_counts(text_arr)
         if c is None:
-            c = self._regex_counts(text)
+            if isinstance(text_arr, pa.ChunkedArray):
+                text_arr = text_arr.combine_chunks()
+            c = self._regex_counts(text_arr.to_pandas().astype(str))
         n_chars, n_words = c["n_chars"], c["n_words"]
         n_tokens = c["n_tokens"]
         sratio = np.where(n_words > 0,
@@ -197,12 +201,19 @@ class TextStats:
         quality = np.clip(0.35 * len_score + 0.25 * np.minimum(sratio / 0.4, 1.0)
                           + 0.25 * wl_score + 0.15 * (1.0 - np.minimum(pratio / 0.3, 1.0)),
                           0.0, 1.0)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].to_numpy(),
-            "n_chars": n_chars, "n_words": n_words, "n_tokens": n_tokens,
-            "stopword_ratio": sratio, "punct_ratio": pratio,
-            "mean_word_len": mwl, "quality": quality,
-        })
+        return {"n_chars": n_chars, "n_words": n_words, "n_tokens": n_tokens,
+                "stopword_ratio": sratio, "punct_ratio": pratio,
+                "mean_word_len": mwl, "quality": quality}
+
+    def table(self, batch: pa.Table) -> pa.Table:
+        """Arrow-native entry (zero-copy on ASCII corpora)."""
+        cols = self._columns(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], **cols})
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        cols = self._columns(pa.array(text, pa.string()))
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), **cols})
 
 
 # Character-trigram profiles for a tiny deterministic language-ID

@@ -67,26 +67,24 @@ def curate(sf_dir: str, q_min: float = Q_MIN,
     bands = source_length_bands(doc_path, *band)
 
     # --- stage 1+2: stateless quality + band flags (one pass) ---------
-    def flags(df: pd.DataFrame) -> pa.Table:
+    def flags(t: pa.Table) -> pa.Table:
         from logtrics_ray.stages.seriesscan import dict_codes
-        st = process_cached(TextStats)(df[["doc_id", "text"]])
+        st = process_cached(TextStats).table(t.select(["doc_id", "text"]))
         q = _round6(st["quality"].to_numpy())
         # per-LABEL band lookup + codes gather: O(distinct sources)
         # Python work per batch, never O(rows)
-        codes, labels = dict_codes(pa.array(df["source"], pa.string()))
+        codes, labels = dict_codes(t["source"])
         lo = np.array([bands[s][0] for s in labels], np.int64)[codes]
         hi = np.array([bands[s][1] for s in labels], np.int64)[codes]
-        nc = df["n_chars"].to_numpy()
-        # plain Arrow out (no pandas schema-metadata blob — it makes the
-        # downstream join's schema unhashable and spams warnings)
+        nc = t["n_chars"].to_numpy()
         return pa.table({
-            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
-            "source": pa.array(df["source"].to_numpy(), pa.string()),
+            "doc_id": t["doc_id"],
+            "source": t["source"],
             "q_ok": pa.array(q >= q_min, pa.bool_()),
             "band_ok": pa.array((nc >= lo) & (nc <= hi), pa.bool_()),
         })
 
-    fl = ds0.map_batches(flags, batch_format="pandas").materialize()
+    fl = ds0.map_batches(flags, batch_format="pyarrow").materialize()
 
     def _ids(ds):
         return ds.select_columns(["doc_id"])
