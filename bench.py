@@ -67,8 +67,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     cfg = EngineConfig(extract_concurrency=(max(1, num_cpus // 4), max(2, num_cpus - 2)))
 
-    # untimed warm pass: page cache + worker startup out of the measurement
-    P.read_token_table(token_dir).count()
+    # Untimed warm pass: page cache + worker startup out of the measurement.
+    # count() alone is served from parquet metadata (no bytes read, no
+    # worker fan-out), so force a full decode — it faults every data page
+    # into the page cache AND spins up the whole worker pool, which
+    # otherwise lands inside the first timed rep (measured: rep0 ~2.4x
+    # rep1 on a cold window; the hunt's single-rep children ran hi-first
+    # and silently absorbed that into the efficiency ratio).
+    import pyarrow as _pa
+    P.read_token_table(token_dir).map_batches(
+        lambda t: _pa.table({"n": _pa.array([t.num_rows], _pa.int64())}),
+        batch_format="pyarrow").sum("n")
 
     # points count for the points/sec metric: deterministic per (tag, rows),
     # computed once and cached (untimed either way); cache keyed by the
