@@ -78,7 +78,10 @@ def _read_num_blocks(files: list[str]) -> int:
     except OSError:
         return max(8, cpus)
     import math
-    return max(cpus, math.ceil(total / _READ_BLOCK_DISK_BYTES))
+    # lower clamp ~1 MB/block: on tiny inputs "one block per CPU" would
+    # SPLIT finer than natural planning instead of coarsening
+    want = min(cpus, max(1, math.ceil(total / (1 << 20))))
+    return max(want, math.ceil(total / _READ_BLOCK_DISK_BYTES))
 
 
 def build_core_tiers(points_ds, cfg: EngineConfig, two_phase: bool = True,
