@@ -690,3 +690,38 @@ def test_config_hash_semantic_fields_only():
     all_fields = {f.name for f in dataclasses.fields(EngineConfig)}
     unclassified = all_fields - set(SEMANTIC_CONFIG_FIELDS) - execution_fields
     assert not unclassified, unclassified
+
+
+def test_read_num_blocks_policy(tmp_path, monkeypatch):
+    """Read-block planning is coarsen-only at every scale: ~1 block per
+    granted CPU on bench-sized inputs (keeps Read->Map fused instead of
+    round-tripping decoded tokens through the object store), >=1 MB of
+    parquet per block on tiny inputs (never splits finer than natural
+    planning), <=256 MB per block on huge inputs (bounded task heap)."""
+    from logtrics_ray.pipelines.rollup_pipeline import _read_num_blocks
+
+    sizes = {}
+
+    def fake_getsize(p):
+        return sizes[p]
+
+    monkeypatch.setattr("os.path.getsize", fake_getsize)
+    import logtrics_ray.pipelines.rollup_pipeline as RP
+    monkeypatch.setattr(RP.os.path, "getsize", fake_getsize)
+
+    def plan(total_bytes, n_files=32):
+        per = total_bytes // n_files
+        sizes.clear()
+        sizes.update({f"f{i}": per for i in range(n_files)})
+        return _read_num_blocks(list(sizes))
+
+    # Ray is initialised by the session fixture with num_cpus=4
+    cpus = 4
+    # bench-sized: 2 GB -> one block per CPU (2GB/256MB = 8 > cpus wins)
+    assert plan(2 << 30) == max(cpus, 8)
+    # mid: 512 MB -> max(cpus, 2)
+    assert plan(512 << 20) == max(cpus, 2)
+    # tiny: 2 MB -> 1 MB/block clamp beats per-CPU splitting
+    assert plan(2 << 20) == min(cpus, 2)
+    # huge: 1 TB -> 256 MB cap dominates (4096 blocks), CPUs irrelevant
+    assert plan(1 << 40) == (1 << 40) // (256 << 20)
