@@ -95,12 +95,22 @@ def main() -> None:
     print(f"[smoke] tables ready t={time.perf_counter() - t0:.0f}s",
           flush=True)
 
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                          cwd=REPO, capture_output=True,
+                          text=True).stdout.strip()
     best = None
     if os.path.exists(OUT_PATH):
         try:
             with open(OUT_PATH) as f:
                 best = json.load(f)
         except (OSError, json.JSONDecodeError):
+            best = None
+        # a best measured on a different engine revision must not block
+        # writes for the current one — wall ratios aren't comparable
+        # across engine changes (a faster base leg INFLATES the ratio)
+        if best is not None and best.get("git_head") not in (None, head):
+            print(f"[smoke] ignoring seed from {best.get('git_head')} "
+                  f"(HEAD={head})", flush=True)
             best = None
 
     attempts = 0
@@ -139,6 +149,13 @@ def main() -> None:
             "points_per_sec_base": base.get("points_per_sec"),
             "points_per_sec_big": big.get("points_per_sec"),
             "num_cpus": 32,
+            "git_head": head,
+            # overhead-insensitive weak-scaling signal: pts/s at 4x data
+            # over pts/s at 1x.  The wall ratio punishes a faster engine
+            # (fixed overhead shrinks the base leg), retention doesn't.
+            "throughput_retention": round(
+                big.get("points_per_sec", 0.0)
+                / max(base.get("points_per_sec", 1.0), 1e-9), 3),
             "host_burn_scaling_ceiling": round(probe, 3),
             "attempts": attempts + (best or {}).get("attempts", 0),
             "method": ("ceiling-gated window; both legs fresh 32-CPU "
