@@ -72,9 +72,14 @@ ROWS_BIG = 16_000_000
 
 
 def _child(tag_dir: str, rows: int, ncpu: int = 32) -> dict:
+    # best-of-2 per leg: a single-rep leg makes the ratio hostage to one
+    # CPU-delivery burst; min-of-2 inside the same gated window is the
+    # honest estimator on a deterministic job (noise strictly additive)
+    reps = os.environ.get("LT_SMOKE_REPS", "2")
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                GRAFT_SF_DIR=tag_dir, LT_BENCH_ROWS=str(rows),
-               LT_BENCH_HEADLINE_ONLY="1", LT_BENCH_REPS="1")
+               LT_BENCH_HEADLINE_ONLY="1", LT_BENCH_REPS=reps,
+               LT_BENCH_MAX_REPS=reps)
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
