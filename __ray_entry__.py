@@ -525,30 +525,36 @@ logtrics {
         the SQL, same pattern as decontaminate's benchmark rule); the
         OPERATOR under test — scrub_pii's sequential RE2 count+replace —
         runs fully vectorized on the composed text."""
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
         from logtrics_ray.functions.textstats import scrub_pii
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-        def inject(df: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-            ids = df["doc_id"].to_numpy()
-            s = pd.Series(ids.astype(str), index=df.index)
-            suffix = pd.Series(np.select(
-                [ids % 5 == 0, ids % 5 == 1, ids % 5 == 2, ids % 5 == 3],
-                [" contact a" + s + "@mail.example.org for access",
-                 " node 10." + pd.Series((ids % 200).astype(str),
-                                         index=df.index)
-                 + ".3." + pd.Series((ids % 250).astype(str), index=df.index)
-                 + " responded",
-                 " call +14155550" + pd.Series(
-                     (ids % 100).astype(str), index=df.index).str.zfill(2)
-                 + " today",
-                 " mail a@b.io or c@d.org"],
-                default=""), index=df.index)
-            return pd.DataFrame({"doc_id": ids,
-                                 "text": df["text"] + suffix})
+        def _cat(*parts):
+            out = None
+            for p in parts:
+                a = p if isinstance(p, np.ndarray) else np.array(p, dtype=str)
+                out = a if out is None else np.char.add(out, a)
+            return out
 
-        return scrub_pii(ds.map_batches(inject, batch_format="pandas"))
+        def inject(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            suffix = np.select(
+                [ids % 5 == 0, ids % 5 == 1, ids % 5 == 2, ids % 5 == 3],
+                [_cat(" contact a", ids.astype(str),
+                      "@mail.example.org for access"),
+                 _cat(" node 10.", (ids % 200).astype(str), ".3.",
+                      (ids % 250).astype(str), " responded"),
+                 _cat(" call +14155550",
+                      np.char.zfill((ids % 100).astype(str), 2), " today"),
+                 np.full(len(ids), " mail a@b.io or c@d.org")],
+                default="")
+            text = np.char.add(
+                t["text"].to_numpy(zero_copy_only=False).astype(str), suffix)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(text, pa.string())})
+
+        return scrub_pii(ds.map_batches(inject, batch_format="pyarrow"))
 
     def q_repetition(sf_dir):
         """Intra-doc repetition stats (Gopher-style quality signals).
@@ -589,12 +595,11 @@ logtrics {
         return ds.map_batches(fn, batch_format="pyarrow")
 
     def q_lang_id(sf_dir):
-        import ray.data as rd
         from logtrics_ray.functions.dedup import process_cached
         from logtrics_ray.functions.textstats import LangId
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(lambda df: process_cached(LangId)(df),
-                              batch_format="pandas")
+        return ds.map_batches(lambda t: process_cached(LangId).table(t),
+                              batch_format="pyarrow")
 
     def q_fingerprint(sf_dir):
         import pyarrow as pa

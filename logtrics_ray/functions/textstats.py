@@ -232,19 +232,36 @@ class LangId:
     def __init__(self):
         self.markers = {k: v for k, v in _LANG_MARKERS.items()}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = (" " + batch["text"].astype(str).str.lower() + " ")
-        scores = {}
-        for lang, marks in self.markers.items():
-            s = np.zeros(len(batch), dtype=np.int64)
+    def _pred(self, text) -> np.ndarray:
+        """Marker-count argmax over an Arrow string array.  Literal
+        ``count_substring`` matches the former pandas ``str.count`` on
+        escaped patterns (both count non-overlapping, left-to-right)."""
+        import pyarrow.compute as pc
+        # last arg of binary_join_element_wise is the SEPARATOR:
+        # ["", lower, ""] joined by " " -> " <lower> "
+        padded = pc.binary_join_element_wise(
+            "", pc.utf8_lower(text), "", " ")
+        scores = []
+        for marks in self.markers.values():
+            s = np.zeros(len(padded), dtype=np.int64)
             for m in marks:
-                s += text.str.count(re.escape(m)).to_numpy(np.int64)
-            scores[lang] = s
-        mat = np.stack([scores[k] for k in self.markers], axis=1)
-        best = mat.argmax(axis=1)
+                s += pc.count_substring(padded, pattern=m).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            scores.append(s)
+        mat = np.stack(scores, axis=1)
         langs = np.array(list(self.markers))
-        pred = np.where(mat.max(axis=1) > 0, langs[best], "und")
-        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "lang_pred": pred})
+        return np.where(mat.max(axis=1) > 0, langs[mat.argmax(axis=1)], "und")
+
+    def table(self, batch: pa.Table) -> pa.Table:
+        """Arrow-native entry."""
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lang_pred": pa.array(self._pred(batch["text"]),
+                                               pa.string())})
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pred = self._pred(pa.array(batch["text"].astype(str), pa.string()))
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                             "lang_pred": pred})
 
 
 # ------------------------------------------- intra-doc repetition stats --
