@@ -631,7 +631,8 @@ logtrics {
         band side table's bucket-star pairs."""
         from logtrics_ray.functions.dedup import minhash_dup_clusters
         ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return minhash_dup_clusters(ds)
+        ids = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        return minhash_dup_clusters(ds, ids_ds=ids)
 
     def q_cluster_reps(sf_dir):
         """Keep-BEST dedup: the longest doc (tie: smallest id) per
@@ -644,7 +645,8 @@ logtrics {
         with hash_shuffle_ctx():
             ds = _rp(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text"])
-            return cluster_representatives(ds)
+            ids = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            return cluster_representatives(ds, ids_ds=ids)
 
     def q_ngram_jaccard_dedup(sf_dir):
         import ray.data as rd

@@ -43,6 +43,8 @@ actor-pool size that could starve a node; see stages/extract.py).
 from __future__ import annotations
 
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -513,15 +515,84 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
 
 # ----------------------------------------- duplicate-cluster components --
 
+#: Edge-count bound under which connected_components pulls the edge
+#: LIST (two int64 columns — never document payloads) to the driver and
+#: solves components locally, broadcasting only the node->cluster map
+#: back out.  Same engine pattern as broadcast-vs-shuffle join
+#: selection: the count is KNOWN (edges are materialized either way),
+#: the driver pull is bounded at ~16 B/edge (80 MB at the default), and
+#: the alternative is >=2 distributed join+groupby rounds whose fixed
+#: cost dwarfs graphs this small.  Candidate graphs from near-dup LSH
+#: are far sparser than the corpus, so this is the common case even at
+#: large corpus scale; bigger graphs take the distributed path below.
+CC_BROADCAST_EDGE_LIMIT = int(os.environ.get(
+    "LT_CC_BROADCAST_EDGES", 5_000_000))
+
+
+def _cc_local_labels(ea: np.ndarray, eb: np.ndarray, nodes: np.ndarray):
+    """Min-label propagation with pointer jumping over a COMPACTED edge
+    list (``ea``/``eb`` index into sorted ``nodes``).  Labels only
+    decrease, so it reaches the fixpoint where every node holds the
+    minimum node INDEX of its component — which is the minimum node id,
+    since ``nodes`` is sorted.  O((E+N) log diameter)."""
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        m = np.minimum(lab[ea], lab[eb])
+        np.minimum.at(lab, ea, m)
+        np.minimum.at(lab, eb, m)
+        lab = np.minimum(lab, lab[lab])          # pointer jump
+        if np.array_equal(old, lab):
+            return nodes[lab]
+
+
+def _cc_broadcast(pairs_mat, all_ids):
+    """Small-graph path: edge list -> driver union-find -> ray.put the
+    (sorted nodes, cluster id) pair -> one stateless map over all_ids
+    (vectorized searchsorted; ids absent from the graph label
+    themselves).  No joins, no per-round barriers."""
+    import ray
+
+    t = pa.concat_tables(ray.get(pairs_mat.to_arrow_refs()))
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    cluster = _cc_local_labels(inv[:len(a)], inv[len(a):], nodes) \
+        if len(nodes) else nodes
+    ref = ray.put((nodes, cluster))
+
+    def label(tb: pa.Table) -> pa.Table:
+        ns, cl = ray.get(ref)                    # zero-copy plasma read
+        ids_col = tb["doc_id"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = ids_col.to_numpy(zero_copy_only=False)
+        out = ids.copy()
+        if len(ns):
+            pos = np.searchsorted(ns, ids).clip(max=len(ns) - 1)
+            hit = ns[pos] == ids
+            out[hit] = cl[pos[hit]]
+        return pa.table({"doc_id": ids_col,
+                         "cluster_id": pa.array(out, ids_col.type)})
+
+    return all_ids.map_batches(label, batch_format="pyarrow")
+
+
 def connected_components(pairs, all_ids, num_partitions: int | None = None,
                          max_iter: int = 64):
-    """Connected components of the undirected pair graph by distributed
-    hash-min label propagation: label(x) starts as x; each round every
-    node takes the min of its own label and its neighbors' labels (one
-    hash join edges⋈labels + one groupby-min), until the global label
-    sum stops changing.  Labels only ever DECREASE, so the sum is a
-    monotone convergence witness costing one tiny aggregate per round —
-    no distributed old-vs-new diff.
+    """Connected components of the undirected pair graph.
+
+    Small graphs (edge count <= CC_BROADCAST_EDGE_LIMIT, known because
+    the edges are materialized first either way) solve on the driver
+    and broadcast the node->cluster map — see _cc_broadcast.
+
+    Large graphs run distributed hash-min label propagation: label(x)
+    starts as x; each round every node takes the min of its own label
+    and its neighbors' labels (one hash join edges⋈labels + one
+    groupby-min), until the global label sum stops changing.  Labels
+    only ever DECREASE, so the sum is a monotone convergence witness
+    costing one tiny aggregate per round — no distributed old-vs-new
+    diff.
 
     Rounds = graph diameter.  LSH candidate graphs are unions of
     bucket STARS (member—bucket-min edges), so the diameter is the
@@ -536,6 +607,10 @@ def connected_components(pairs, all_ids, num_partitions: int | None = None,
     component."""
     P = num_partitions or _default_join_partitions()
 
+    pairs_mat, n_pairs = _schema_stable(pairs, P)
+    if n_pairs <= CC_BROADCAST_EDGE_LIMIT:
+        return _cc_broadcast(pairs_mat, all_ids)
+
     def und(t: pa.Table) -> pa.Table:
         return pa.concat_tables([
             pa.table({"node": t["a"], "dst": t["b"]}),
@@ -543,7 +618,7 @@ def connected_components(pairs, all_ids, num_partitions: int | None = None,
         ]).combine_chunks()
 
     edges, n_edges = _schema_stable(
-        pairs.map_batches(und, batch_format="pyarrow"), P)
+        pairs_mat.map_batches(und, batch_format="pyarrow"), P)
 
     def init(t: pa.Table) -> pa.Table:
         ids = t["doc_id"]
@@ -586,14 +661,19 @@ def connected_components(pairs, all_ids, num_partitions: int | None = None,
 
 def minhash_dup_clusters(ds, num_perm: int = 64, bands: int = 16,
                          shingle_n: int = 3,
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None, ids_ds=None):
     """Near-duplicate CLUSTER labels for every document: connected
     components over the minhash-LSH candidate-pair graph.  Extends
     keep-earliest dedup (which only marks survivors) with the full
     cluster structure a curation pipeline needs — pick-best-per-cluster,
-    cluster-size caps, dedup audit trails."""
-    ids = ds.map_batches(lambda t: t.select(["doc_id"]),
-                         batch_format="pyarrow")
+    cluster-size caps, dedup audit trails.
+
+    ``ids_ds``: optional doc_id-only Dataset for the final labeling
+    pass.  Pass a column-pruned read of the same table so labeling
+    every doc doesn't re-execute the text-bearing read lineage that the
+    signature stage needs (parquet reads only the id column)."""
+    ids = ids_ds if ids_ds is not None else ds.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
     pairs = minhash_lsh_candidates(ds, num_perm, bands, shingle_n,
                                    num_partitions)
     return connected_components(pairs, ids, num_partitions)
@@ -601,7 +681,7 @@ def minhash_dup_clusters(ds, num_perm: int = 64, bands: int = 16,
 
 def cluster_representatives(ds, num_perm: int = 64, bands: int = 16,
                             shingle_n: int = 3,
-                            num_partitions: int | None = None):
+                            num_partitions: int | None = None, ids_ds=None):
     """Keep-BEST dedup: one representative per near-dup cluster — the
     longest doc (chars), ties to the smallest doc_id — plus the cluster
     size.  Composition showcase: minhash_dup_clusters ⋈ doc lengths,
@@ -617,7 +697,8 @@ def cluster_representatives(ds, num_perm: int = 64, bands: int = 16,
     SOURCE dataset was created, so the read itself must sit inside the
     ctx."""
     P = num_partitions or _default_join_partitions()
-    clusters = minhash_dup_clusters(ds, num_perm, bands, shingle_n, P)
+    clusters = minhash_dup_clusters(ds, num_perm, bands, shingle_n, P,
+                                    ids_ds=ids_ds)
 
     def meta(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],

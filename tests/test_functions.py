@@ -855,6 +855,32 @@ def test_connected_components_label_propagation(ray_session):
     assert dict(zip(got.doc_id, got.cluster_id)) == want
 
 
+def test_connected_components_paths_agree(ray_session, monkeypatch):
+    """The broadcast small-graph path (driver union-find + searchsorted
+    relabel) and the distributed label-propagation path must emit
+    identical (doc_id, cluster_id) rows."""
+    import ray.data as rd
+
+    from logtrics_ray.functions import dedup as D
+
+    edges = [(9, 7), (7, 5), (5, 3), (3, 1), (2, 8), (11, 2)]
+
+    def run():
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64())}))
+        ids = rd.from_arrow(pa.table(
+            {"doc_id": pa.array(range(12), pa.int64())}))
+        got = D.connected_components(pairs, ids).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        return dict(zip(got.doc_id, got.cluster_id))
+
+    broadcast = run()                      # default limit: broadcast path
+    monkeypatch.setattr(D, "CC_BROADCAST_EDGE_LIMIT", -1)
+    assert run() == broadcast == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1,
+                                  6: 6, 7: 1, 8: 2, 9: 1, 10: 10, 11: 2}
+
+
 def test_connected_components_no_edges(ray_session):
     import ray.data as rd
 
