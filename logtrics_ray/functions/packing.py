@@ -28,6 +28,8 @@ independently in DuckDB SQL via unnest + window cumsum
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -194,6 +196,51 @@ class _BucketPacker:
         ], schema=FRAG_SCHEMA)
 
 
+#: Token budget under which the boundary-fragment merge happens on the
+#: driver instead of through a distributed groupby.  Boundary fragments
+#: are the <=2 partial slices at each bucket's edges — 2*2^bits rows of
+#: < seq_len tokens each — so at the default exchange width the pull is
+#: ~1 MB while the groupby alternative costs a full sort-shuffle round
+#: for a hundred rows.  When adaptive widths push the fragment count
+#: past the budget (16M tokens = 64 MB), the distributed merge runs.
+MERGE_LOCAL_TOKEN_BUDGET = int(os.environ.get(
+    "LT_PACK_MERGE_LOCAL_TOKENS", 16_000_000))
+
+
+def _merge_boundary_local(t: pa.Table) -> pa.Table:
+    """Vectorized all-bins boundary merge of a (bounded) pulled fragment
+    table: one sort by (bin_id, start), segment sums for n_docs, and a
+    single ListArray rebuild over the already-concatenated flat tokens —
+    bit-identical to _merge_fragments applied per bin group."""
+    t = t.combine_chunks()
+    if t.num_rows == 0:
+        return FRAG_SCHEMA.empty_table()
+    order = pc.sort_indices(t, sort_keys=[("bin_id", "ascending"),
+                                          ("start", "ascending")])
+    t = t.take(order).combine_chunks()
+    bins = t["bin_id"].to_numpy(zero_copy_only=False)
+    first = np.concatenate(([True], bins[1:] != bins[:-1]))
+    grp = np.cumsum(first) - 1
+    nd = np.bincount(grp, weights=t["n_docs"].to_numpy(
+        zero_copy_only=False)).astype(np.int64)
+    ll = pc.list_value_length(t["tokens"]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    seg = np.bincount(grp, weights=ll).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(seg)))
+    flat = pc.list_flatten(t["tokens"])
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_out = len(nd)
+    return pa.Table.from_arrays([
+        pa.array(bins[first], pa.int64()),
+        pa.array(t["start"].to_numpy(zero_copy_only=False)[first],
+                 pa.int64()),
+        pa.array(np.zeros(n_out, dtype=bool), pa.bool_()),
+        pa.array(nd, pa.int64()),
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat),
+    ], schema=FRAG_SCHEMA)
+
+
 def _merge_fragments(g: pa.Table) -> pa.Table:
     """Boundary-bin merge: order fragments by global start, concatenate
     token slices, sum the (disjoint-doc) counts."""
@@ -290,7 +337,23 @@ def _pack_build(input_path: str, seq_len: int, bucket_bits: int,
 
     done = frags.map_batches(keep(True), batch_format="pyarrow")
     boundary = frags.map_batches(keep(False), batch_format="pyarrow")
-    if hash_exchange:
+    # Boundary fragments are bucket-edge slices: <=2 per bucket, each
+    # under seq_len tokens.  When that bounded total fits the local
+    # budget (the common case at any exchange width), merge on the
+    # driver in one vectorized pass instead of a sort-shuffle round for
+    # a handful of rows; the distributed merge remains the fallback.
+    n_boundary = boundary.count()
+    if n_boundary * seq_len <= MERGE_LOCAL_TOKEN_BUDGET:
+        import ray
+        import ray.data as rd
+        # empty filter-result blocks can carry a degenerate (zero-column)
+        # schema — drop them before concat (cf. _schema_stable's note)
+        tabs = [t for t in ray.get(boundary.to_arrow_refs())
+                if t.num_rows] if n_boundary else []
+        pulled = pa.concat_tables(tabs) if tabs else \
+            FRAG_SCHEMA.empty_table()
+        boundary = rd.from_arrow(_merge_boundary_local(pulled))
+    elif hash_exchange:
         boundary = grouped_apply(boundary, "bin_id", _merge_fragments,
                                  FRAG_SCHEMA.empty_table)
     else:
