@@ -471,16 +471,25 @@ def minhash_dedup_survivors(ds, num_perm: int = 64, bands: int = 16,
     """ids that survive keep-earliest minhash dedup.
 
     A doc is dropped iff some bucket it hashes into contains a smaller
-    doc_id, i.e. it survives iff min over its buckets of the bucket
-    minimum equals itself.  Fully distributed: two built-in vectorized
-    aggregations + one hash join; the driver never sees ids or buckets."""
-    joined = _bucket_minima_join(
-        lsh_exploded(ds, num_perm, bands, shingle_n),
-        num_partitions or _default_join_partitions())
-    per_doc = joined.groupby("doc_id").min("bucket_min")
+    doc_id.  Every doc sits in exactly ``bands`` distinct (band_id,
+    band_hash) buckets and the bucket minimum is always <= any member,
+    so it survives iff it IS the minimum of all ``bands`` of them —
+    i.e. iff it appears exactly ``bands`` times in the bucket-minima
+    table.  That needs NO join: two built-in vectorized aggregations
+    (bucket minima, then a count over the already-collapsed minima —
+    each shuffle strictly smaller than the last); the driver never sees
+    ids or buckets."""
+    P = num_partitions or _default_join_partitions()
+    minima = (lsh_exploded(ds, num_perm, bands, shingle_n)
+              .groupby(["band_id", "band_hash"], num_partitions=P)
+              .min("doc_id"))
+    per_doc = (minima.map_batches(
+        lambda t: t.select(["min(doc_id)"]).rename_columns(["doc_id"]),
+        batch_format="pyarrow")
+        .groupby("doc_id", num_partitions=P).count())
 
     def keep(t: pa.Table) -> pa.Table:
-        mask = pc.equal(t["doc_id"], t["min(bucket_min)"])
+        mask = pc.equal(t["count()"], pa.scalar(bands, pa.int64()))
         return t.filter(mask).select(["doc_id"])
 
     return per_doc.map_batches(keep, batch_format="pyarrow")
