@@ -1218,25 +1218,61 @@ def paragraph_dedup_pages(doc_path: str, paras_per_page: int = 4,
     ds = read_parquet_clean(doc_path, columns=["doc_id", "text"]) \
         .map_batches(tag, batch_format="pyarrow")
 
-    minima, _ = _schema_stable(
+    minima, n_min = _schema_stable(
         ds.select_columns(["content_hash", "doc_id"])
           .groupby("content_hash").min("doc_id"),
         num_partitions)
 
-    flagged = ds.join(minima, join_type="inner",
-                      num_partitions=num_partitions,
-                      on=("content_hash",), right_on=("content_hash",))
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
+    def out_table(t: pa.Table, keep: np.ndarray) -> pa.Table:
         pg = t["page_id"].to_numpy(zero_copy_only=False)
-        keep = (t["doc_id"].to_numpy(zero_copy_only=False)
-                == t["min(doc_id)"].to_numpy(zero_copy_only=False))
         return pa.Table.from_arrays([
             t["page_id"], t["idx"], t["para"],
             pa.array(keep, pa.bool_()),
             pa.array(pg % NB, pa.int64()),
         ], names=["page_id", "idx", "para", "keep", "_pg_bucket"])
+
+    if n_min <= CC_BROADCAST_EDGE_LIMIT:
+        # Bounded broadcast instead of a TEXT-bearing hash join: the
+        # minima row count is already known, the pull is (hash, min)
+        # int64 pairs only, and the keep flag becomes a vectorized
+        # searchsorted inside the same map that bucketizes — paragraph
+        # text crosses ONE exchange (the page groupby) instead of two.
+        import ray
+        tabs = [t for t in ray.get(minima.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            mt = pa.concat_tables(tabs).combine_chunks()
+            hs = mt["content_hash"].to_numpy(zero_copy_only=False)
+            mn = mt["min(doc_id)"].to_numpy(zero_copy_only=False)
+            o = np.argsort(hs)
+            hs, mn = np.ascontiguousarray(hs[o]), np.ascontiguousarray(mn[o])
+        else:
+            hs = mn = np.array([], np.int64)
+        ref = ray.put((hs, mn))
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            hsv, mnv = ray.get(ref)          # zero-copy plasma read
+            t = t.combine_chunks()
+            if t.num_rows == 0 or not len(hsv):
+                keep = np.ones(t.num_rows, dtype=bool)
+            else:
+                h = t["content_hash"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(hsv, h).clip(max=len(hsv) - 1)
+                # every paragraph's hash is in minima (its own group)
+                keep = t["doc_id"].to_numpy(zero_copy_only=False) \
+                    == mnv[pos]
+            return out_table(t, keep)
+
+        flagged = ds
+    else:
+        flagged = ds.join(minima, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("content_hash",), right_on=("content_hash",))
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            keep = (t["doc_id"].to_numpy(zero_copy_only=False)
+                    == t["min(doc_id)"].to_numpy(zero_copy_only=False))
+            return out_table(t, keep)
 
     def assemble(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()

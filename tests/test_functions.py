@@ -1142,6 +1142,32 @@ def test_paragraph_dedup_pages_matches_bruteforce(ray_session, tmp_path):
     assert got[got.page_id == 1].iloc[0].text == ""
 
 
+def test_paragraph_dedup_paths_agree(ray_session, tmp_path, monkeypatch):
+    """The broadcast keep-flag path and the minima hash-join path emit
+    identical pages."""
+    import pyarrow.parquet as pq
+
+    from logtrics_ray.functions import dedup as D
+
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "delta"]
+    p = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}), p)
+
+    def run():
+        return (D.paragraph_dedup_pages(str(p), paras_per_page=3,
+                                        inject_boiler=False)
+                .to_pandas().sort_values("page_id")
+                .reset_index(drop=True))
+
+    bcast = run()                          # default: broadcast path
+    monkeypatch.setattr(D, "CC_BROADCAST_EDGE_LIMIT", -1)
+    joined = run()
+    assert bcast.equals(joined)
+    assert list(bcast.text) == ["alpha\n\nbeta", "gamma\n\ndelta"]
+
+
 def test_chunk_stats_matches_bruteforce(ray_session, t1_dir):
     """Sliding-window chunk stats == a per-doc Python recompute of the
     chunking rule, including short docs (one chunk), exact-multiple
