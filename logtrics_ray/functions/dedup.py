@@ -555,6 +555,33 @@ def _cc_local_labels(ea: np.ndarray, eb: np.ndarray, nodes: np.ndarray):
             return nodes[lab]
 
 
+def _cc_solve(pairs_mat):
+    """Pull a bounded materialized (a, b) edge table to the driver and
+    return (sorted graph nodes, cluster id per node)."""
+    import ray
+
+    tabs = [t for t in ray.get(pairs_mat.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        e = np.array([], np.int64)
+        return e, e
+    t = pa.concat_tables(tabs).combine_chunks()
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    return nodes, _cc_local_labels(inv[:len(a)], inv[len(a):], nodes)
+
+
+def _cc_lookup(ns: np.ndarray, cl: np.ndarray, ids: np.ndarray):
+    """cluster_id per id: map lookup via searchsorted; ids absent from
+    the graph are their own singleton cluster."""
+    out = ids.copy()
+    if len(ns):
+        pos = np.searchsorted(ns, ids).clip(max=len(ns) - 1)
+        hit = ns[pos] == ids
+        out[hit] = cl[pos[hit]]
+    return out
+
+
 def _cc_broadcast(pairs_mat, all_ids):
     """Small-graph path: edge list -> driver union-find -> ray.put the
     (sorted nodes, cluster id) pair -> one stateless map over all_ids
@@ -562,13 +589,7 @@ def _cc_broadcast(pairs_mat, all_ids):
     themselves).  No joins, no per-round barriers."""
     import ray
 
-    t = pa.concat_tables(ray.get(pairs_mat.to_arrow_refs()))
-    a = t["a"].to_numpy(zero_copy_only=False)
-    b = t["b"].to_numpy(zero_copy_only=False)
-    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    cluster = _cc_local_labels(inv[:len(a)], inv[len(a):], nodes) \
-        if len(nodes) else nodes
-    ref = ray.put((nodes, cluster))
+    ref = ray.put(_cc_solve(pairs_mat))
 
     def label(tb: pa.Table) -> pa.Table:
         ns, cl = ray.get(ref)                    # zero-copy plasma read
@@ -576,11 +597,7 @@ def _cc_broadcast(pairs_mat, all_ids):
         if isinstance(ids_col, pa.ChunkedArray):
             ids_col = ids_col.combine_chunks()
         ids = ids_col.to_numpy(zero_copy_only=False)
-        out = ids.copy()
-        if len(ns):
-            pos = np.searchsorted(ns, ids).clip(max=len(ns) - 1)
-            hit = ns[pos] == ids
-            out[hit] = cl[pos[hit]]
+        out = _cc_lookup(ns, cl, ids)
         return pa.table({"doc_id": ids_col,
                          "cluster_id": pa.array(out, ids_col.type)})
 
@@ -706,16 +723,45 @@ def cluster_representatives(ds, num_perm: int = 64, bands: int = 16,
     SOURCE dataset was created, so the read itself must sit inside the
     ctx."""
     P = num_partitions or _default_join_partitions()
-    clusters = minhash_dup_clusters(ds, num_perm, bands, shingle_n, P,
-                                    ids_ds=ids_ds)
+    pairs_mat, n_pairs = _schema_stable(
+        minhash_lsh_candidates(ds, num_perm, bands, shingle_n, P), P)
 
-    def meta(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"],
-                         "n_chars": pc.cast(pc.utf8_length(t["text"]),
-                                            pa.int64())})
+    if n_pairs <= CC_BROADCAST_EDGE_LIMIT:
+        # Small candidate graph: solve components on the driver (same
+        # bound as connected_components) and fuse labeling + length
+        # extraction into ONE stateless map over the documents — the
+        # clusters⋈lengths join and its schema-stabilizing materialize
+        # disappear; only the keyed exchange on cluster_id remains.
+        import ray
 
-    lens, _ = _schema_stable(
-        ds.map_batches(meta, batch_format="pyarrow"), P)
+        ref = ray.put(_cc_solve(pairs_mat))
+
+        def label_len(t: pa.Table) -> pa.Table:
+            ns, cl = ray.get(ref)
+            t = t.combine_chunks()
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "cluster_id": pa.array(_cc_lookup(ns, cl, ids),
+                                       pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            })
+
+        joined = ds.map_batches(label_len, batch_format="pyarrow")
+    else:
+        ids = ids_ds if ids_ds is not None else ds.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+        clusters = connected_components(pairs_mat, ids, P)
+
+        def meta(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["doc_id"],
+                             "n_chars": pc.cast(pc.utf8_length(t["text"]),
+                                                pa.int64())})
+
+        lens, _ = _schema_stable(
+            ds.map_batches(meta, batch_format="pyarrow"), P)
+        joined = clusters.join(lens, join_type="inner", num_partitions=P,
+                               on=("doc_id",))
 
     def pick(t: pa.Table) -> pa.Table:
         empty = pa.table({"cluster_id": pa.array([], pa.int64()),
@@ -740,8 +786,6 @@ def cluster_representatives(ds, num_perm: int = 64, bands: int = 16,
                          "n_chars": pa.array(nc[idx], pa.int64()),
                          "cluster_size": pa.array(sizes, pa.int64())})
 
-    joined = clusters.join(lens, join_type="inner", num_partitions=P,
-                           on=("doc_id",))
     return (joined.repartition(P, keys=["cluster_id"])
             .map_batches(pick, batch_format="pyarrow", batch_size=None))
 
