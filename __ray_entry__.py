@@ -629,10 +629,13 @@ logtrics {
         groupby-min per round, label-sum as the monotone convergence
         witness.  Oracle = recursive-CTE transitive closure over the
         band side table's bucket-star pairs."""
+        from logtrics_ray.exchange import hash_shuffle_ctx
         from logtrics_ray.functions.dedup import minhash_dup_clusters
-        ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        ids = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        return minhash_dup_clusters(ds, ids_ds=ids)
+        with hash_shuffle_ctx():
+            ds = _rp(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+            ids = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            return minhash_dup_clusters(ds, ids_ds=ids)
 
     def q_cluster_reps(sf_dir):
         """Keep-BEST dedup: the longest doc (tie: smallest id) per

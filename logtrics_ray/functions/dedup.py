@@ -436,27 +436,6 @@ def _schema_stable(ds, num_partitions: int):
     return (mat.repartition(max(1, min(num_partitions, n))) if n else mat), n
 
 
-def _bucket_minima_join(exploded, num_partitions: int):
-    """(band_id, band_hash, doc_id) rows -> same rows + ``bucket_min``
-    column, via built-in groupby.min + one distributed hash join (the
-    vectorized replacement for a per-bucket Python call: bucket count
-    grows with docs x bands at scale)."""
-    minima, _ = _schema_stable(
-        exploded.groupby(["band_id", "band_hash"],
-                         num_partitions=num_partitions).min("doc_id"),
-        num_partitions)
-    joined = exploded.join(minima, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("band_id", "band_hash"))
-
-    def rename(t: pa.Table) -> pa.Table:
-        names = [("bucket_min" if c == "min(doc_id)" else c)
-                 for c in t.column_names]
-        return t.rename_columns(names)
-
-    return joined.map_batches(rename, batch_format="pyarrow")
-
-
 def _default_join_partitions() -> int:
     """Hash-join partition count sized to the cluster (~1 per 2 cores,
     min 2): a fixed large count deadlocks small clusters (each aggregator
@@ -497,29 +476,86 @@ def minhash_dedup_survivors(ds, num_perm: int = 64, bands: int = 16,
 
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
                            shingle_n: int = 3, num_partitions: int | None = None):
-    """documents -> DISTINCT candidate near-dup pairs (a < b) via banded
-    LSH: every bucket member pairs with its bucket minimum (linear in
-    bucket size — sufficient for the keep-earliest rule).  Returns a
-    Dataset of (a, b); stays distributed end to end."""
+    """documents -> candidate near-dup pairs (a < b) via banded LSH:
+    every bucket member pairs with its bucket minimum (linear in bucket
+    size — sufficient for the keep-earliest rule).
+
+    ONE exchange when the input was built under ``hash_shuffle_ctx``:
+    hash-repartition the exploded band rows on (band_id, band_hash) so
+    every bucket lands whole inside one block, then a per-block lexsort
+    + run-boundary scan emits (bucket_min, member) pairs directly —
+    replacing the former groupby.min + two-sided hash join +
+    global-distinct chain (three exchanges and two schema-stabilizing
+    materializes, whose fixed operator cost dominated at gate scale and
+    whose join traffic is strictly larger at any scale).  Pairs are
+    deduped within each block; a pair may still repeat ACROSS bands
+    (bounded by ``bands`` repeats).  Every consumer is
+    edge-multiplicity-invariant: connected-components labels, keep-flag
+    minima, and Jaccard-verified drop sets are identical under repeated
+    edges.  Returns a Dataset of (a, b); stays distributed end to end.
+
+    Datasets whose captured DataContext is NOT hash-shuffle (key-based
+    repartition validates against the snapshot taken when the lineage
+    root was built — see exchange.py module docstring) take the
+    groupby-min + distinct route instead; both routes yield the same
+    pair SET."""
+    from ray.data.context import ShuffleStrategy
+
     num_partitions = num_partitions or _default_join_partitions()
-    joined = _bucket_minima_join(
-        lsh_exploded(ds, num_perm, bands, shingle_n), num_partitions)
+    exploded = lsh_exploded(ds, num_perm, bands, shingle_n)
+
+    if ds.context.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        minima = (exploded
+                  .groupby(["band_id", "band_hash"],
+                           num_partitions=num_partitions).min("doc_id")
+                  .map_batches(lambda t: t.rename_columns(
+                      [("bucket_min" if c == "min(doc_id)" else c)
+                       for c in t.column_names]),
+                      batch_format="pyarrow"))
+        joined = exploded.join(
+            _schema_stable(minima, num_partitions)[0], join_type="inner",
+            num_partitions=num_partitions, on=("band_id", "band_hash"))
+
+        def jpairs(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(t["doc_id"], t["bucket_min"]))
+            return pa.table({"a": t["bucket_min"].combine_chunks(),
+                             "b": t["doc_id"].combine_chunks()})
+
+        dpairs = joined.map_batches(jpairs, batch_format="pyarrow") \
+            .groupby(["a", "b"], num_partitions=num_partitions).count()
+        return dpairs.map_batches(lambda t: t.select(["a", "b"]),
+                                  batch_format="pyarrow")
 
     def pairs(t: pa.Table) -> pa.Table:
-        mask = pc.not_equal(t["doc_id"], t["bucket_min"])
-        t = t.filter(mask)
-        return pa.Table.from_arrays(
-            [t["bucket_min"].combine_chunks() if isinstance(t["bucket_min"], pa.ChunkedArray)
-             else t["bucket_min"],
-             t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray)
-             else t["doc_id"]],
-            names=["a", "b"])
+        t = t.combine_chunks()
+        id_type = t["doc_id"].type
+        empty = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type)})
+        if t.num_rows == 0:
+            return empty
+        band = t["band_id"].to_numpy(zero_copy_only=False)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        # bucket run starts; every row's bucket-min = first id of its run
+        new = np.empty(len(ids), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        mins = ids[np.maximum.accumulate(
+            np.where(new, np.arange(len(ids)), 0))]
+        keep = ids != mins
+        if not keep.any():
+            return empty
+        mat = np.stack([mins[keep], ids[keep]], axis=1)
+        if mat.dtype != object:        # block-local dedupe (numeric ids)
+            mat = np.unique(mat, axis=0)
+        return pa.table({"a": pa.array(mat[:, 0], id_type),
+                         "b": pa.array(mat[:, 1], id_type)})
 
-    cand = joined.map_batches(pairs, batch_format="pyarrow")
-    # distinct (a, b): built-in vectorized count aggregation as the dedupe
-    distinct = cand.groupby(["a", "b"], num_partitions=num_partitions).count()
-    return distinct.map_batches(lambda t: t.select(["a", "b"]),
-                                batch_format="pyarrow")
+    return (exploded
+            .repartition(num_partitions, keys=["band_id", "band_hash"])
+            .map_batches(pairs, batch_format="pyarrow", batch_size=None))
 
 
 # ----------------------------------------- duplicate-cluster components --
