@@ -158,9 +158,11 @@ def main() -> None:
         # 32 cores): best single-window 4->16 pair rides along as
         # corroborating evidence in the artifact.
         try:
-            if hi_only:
+            if hi_only and pool.get("half_lo") is None:
                 raise subprocess.CalledProcessError(0, "skipped")
-            h_hi, h_lo = _child(hi // 2), _child(lo // 2)
+            h_hi = _child(hi // 2)
+            h_lo = ({"points_per_sec": pool["half_lo"]} if hi_only
+                    else _child(lo // 2))
             # pool best throughput PER LEVEL across windows — the same
             # methodology as the full-width metric (a kept max-of-ratios
             # would cherry-pick the single luckiest window)
