@@ -528,4 +528,15 @@ def extract_points(ds, rules: tuple[RuleSpec, ...], cfg: EngineConfig,
         return _cached_extractor(rules, cfg, text_column, passthrough,
                                  tag_rule)(batch)
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)
+    # batch_size=None: an explicit batch_size on the FIRST map after a
+    # read blocks Ray's Read->Map operator fusion (verified empirically:
+    # ReadParquet and MapBatches(fn) stay separate operators and the
+    # decoded tokens column — the fattest intermediate of the pipeline,
+    # ~3.3 GB at sf0.1 vs a ~280 MB exchange — round-trips through the
+    # object store between them).  With None, extraction fuses into the
+    # read task and consumes each read block zero-copy in-process.
+    # Per-task working set stays bounded by the read block planner
+    # (~1 block per CPU, <=256 MB on disk per block — sources/parquet.py),
+    # not by batch_size; extraction is vectorized and batch-size-invariant
+    # (output bits pinned block-layout-invariant in tests).
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
