@@ -48,7 +48,14 @@ def read_token_table(path: str, num_blocks: int | None = None):
     natural per-row-group granularity and the override is a no-op in
     spirit).  Measured at sf0.1: e2e 18.1 s -> 10.3 s at 32 CPUs,
     48.2 s -> ~22 s at 8 CPUs.  Output bits are block-layout-invariant
-    by design (salted deterministic merge order; pinned in tests)."""
+    by design (salted deterministic merge order; pinned in tests).
+
+    NOTE: coarse blocks are NECESSARY but not SUFFICIENT for fusion —
+    the first map after the read must also leave ``batch_size=None``
+    (an explicit batch_size keeps ReadParquet a separate operator; see
+    ``extract_points``).  With both in place the plan shows ONE fused
+    ``ReadParquet->MapBatches(...)`` operator (e2e 7.9 s -> 6.2 s on
+    top of the block-planning win)."""
     if os.path.isdir(path):
         files = sorted(os.path.join(path, f) for f in os.listdir(path)
                        if f.endswith(".parquet"))
