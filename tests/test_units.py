@@ -725,3 +725,24 @@ def test_read_num_blocks_policy(tmp_path, monkeypatch):
     assert plan(2 << 20) == min(cpus, 2)
     # huge: 1 TB -> 256 MB cap dominates (4096 blocks), CPUs irrelevant
     assert plan(1 << 40) == (1 << 40) // (256 << 20)
+
+
+def test_read_extract_operator_fusion(t1_dir):
+    """Read->Map fusion is a pinned property of the flagship plan: the
+    extraction map must fuse INTO the read operator (one
+    ``ReadParquet->MapBatches`` operator in the executed plan), so the
+    decoded ``tokens`` column — the fattest intermediate of the whole
+    pipeline — never round-trips through the object store.  Fusion
+    needs BOTH coarse read blocks (test_read_num_blocks_policy) and
+    ``batch_size=None`` on the first map (an explicit batch_size keeps
+    ReadParquet a separate operator); this pins the second condition."""
+    from logtrics_ray.config import EngineConfig
+    from logtrics_ray.pipelines.rollup_pipeline import read_token_table
+    from logtrics_ray.rules import default_rules
+    from logtrics_ray.stages.extract import extract_points
+
+    pts = extract_points(read_token_table(t1_dir), default_rules(),
+                         EngineConfig()).materialize()
+    ops = [ln for ln in pts.stats().splitlines() if ln.startswith("Operator")]
+    fused = [o for o in ops if "ReadParquet->MapBatches" in o]
+    assert fused, f"extraction did not fuse with the read: {ops}"
