@@ -113,6 +113,7 @@ def main() -> None:
     if current and (current.get("cpus_lo"), current.get("cpus_hi")) != (lo, hi):
         best_val = 0.0
 
+    lo_stale = 0
     while time.perf_counter() - t0 < budget_s:
         probe = bench._host_scaling_ceiling(lo, hi, work=300)
         pool["probes"] = (pool["probes"] + [round(probe, 3)])[-40:]
@@ -134,11 +135,19 @@ def main() -> None:
         # is binding.  Requires an existing pooled lo observation.
         hi_only = (os.environ.get("LT_HUNT_ONLY") == "hi"
                    and pool["lo"] is not None)
+        # LT_HUNT_ONLY=lo: the mirror image, for when the pooled ratio
+        # reads ABOVE 1.0 — a super-linear proxy ratio can only mean the
+        # lo leg's quiet windows were not quiet enough, so spend whole
+        # windows refining lo until it stops improving.  Every lo
+        # improvement moves the recorded ratio DOWN toward the truth
+        # (this mode can never inflate the headline number).
+        lo_only = (os.environ.get("LT_HUNT_ONLY") == "lo"
+                   and pool["hi"] is not None)
         try:
             # hi first: the 32-CPU run needs the freshest window; the
             # 8-CPU run tolerates decay (and a too-slow lo only
             # UNDERSTATES the ratio, never inflates it)
-            a_hi = _child(hi)
+            a_hi = pool["hi"] if lo_only else _child(hi)
             a_lo = pool["lo"] if hi_only else _child(lo)
         except subprocess.CalledProcessError as e:
             _release_lock()
@@ -147,6 +156,9 @@ def main() -> None:
             time.sleep(60)
             continue
         pool["attempts"] += 1
+        lo_improved = (pool["lo"] is None or
+                       a_lo["points_per_sec"] > pool["lo"]["points_per_sec"])
+        lo_stale = 0 if lo_improved else lo_stale + 1
         if pool["lo"] is None or a_lo["points_per_sec"] > pool["lo"]["points_per_sec"]:
             pool["lo"] = a_lo
         if pool["hi"] is None or a_hi["points_per_sec"] > pool["hi"]["points_per_sec"]:
@@ -160,7 +172,10 @@ def main() -> None:
         try:
             if hi_only and pool.get("half_lo") is None:
                 raise subprocess.CalledProcessError(0, "skipped")
-            h_hi = _child(hi // 2)
+            if lo_only and pool.get("half_hi") is None:
+                raise subprocess.CalledProcessError(0, "skipped")
+            h_hi = ({"points_per_sec": pool["half_hi"]} if lo_only
+                    else _child(hi // 2))
             h_lo = ({"points_per_sec": pool["half_lo"]} if hi_only
                     else _child(lo // 2))
             # pool best throughput PER LEVEL across windows — the same
@@ -223,7 +238,14 @@ def main() -> None:
               flush=True)
         if eff >= 0.8:
             print("[hunt] target met; continuing to refine", flush=True)
-        if eff >= 0.95:
+        if lo_only:
+            # refinement mode: run until the lo estimate converges
+            # (no improvement across LT_HUNT_LO_STALE gated windows)
+            if lo_stale >= int(os.environ.get("LT_HUNT_LO_STALE", "6")):
+                print(f"[hunt] lo leg converged ({lo_stale} stale "
+                      f"windows); eff={eff}", flush=True)
+                break
+        elif eff >= 0.95:
             break
         time.sleep(20)
     print(f"[hunt] done: best={best_val}", flush=True)
