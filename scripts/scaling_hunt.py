@@ -245,7 +245,7 @@ def main() -> None:
                 print(f"[hunt] lo leg converged ({lo_stale} stale "
                       f"windows); eff={eff}", flush=True)
                 break
-        elif eff >= 0.95:
+        elif eff >= 0.95 and not os.environ.get("LT_HUNT_NO_BREAK"):
             break
         time.sleep(20)
     print(f"[hunt] done: best={best_val}", flush=True)
