@@ -97,6 +97,14 @@ def _load(path: str) -> dict | None:
 def main() -> None:
     budget_s = float(os.environ.get("LT_HUNT_BUDGET_S", "7200"))
     gate = float(os.environ.get("LT_HUNT_GATE", "0.8"))
+    # Upper gate: "contention is strictly additive" justifies best-per-
+    # level pooling only when the host delivers AT MOST nominal per-core
+    # capacity.  A burst window (ceiling probe well above 1.0 — turbo /
+    # idle hyperthread siblings) OVERSTATES nominal: a leg measured
+    # there is not a valid lower bound on the uncontended-nominal truth
+    # and inflates pooled ratios.  Reject burst windows symmetrically
+    # with contended ones.
+    gate_hi = float(os.environ.get("LT_HUNT_GATE_HI", "1.15"))
     lo, hi = 8, 32
     t0 = time.perf_counter()
 
@@ -119,7 +127,7 @@ def main() -> None:
         pool["probes"] = (pool["probes"] + [round(probe, 3)])[-40:]
         print(f"[hunt] t={time.perf_counter() - t0:.0f}s probe={probe:.3f} "
               f"best={best_val:.3f} attempts={pool['attempts']}", flush=True)
-        if probe < gate:
+        if probe < gate or probe > gate_hi:
             time.sleep(45)
             continue
         if not _acquire_lock():
