@@ -64,6 +64,18 @@ def _top_level_shards(input_path: str):
     return input_path
 
 
+#: Pass-0 combine budget: each input block contributes at most
+#: 2^FINE_BITS sparse partial rows (16 B each), so below this many
+#: TOTAL partial rows the driver sums the vectors directly — a bounded
+#: few-MB pull — instead of paying a sort-exchange round to add
+#: integers.  Above it (≳60 read blocks' worth of fully-dense partials,
+#: i.e. genuinely wide cluster reads) the distributed groupby runs over
+#: the same already-materialized partials.  Same bounded-pull posture as
+#: MERGE_LOCAL_TOKEN_BUDGET below.
+PASS0_LOCAL_ROW_BUDGET = int(os.environ.get(
+    "LT_PACK_PASS0_LOCAL_ROWS", 4_000_000))
+
+
 def _bucket_token_totals(input_path: str, bucket_bits: int) -> np.ndarray:
     """Pass 0: per-bucket token totals (pruned read: doc_id + n_tok only).
     Returns the dense 2^bucket_bits totals vector (driver-side — tiny)."""
@@ -82,11 +94,20 @@ def _bucket_token_totals(input_path: str, bucket_bits: int) -> np.ndarray:
         return pa.table({"bucket": pa.array(nz, pa.int64()),
                          "n_tok": pa.array(tot[nz].astype(np.int64))})
 
-    rows = (ds.map_batches(per_batch, batch_format="pyarrow")
-            .groupby("bucket").sum("n_tok").take_all())
+    partials = (ds.map_batches(per_batch, batch_format="pyarrow")
+                .materialize())          # bounded: <= 2^bits rows/block
     totals = np.zeros(1 << bucket_bits, dtype=np.int64)
-    for r in rows:
-        totals[int(r["bucket"])] = int(r["sum(n_tok)"])
+    if partials.count() <= PASS0_LOCAL_ROW_BUDGET:
+        for t in partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+            totals += np.bincount(
+                t["bucket"].to_numpy(zero_copy_only=False),
+                weights=t["n_tok"].to_numpy(zero_copy_only=False),
+                minlength=1 << bucket_bits).astype(np.int64)
+    else:
+        rows = partials.groupby("bucket").sum("n_tok").take_all()
+        for r in rows:
+            totals[int(r["bucket"])] = int(r["sum(n_tok)"])
     return totals
 
 
