@@ -675,6 +675,31 @@ logtrics {
         ds = _rp(f"{sf_dir}/embeddings.parquet")
         return knn_ivf(ds, query_ids=[0, 1, 2, 3, 4], k=5)
 
+    def q_knn_pq(sf_dir):
+        """Product-quantization ANN — the compressed-domain scale path:
+        deterministic per-subspace codebooks (hash-spread sample), batch
+        encode, asymmetric-distance top-k ranked by (rounded dist,
+        vec_id); oracle replays ENCODING and SEARCH from the codebook
+        side table alone."""
+        from logtrics_ray.functions.similarity import knn_pq
+        ds = _rp(f"{sf_dir}/embeddings.parquet")
+        return knn_pq(ds, query_ids=[0, 1, 2, 3, 4], k=5)
+
+    def q_hash_split(sf_dir):
+        """Deterministic train/val/test split by doc-id hash — per
+        (source, split) doc + char totals; the split is a property of
+        the document, independent of sharding/order/epoch."""
+        from logtrics_ray.functions.packing import hash_split_frame
+        return hash_split_frame(f"{sf_dir}/documents.parquet")
+
+    def q_source_quota(sf_dir):
+        """Per-source token-budget curation over the token table: keep
+        docs in (h, doc_id) order until each source's budget; the token
+        payload is never read (n_tok prefix sums only, zero wide
+        shuffle)."""
+        from logtrics_ray.functions.packing import source_quota_frame
+        return source_quota_frame(_token_dir(sf_dir), budget_tokens=10_000)
+
     def q_embedding_dedup(sf_dir):
         import ray.data as rd
         from logtrics_ray.functions.similarity import embedding_dedup_survivors
@@ -1014,10 +1039,13 @@ logtrics {
         "embedding_label_centroids": q_label_centroids,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
-        # -- 28-30: NEW this round (need first driver adjudication) -----
+        # -- 28-33: NEW this round (need first driver adjudication) -----
         "loglines_multiwidth_rollup": q_multiwidth,
         "events_derivative_1h": q_derivative,
         "events_timeshift_1d_compare": q_timeshift,
+        "knn_pq": q_knn_pq,
+        "corpus_hash_split": q_hash_split,
+        "token_source_quota": q_source_quota,
         # -- 29-50: cheap representatives of r04-green families ---------
         "events_rollup_1m": q_rollup(MIN_MS),
         "events_rollup_1h_cascade": q_rollup_cascade([HOUR_MS]),
@@ -1377,6 +1405,30 @@ def _pack_sql(token_dir: str) -> str:
                                                 write_pack_hash_side_table)
     side = write_pack_hash_side_table(token_dir, "/tmp/lt_pack_h_0.01.parquet")
     return packing_oracle_sql(token_dir, side, 2048)
+
+
+def _knn_pq_sql() -> str:
+    from logtrics_ray.functions.similarity import write_pq_codebook_side_table
+    from logtrics_ray.functions.similarity import knn_pq_oracle_sql
+    side = write_pq_codebook_side_table(
+        "/root/testdata/sf0.01/embeddings.parquet", "/tmp/lt_pq_0.01.parquet")
+    return knn_pq_oracle_sql(side, [0, 1, 2, 3, 4], k=5)
+
+
+def _hash_split_sql() -> str:
+    from logtrics_ray.functions.packing import (hash_split_oracle_sql,
+                                                write_sample_key_side_table)
+    docs = "/root/testdata/sf0.01/documents.parquet"
+    side = write_sample_key_side_table(docs, "/tmp/lt_skey_docs_0.01.parquet")
+    return hash_split_oracle_sql(docs, side)
+
+
+def _source_quota_sql(token_dir: str) -> str:
+    from logtrics_ray.functions.packing import (source_quota_oracle_sql,
+                                                write_pack_hash_side_table)
+    side = write_pack_hash_side_table(token_dir,
+                                      "/tmp/lt_pack_h_0.01.parquet")
+    return source_quota_oracle_sql(token_dir, side, budget_tokens=10_000)
 
 
 def _vocab_sql(token_dir: str) -> str:
@@ -1752,6 +1804,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2""",
 "token_rollup_full_1m": _token_full_sql(token_dir, tok_td_side),
         "token_pack_2048": _pack_sql(token_dir),
+        "knn_pq": _knn_pq_sql(),
+        "corpus_hash_split": _hash_split_sql(),
+        "token_source_quota": _source_quota_sql(token_dir),
         "token_sample_mix": _sample_mix_sql(token_dir),
         "token_sample_mix_up": _sample_mix_up_sql(token_dir),
         "token_vocab_top50": _vocab_sql(token_dir),

@@ -485,8 +485,19 @@ SAMPLE_BITS = 53          # threshold domain: exact in float64 AND int64
 def _sample_key(doc_ids) -> np.ndarray:
     """Per-doc sampling key in [0, 2^53): a SECOND hash (the order hash
     re-mixed through hash64_words with a different seed), so sampling is
-    independent of the packing/bucketing order bits."""
+    independent of the packing/bucketing order bits.  Integer id columns
+    (e.g. the documents table's int64 doc_id) hash their decimal text —
+    one canonical byte form per id, independent of the storage type."""
     from logtrics_ray.hashing import hash64_words, id_hash64_array
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    if isinstance(doc_ids, pa.Array) and not (
+            pa.types.is_string(doc_ids.type)
+            or pa.types.is_large_string(doc_ids.type)
+            or pa.types.is_binary(doc_ids.type)
+            or pa.types.is_large_binary(doc_ids.type)
+            or pa.types.is_dictionary(doc_ids.type)):
+        doc_ids = pc.cast(doc_ids, pa.string())
     h = id_hash64_array(doc_ids)
     h2 = hash64_words(h.reshape(-1, 1), seed=0x5A17)
     return (h2 >> np.uint64(64 - SAMPLE_BITS)).astype(np.int64)
@@ -563,8 +574,11 @@ def write_sample_key_side_table(input_path: str, out_path: str) -> str:
     parts = []
     for p in paths:
         t = pq.read_table(p, columns=["doc_id"])
+        # keep the id column's ORIGINAL type so the oracle's USING
+        # (doc_id) join never implicit-casts (string token ids stay
+        # string; the documents table's int64 ids stay int64)
         parts.append(pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "doc_id": t["doc_id"].combine_chunks(),
             "skey": pa.array(_sample_key(t["doc_id"]), pa.int64())}))
     pq.write_table(pa.concat_tables(parts), out_path)
     return out_path
@@ -1196,3 +1210,266 @@ def vocab_topk_oracle_sql(input_path: str, k: int = 50) -> str:
     SELECT token, n, n_docs,
            row_number() OVER (ORDER BY n DESC, token ASC)::BIGINT AS rank
     FROM c QUALIFY rank <= {k}"""
+
+
+# ------------------------------------------------- deterministic splits --
+#
+# Train/val/test assignment by pure doc-id hash: the split is a
+# property of the DOCUMENT, not of any ordering, block layout, epoch or
+# RNG state — re-running over re-sharded input (or over 100 TB on a
+# different cluster) assigns every doc identically, and no coordination
+# or shuffle is needed to decide membership.  Reuses the sampling key
+# domain (SAMPLE_BITS) so the thresholds are exact in float64 AND int64.
+
+#: Cumulative split fractions over the 2^53 key domain; remainder = train.
+SPLIT_FRACS = (("test", 0.02), ("val", 0.07))
+
+
+def split_thresholds() -> list[tuple[str, int]]:
+    """[(name, upper_bound_exclusive)] in cumulative key order — computed
+    ONCE here and embedded literally in the engine filter and the SQL
+    oracle (same single-rounding-site posture as sample_thresholds)."""
+    return [(name, int(f * (1 << SAMPLE_BITS))) for name, f in SPLIT_FRACS]
+
+
+def hash_split_frame(input_path: str, id_col: str = "doc_id",
+                     group_col: str = "source",
+                     weight_col: str = "n_chars"):
+    """Per (source, split) doc counts + weight totals under the
+    deterministic hash split.  Pruned 3-column read; per-batch partials
+    (<= sources x 3 rows each); one tiny multi-key groupby."""
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    thr = split_thresholds()
+    bounds = np.array([b for _, b in thr], dtype=np.int64)
+    names = np.array([n for n, _ in thr] + ["train"], dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "split": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          weight_col: pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        key = _sample_key(t[id_col])
+        split = names[np.searchsorted(bounds, key, side="right")]
+        src = t[group_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk_s, si = np.unique(src, return_inverse=True)
+        uk_p, pi = np.unique(split, return_inverse=True)
+        ck = si * uk_p.size + pi
+        uk, inv = np.unique(ck, return_inverse=True)
+        docs = np.bincount(inv).astype(np.int64)
+        ws = np.zeros(uk.size, np.int64)
+        np.add.at(ws, inv, w)
+        return pa.table({
+            group_col: pa.array(uk_s[uk // uk_p.size], pa.string()),
+            "split": pa.array(uk_p[uk % uk_p.size], pa.string()),
+            "n_docs": pa.array(docs, pa.int64()),
+            weight_col: pa.array(ws, pa.int64())})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([group_col, "split", "n_docs", weight_col])
+
+    cols = [id_col, group_col, weight_col]
+    return (read_parquet_clean(_top_level_shards(input_path), columns=cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "split"]).sum(["n_docs", weight_col])
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def hash_split_oracle_sql(input_path: str, side_path: str,
+                          group_col: str = "source",
+                          weight_col: str = "n_chars") -> str:
+    """SQL replay of the split rule with the SAME integer thresholds,
+    key assignment from the engine's (doc_id, skey) side table."""
+    thr = split_thresholds()
+    cases = " ".join(f"WHEN skey < {b} THEN '{n}'" for n, b in thr)
+    return f"""
+    WITH ks AS (SELECT * FROM read_parquet('{side_path}')),
+    d AS (
+      SELECT t.{group_col},
+             CASE {cases} ELSE 'train' END AS split,
+             t.{weight_col}::BIGINT AS w
+      FROM read_parquet('{input_path}') t JOIN ks USING (doc_id))
+    SELECT {group_col}, split, count(*)::BIGINT AS n_docs,
+           sum(w)::BIGINT AS {weight_col}
+    FROM d GROUP BY 1, 2"""
+
+
+# ---------------------------------------------- per-source token quotas --
+#
+# Budget-capped curation: keep each source's docs in the deterministic
+# global (h, doc_id) order until the source's token budget is reached
+# (the "N tokens of web, M of code" knob every pretraining mix needs).
+# The TOKEN PAYLOAD IS NEVER READ — only (doc_id, n_tok, source) — and
+# nothing wide ever shuffles: pass 0 builds per-(source, bucket) token
+# prefix sums exactly like pack_sequences' pass 0, pass 1 exchanges the
+# narrow id rows once and each (source, bucket) task resolves its own
+# docs against the broadcast base offsets.
+
+#: Max docs a single (source, bucket) group task should hold (narrow
+#: rows: id + n_tok + key). Pass-0 totals adapt the bucket width up
+#: when a source is hotter than this.
+QUOTA_DOC_BUDGET = 1 << 22
+
+
+def _source_bucket_totals(input_path: str, bits: int):
+    """Pass 0: {source: (docs_vec, toks_vec)} at 2^bits fine buckets.
+    Bounded pull: partials are <= distinct-(source,bucket) rows per
+    block (the same posture as _bucket_token_totals; above the row
+    budget a per-source distributed vector sum runs first)."""
+    from logtrics_ray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(_top_level_shards(input_path),
+                            columns=["doc_id", "n_tok", "source"])
+    width = 1 << bits
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "bucket": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_tok": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        _, b = _doc_hash_bucket(t["doc_id"], bits)
+        n = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        uk_s, si = np.unique(src, return_inverse=True)
+        ck = si.astype(np.int64) * width + b
+        uk, inv = np.unique(ck, return_inverse=True)
+        docs = np.bincount(inv).astype(np.int64)
+        toks = np.zeros(uk.size, np.int64)
+        np.add.at(toks, inv, n)
+        return pa.table({"source": pa.array(uk_s[uk // width], pa.string()),
+                         "bucket": pa.array(uk % width, pa.int64()),
+                         "n_docs": pa.array(docs, pa.int64()),
+                         "n_tok": pa.array(toks, pa.int64())})
+
+    partials = (ds.map_batches(per_batch, batch_format="pyarrow")
+                .materialize())
+    if partials.count() > PASS0_LOCAL_ROW_BUDGET:
+        partials = (partials.groupby(["source", "bucket"])
+                    .sum(["n_docs", "n_tok"])
+                    .map_batches(lambda t: t.rename_columns(
+                        ["source", "bucket", "n_docs", "n_tok"]),
+                        batch_format="pyarrow").materialize())
+    per_src: dict = {}
+    for t in partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        src = t["source"].to_numpy(zero_copy_only=False)
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        nt = t["n_tok"].to_numpy(zero_copy_only=False)
+        for s in np.unique(src):
+            d, k = per_src.setdefault(
+                str(s), (np.zeros(width, np.int64),
+                         np.zeros(width, np.int64)))
+            m = src == s
+            np.add.at(d, bk[m], nd[m])
+            np.add.at(k, bk[m], nt[m])
+    return per_src
+
+
+def source_quota_frame(input_path: str, budget_tokens: int,
+                       bucket_bits: int = 6):
+    """Per-source summary after budget-capped keep:
+    (source, kept_docs, kept_tokens, total_docs, total_tokens).
+    A doc is kept iff its source's running token total INCLUDING it
+    stays <= budget_tokens, running in (h, doc_id) order (docs are
+    never split)."""
+    import ray
+
+    from logtrics_ray.sources.parquet import read_parquet_clean
+
+    per_src = _source_bucket_totals(input_path, FINE_BITS)
+    if not per_src:
+        import pandas as pd
+        return pd.DataFrame(columns=["source", "kept_docs", "kept_tokens",
+                                     "total_docs", "total_tokens"])
+    bits = bucket_bits
+    for s, (docs_f, _) in per_src.items():
+        b_s, _tot = _adapt_bits(docs_f, FINE_BITS, bucket_bits,
+                                budget=QUOTA_DOC_BUDGET)
+        bits = max(bits, b_s)
+    srcs = sorted(per_src)
+    src_arr = np.array(srcs, dtype=object)
+    bases = np.stack([
+        np.concatenate(([0], np.cumsum(
+            per_src[s][1].reshape(1 << bits, -1).sum(axis=1))[:-1]))
+        for s in srcs])                       # (S, 2^bits) token bases
+    bref = ray.put((src_arr, bases, bits))
+
+    ds = read_parquet_clean(_top_level_shards(input_path),
+                            columns=["doc_id", "n_tok", "source"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("qkey", pa.array([], pa.int64()))
+        src_arr_, _, bits_ = ray.get(bref)
+        t = t.combine_chunks()
+        _, b = _doc_hash_bucket(t["doc_id"], bits_)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        si = np.searchsorted(src_arr_.astype(str), src.astype(str))
+        qkey = si.astype(np.int64) * (1 << bits_) + b
+        return t.append_column("qkey", pa.array(qkey, pa.int64()))
+
+    def quota_group(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        src_arr_, bases_, bits_ = ray.get(bref)
+        qk = int(g["qkey"][0].as_py())
+        si, bk = qk >> bits_, qk & ((1 << bits_) - 1)
+        base = int(bases_[si, bk])
+        key = pa.table({"h": pa.array(
+            _doc_hash_bucket(g["doc_id"], bits_)[0], pa.uint64()),
+            "doc_id": pc.cast(g["doc_id"], pa.string())})
+        order = pc.sort_indices(key, sort_keys=[("h", "ascending"),
+                                                ("doc_id", "ascending")])
+        n = pc.take(g["n_tok"], order).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum = base + np.cumsum(n)
+        kept = cum <= budget_tokens
+        return pa.table({
+            "source": pa.array([str(src_arr_[si])], pa.string()),
+            "kept_docs": pa.array([int(kept.sum())], pa.int64()),
+            "kept_tokens": pa.array([int(n[kept].sum())], pa.int64()),
+            "total_docs": pa.array([n.size], pa.int64()),
+            "total_tokens": pa.array([int(n.sum())], pa.int64())})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["source", "kept_docs", "kept_tokens",
+                                 "total_docs", "total_tokens"])
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .groupby("qkey")
+            .map_groups(quota_group, batch_format="pyarrow")
+            .groupby("source")
+            .sum(["kept_docs", "kept_tokens", "total_docs", "total_tokens"])
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def source_quota_oracle_sql(input_path: str, side_path: str,
+                            budget_tokens: int) -> str:
+    """SQL replay: per-source window cumsum over the engine's (h,
+    doc_id) order (order hash from the pack side table), keep rule
+    cum <= budget."""
+    return f"""
+    WITH hs AS (SELECT * FROM read_parquet('{side_path}')),
+    d AS (
+      SELECT t.source, t.n_tok::BIGINT AS n_tok, hs.h, t.doc_id
+      FROM read_parquet('{input_path}/*.parquet') t JOIN hs USING (doc_id)),
+    c AS (
+      SELECT source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source
+                                   ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM d)
+    SELECT source,
+           count(*) FILTER (WHERE cum <= {budget_tokens})::BIGINT
+             AS kept_docs,
+           COALESCE(sum(n_tok) FILTER (WHERE cum <= {budget_tokens}),
+                    0)::BIGINT AS kept_tokens,
+           count(*)::BIGINT AS total_docs,
+           sum(n_tok)::BIGINT AS total_tokens
+    FROM c GROUP BY 1"""

@@ -439,6 +439,242 @@ def write_ivf_side_table(embeddings_path: str, out_path: str,
     return out_path, wanted
 
 
+# -------------------------------------------------- product quantization --
+#
+# The compressed-domain ANN scale path: vectors are encoded once into
+# m uint8 codes (one centroid id per subspace) and every query scans
+# CODES, not floats — at 100 TB the per-node working set is m bytes per
+# vector instead of 4*dim, and the scan is a table lookup (ADC) instead
+# of a matmul.  Training reuses the IVF family's deterministic
+# hash-spread sample so the codebooks are a pure function of the corpus
+# (reference semantics anchor: the engine-side "stateful index" posture
+# mirrors logtrics' compiled-rule state, /root/reference/script/lua.go
+# — built once, applied per record batch).
+
+PQ_SUBS = 8          # subspaces (dim must divide evenly)
+PQ_CENTROIDS = 16    # centroids per subspace -> 4-bit codes
+PQ_ITERS = 8
+
+
+def _pq_codebooks(sample_m: np.ndarray, m_subs: int, kc: int,
+                  iters: int) -> np.ndarray:
+    """Per-subspace Lloyd's k-means over a canonical (normalized,
+    id-sorted) sample — deterministic: strided-row init, first-lowest
+    argmin assignment, empty cluster keeps its previous centroid.
+    Shared by the distributed fit and the oracle side-table writer.
+    Returns (m_subs, kc, sub_dim) float64."""
+    n, dim = sample_m.shape
+    if dim % m_subs:
+        raise ValueError(f"PQ: dim {dim} not divisible by m={m_subs}")
+    sub_dim = dim // m_subs
+    kc = min(kc, n)
+    init_idx = np.unique(np.round(np.linspace(0, n - 1, kc)).astype(int))
+    books = np.empty((m_subs, init_idx.size, sub_dim), dtype=np.float64)
+    for s in range(m_subs):
+        x = sample_m[:, s * sub_dim:(s + 1) * sub_dim]
+        c = x[init_idx].copy()
+        for _ in range(iters):
+            # direct (x-c)^2 form — the SQL replay sums the identical
+            # per-component squares, so no a^2+b^2-2ab rearrangement
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)        # first lowest == cid tiebreak
+            for j in range(c.shape[0]):
+                sel = x[assign == j]
+                if len(sel):
+                    c[j] = sel.mean(axis=0)
+        books[s] = c
+    return books
+
+
+def _pq_encode(m: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) normalized matrix -> (n, m_subs) int64 codes (argmin of
+    the direct squared distance per subspace, lowest cid on ties)."""
+    n_subs, _, sub_dim = books.shape
+    codes = np.empty((m.shape[0], n_subs), dtype=np.int64)
+    for s in range(n_subs):
+        x = m[:, s * sub_dim:(s + 1) * sub_dim]
+        d2 = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def fit_pq(ds, m_subs: int = PQ_SUBS, kc: int = PQ_CENTROIDS,
+           iters: int = PQ_ITERS, sample: int = 2048,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Distributed deterministic PQ fit: hash-spread sample pull (same
+    kernel as ``fit_centroids``), canonical ordering, per-subspace
+    k-means.  Driver holds only the sample and the (m, kc, sub_dim)
+    codebooks."""
+    n_total = max(ds.count(), 1)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_hash_spread_mask(ids, n_total, sample)))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    if not rows:
+        rows = ds.limit(sample).take_all()
+    ids_a = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return _pq_codebooks(_finalize_sample(ids_a, m, sample), m_subs, kc,
+                         iters)
+
+
+def knn_pq(ds, query_ids: list[int], k: int = 5, m_subs: int = PQ_SUBS,
+           kc: int = PQ_CENTROIDS, iters: int = PQ_ITERS,
+           sample: int = 2048, id_col: str = "vec_id",
+           vec_col: str = "embedding"):
+    """PQ asymmetric-distance top-k: every batch encodes its vectors
+    against the broadcast codebooks and scores queries via the (nq, m,
+    kc) LUT — one table lookup + m adds per (query, vector), never a
+    full matmul.  Rank is by ROUNDED distance (6dp) then vec_id: equal
+    PQ codes give exactly-equal distances, so the tiebreak must not
+    depend on sub-ulp float summation order (the SQL replay sums the
+    same squares in a different order).
+
+    Returns (query_id, neighbor_id, rank, dist) — dist = squared L2 on
+    the unit sphere (monotone in cosine), rounded to 6dp."""
+    books = fit_pq(ds, m_subs, kc, iters, sample, id_col, vec_col)
+
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col],
+                                            value_set=pa.array(query_ids))),
+        batch_format="pyarrow").take_all()
+    q_rows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qmat = _norm_rows(np.array([r[vec_col] for r in q_rows],
+                               dtype=np.float64))
+    nq = qids.size
+    n_subs, kc_eff, sub_dim = books.shape
+    lut = np.empty((nq, n_subs, kc_eff), dtype=np.float64)
+    for s in range(n_subs):
+        qs = qmat[:, s * sub_dim:(s + 1) * sub_dim]
+        lut[:, s, :] = ((qs[:, None, :] - books[s][None, :, :]) ** 2) \
+            .sum(axis=2)
+    ref = ray.put((qids, lut, books))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids_, lut_, books_ = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        codes = _pq_encode(_norm_rows(_batch_matrix(t, vec_col)), books_)
+        # d2[q, row] = sum_s lut[q, s, codes[row, s]] — fixed s order
+        d2 = np.zeros((qids_.size, ids.size), dtype=np.float64)
+        for s in range(codes.shape[1]):
+            d2 += lut_[:, s, codes[:, s]]
+        take = min(k + 1, ids.size)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(qids_.size):
+            d = d2[qi]
+            idx = np.argpartition(d, take - 1)[:take]
+            out_q.append(np.full(take, qids_[qi], dtype=np.int64))
+            out_id.append(ids[idx])
+            out_d.append(d[idx])
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_q), pa.int64()),
+             pa.array(np.concatenate(out_id), pa.int64()),
+             pa.array(np.concatenate(out_d), pa.float64())],
+            names=["query_id", "neighbor_id", "dist"])
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge_query(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        qid = int(g["query_id"][0].as_py())
+        ids = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        d = np.round(g["dist"].to_numpy(zero_copy_only=False), 6)
+        keep = ids != qid
+        ids, d = ids[keep], d[keep]
+        order = np.lexsort((ids, d))[:k]
+        n = order.size
+        return pa.Table.from_arrays([
+            pa.array(np.full(n, qid, dtype=np.int64), pa.int64()),
+            pa.array(ids[order], pa.int64()),
+            pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+            pa.array(d[order], pa.float64()),
+        ], names=["query_id", "neighbor_id", "rank", "dist"])
+
+    df = (cand.groupby("query_id")
+          .map_groups(merge_query, batch_format="pyarrow").to_pandas())
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def write_pq_codebook_side_table(embeddings_path: str, out_path: str,
+                                 m_subs: int = PQ_SUBS,
+                                 kc: int = PQ_CENTROIDS,
+                                 iters: int = PQ_ITERS, sample: int = 2048,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> str:
+    """Deterministic PQ replay side table for the ``knn_pq`` oracle:
+    rebuilds the SAME codebooks as the distributed ``fit_pq`` (shared
+    ``_hash_spread_mask`` -> ``_finalize_sample`` -> ``_pq_codebooks``)
+    and writes them component-flat as (sub, cid, comp, val) — ONLY the
+    codebooks; encoding, asymmetric distance and ranking are all
+    replayed independently by DuckDB."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(embeddings_path, columns=[id_col, vec_col])
+    ids = t[id_col].to_numpy().astype(np.int64)
+    m = _batch_matrix(t, vec_col)
+    keep = _hash_spread_mask(ids, ids.size, sample)
+    s_ids, s_m = (ids[keep], m[keep]) if keep.any() else (ids[:sample],
+                                                          m[:sample])
+    books = _pq_codebooks(_finalize_sample(s_ids, s_m, sample), m_subs, kc,
+                          iters)
+    n_subs, kc_eff, sub_dim = books.shape
+    sub, cid, comp = np.meshgrid(np.arange(n_subs), np.arange(kc_eff),
+                                 np.arange(sub_dim), indexing="ij")
+    pq.write_table(pa.table({
+        "sub": pa.array(sub.reshape(-1), pa.int64()),
+        "cid": pa.array(cid.reshape(-1), pa.int64()),
+        "comp": pa.array(comp.reshape(-1), pa.int64()),
+        "val": pa.array(books.reshape(-1), pa.float64()),
+    }), out_path)
+    return out_path
+
+
+def knn_pq_oracle_sql(side_path: str, query_ids: list[int], k: int = 5,
+                      sub_dim: int = 8,
+                      emb_table: str = "embeddings") -> str:
+    """Full independent DuckDB replay of ``knn_pq`` from the codebook
+    side table alone: normalize, ENCODE (argmin per subspace, lowest cid
+    on ties), asymmetric distance, rank by (rounded dist, neighbor_id)."""
+    qcsv = ", ".join(str(int(q)) for q in sorted(query_ids))
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS gc,
+             unnest(embedding)::DOUBLE AS v
+      FROM {emb_table}),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM flat GROUP BY 1),
+    nf AS (
+      SELECT f.vec_id, f.gc // {sub_dim} AS sub, f.gc % {sub_dim} AS comp,
+             f.v / (CASE WHEN n.nn = 0 THEN 1 ELSE n.nn END) AS v
+      FROM flat f JOIN nrm n USING (vec_id)),
+    cb AS (SELECT * FROM read_parquet('{side_path}')),
+    enc AS (
+      SELECT nf.vec_id, nf.sub, cb.cid,
+             sum((nf.v - cb.val) * (nf.v - cb.val)) AS d2
+      FROM nf JOIN cb ON cb.sub = nf.sub AND cb.comp = nf.comp
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, sub, cid FROM enc
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2 ASC, cid ASC) = 1),
+    q AS (SELECT vec_id AS qid, sub, comp, v FROM nf
+          WHERE vec_id IN ({qcsv})),
+    adc AS (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             round(sum((q.v - cb.val) * (q.v - cb.val)), 6) AS dist
+      FROM q
+      JOIN codes c ON c.sub = q.sub AND c.vec_id <> q.qid
+      JOIN cb ON cb.sub = c.sub AND cb.cid = c.cid AND cb.comp = q.comp
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rank,
+           dist
+    FROM adc QUALIFY rank <= {k}"""
+
+
 # ------------------------------------------------------- label centroids --
 
 def label_centroids_frame(emb_path: str, scale_bits: int = 20):
