@@ -140,7 +140,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "minhash_dedup", "text_quality", "decontaminate_8gram",
                      "token_pack_2048", "events_anomaly_3sigma_1h",
                      "minhash_dup_clusters", "paragraph_dedup_pages",
-                     "token_chunk_512_s384", "events_value_hist_1h"):
+                     "token_chunk_512_s384", "events_value_hist_1h",
+                     "knn_pq", "corpus_hash_split", "token_source_quota"):
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):
