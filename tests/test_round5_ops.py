@@ -176,3 +176,18 @@ def test_source_quota_budget_larger_than_corpus_keeps_all(t1_dir):
     df = source_quota_frame(t1_dir, 10**12).to_pandas()
     assert (df["kept_docs"] == df["total_docs"]).all()
     assert (df["kept_tokens"] == df["total_tokens"]).all()
+
+
+def test_pass0_groupby_fallback_matches_driver_combine(t1_dir, monkeypatch):
+    """Past the pull budget the distributed groupby path must produce
+    the identical totals vector / quota summary."""
+    import logtrics_ray.functions.packing as P
+    fast = P._bucket_token_totals(t1_dir, P.FINE_BITS)
+    quota_fast = P.source_quota_frame(t1_dir, 3_000).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    monkeypatch.setattr(P, "PASS0_LOCAL_ROW_BUDGET", 0)
+    slow = P._bucket_token_totals(t1_dir, P.FINE_BITS)
+    quota_slow = P.source_quota_frame(t1_dir, 3_000).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    assert np.array_equal(fast, slow)
+    assert quota_fast.values.tolist() == quota_slow.values.tolist()
