@@ -175,3 +175,42 @@ def test_gram_kernel_equals_ngram_set_property(texts, n):
         assert np.array_equal(got, r), (
             i, texts[i].encode("utf-8", "surrogatepass"), r, got, n,
             [t.encode("utf-8", "surrogatepass") for t in texts])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=60))
+def test_hash_split_label_rule_property(ids):
+    """The vectorized searchsorted label assignment == the scalar CASE
+    rule the SQL oracle runs, and int ids == their decimal-text ids."""
+    from logtrics_ray.functions.packing import _sample_key, split_thresholds
+    thr = split_thresholds()
+    bounds = np.array([b for _, b in thr], dtype=np.int64)
+    names = np.array([n for n, _ in thr] + ["train"], dtype=object)
+    k_int = _sample_key(pa.array(ids, pa.int64()))
+    k_str = _sample_key(pa.array([str(i) for i in ids], pa.string()))
+    assert np.array_equal(k_int, k_str)
+    got = names[np.searchsorted(bounds, k_int, side="right")]
+    for key, lab in zip(k_int, got):
+        exp = next((n for n, b in thr if key < b), "train")
+        assert lab == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_pq_encode_is_argmin_property(seed):
+    """Every chosen code's subspace distance is <= every alternative's,
+    and equals the first index achieving the minimum (the cid-asc
+    tiebreak the SQL replay uses)."""
+    from logtrics_ray.functions.similarity import _pq_codebooks, _pq_encode
+    rng = np.random.default_rng(seed)
+    sample = rng.normal(size=(24, 8))
+    books = _pq_codebooks(sample, m_subs=2, kc=4, iters=2)
+    x = rng.normal(size=(10, 8))
+    codes = _pq_encode(x, books)
+    n_subs, _, sub_dim = books.shape
+    for s in range(n_subs):
+        xs = x[:, s * sub_dim:(s + 1) * sub_dim]
+        d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        assert np.array_equal(codes[:, s], d2.argmin(axis=1))
+        assert (d2[np.arange(10), codes[:, s]] <= d2.min(axis=1)).all()
