@@ -556,6 +556,11 @@ def knn_pq(ds, query_ids: list[int], k: int = 5, m_subs: int = PQ_SUBS,
     def local_topk(t: pa.Table) -> pa.Table:
         qids_, lut_, books_ = ray.get(ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["query_id", "neighbor_id", "dist"])
         codes = _pq_encode(_norm_rows(_batch_matrix(t, vec_col)), books_)
         # d2[q, row] = sum_s lut[q, s, codes[row, s]] — fixed s order
         d2 = np.zeros((qids_.size, ids.size), dtype=np.float64)
